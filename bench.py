@@ -1,0 +1,114 @@
+"""Benchmark harness: steady-state frame rate + ray throughput on the
+real device, at the north-star operating point (BASELINE.md: 1080p,
+8 mirror bounces, >=4 spp progressive refresh, vs the reference's implied
+47.2 M primary rays/s at its 1024x768/60fps operating point).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--spp", type=int, default=64,
+                   help="samples per refreshed pixel (reference: 64)")
+    p.add_argument("--mirror-limit", type=int, default=8)
+    p.add_argument("--bounce-limit", type=int, default=5)
+    p.add_argument("--maze", type=int, default=10)
+    p.add_argument("--frames", type=int, default=60)
+    p.add_argument("--warmup", type=int, default=8)
+    p.add_argument("--intersector", type=str, default=None,
+                   help="override backend: brute | bvh | pallas")
+    args = p.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mmx_jax_cache")
+
+    from mirror_maze_tpu.config import (
+        EngineConfig,
+        MazeConfig,
+        ScreenConfig,
+        TracerConfig,
+    )
+    from mirror_maze_tpu.render import upload_scene
+    from mirror_maze_tpu.runtime.state import FrameInputs, init_state
+    from mirror_maze_tpu.runtime.step import make_step
+    from mirror_maze_tpu.scene import build_scene
+
+    cfg = EngineConfig(
+        maze=MazeConfig(width=args.maze, height=args.maze),
+        tracer=TracerConfig(
+            bounce_limit=args.bounce_limit, mirror_limit=args.mirror_limit
+        ),
+        screen=ScreenConfig(
+            width=args.width, height=args.height, samples_per_pixel=args.spp
+        ),
+    )
+    if args.intersector:
+        cfg = cfg.replace(intersector=args.intersector)
+
+    scene = build_scene(cfg.maze)
+    dev_scene = upload_scene(scene)
+    step = make_step(dev_scene, cfg)
+    state = init_state(cfg, seed=0)
+    inputs = FrameInputs.idle()
+
+    # Compile + warmup.
+    t0 = time.time()
+    state, frame = step(state, inputs)
+    frame.block_until_ready()
+    compile_s = time.time() - t0
+    for _ in range(args.warmup):
+        state, frame = step(state, inputs)
+    frame.block_until_ready()
+
+    # Timed steady state (async dispatch; block once at the end — the
+    # reference likewise never syncs per frame, `main.rs:893-894`).
+    t0 = time.time()
+    for _ in range(args.frames):
+        state, frame = step(state, inputs)
+    frame.block_until_ready()
+    dt = time.time() - t0
+
+    fps = args.frames / dt
+    frame_ms = 1000.0 * dt / args.frames
+    rays_per_frame = (
+        cfg.screen.effective_chunks_per_frame
+        * cfg.screen.pixels_per_chunk
+        * cfg.screen.samples_per_pixel
+    )
+    mrays = rays_per_frame * fps / 1e6
+
+    # Reference implied operating point: 786,432 primary rays/frame at
+    # 60 fps = 47.2 Mrays/s (BASELINE.md, derived from main.rs:646-650,760).
+    baseline_mrays = 47.2
+
+    result = {
+        "metric": "primary Mrays/s, progressive mirror-maze path tracing "
+                  f"({args.width}x{args.height}, {args.mirror_limit} mirror "
+                  f"bounces, {args.spp} spp/refresh)",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / baseline_mrays, 3),
+        "frame_ms": round(frame_ms, 3),
+        "fps": round(fps, 2),
+        "rays_per_frame": rays_per_frame,
+        "compile_s": round(compile_s, 1),
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "intersector": cfg.intersector,
+        "planes": scene.num_planes,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+"""Command-line entry points.
+
+The reference ships one binary whose only mode is the interactive window
+(`main.rs:590-939`). The TPU engine exposes the same capability headless:
+
+  python -m mirror_maze_tpu render  --out frame.png      offline full frame
+  python -m mirror_maze_tpu demo    --out demo_dir/      scripted walkthrough
+  python -m mirror_maze_tpu play                         interactive terminal
+                                                         (WASD + j/l yaw, q quits)
+
+All take --config {reference,v0,bvh,fuzzy,interactive,scale} and overrides.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _build(args):
+    from .config import NAMED_CONFIGS
+    from .render import upload_scene
+    from .scene import build_scene
+
+    cfg = NAMED_CONFIGS[args.config]()
+    overrides = {}
+    if args.width or args.height:
+        overrides["screen"] = cfg.screen.__class__(
+            width=args.width or cfg.screen.width,
+            height=args.height or cfg.screen.height,
+            samples_per_pixel=args.spp or cfg.screen.samples_per_pixel,
+        )
+    elif args.spp:
+        overrides["screen"] = cfg.screen.__class__(
+            width=cfg.screen.width,
+            height=cfg.screen.height,
+            samples_per_pixel=args.spp,
+        )
+    if args.intersector:
+        overrides["intersector"] = args.intersector
+    if args.seed is not None:
+        overrides["maze"] = cfg.maze.__class__(
+            width=cfg.maze.width, height=cfg.maze.height, seed=args.seed
+        )
+    if overrides:
+        cfg = cfg.replace(**overrides)
+    scene = build_scene(cfg.maze)
+    return cfg, scene, upload_scene(scene)
+
+
+def cmd_render(args) -> int:
+    import jax
+    import numpy as np
+
+    from .render import make_camera, render_full_frame, to_display
+    from .utils.imageio import write_png
+
+    cfg, scene, dev = _build(args)
+    cam = make_camera(cfg.camera, cfg.screen.width / cfg.screen.height)
+    t0 = time.time()
+    img = render_full_frame(dev, cam, jax.random.PRNGKey(args.seed or 0), cfg)
+    frame = np.asarray(to_display(img))
+    print(f"rendered {frame.shape[1]}x{frame.shape[0]} "
+          f"({scene.num_planes} planes) in {time.time()-t0:.1f}s")
+    write_png(args.out, frame)
+    print(f"wrote {args.out}")
+    return 0
+
+
+def cmd_demo(args) -> int:
+    import os
+
+    import numpy as np
+
+    from .runtime.loop import run_scripted
+    from .runtime.state import FrameInputs, init_state
+    from .runtime.step import make_step
+    from .utils.imageio import write_png
+
+    cfg, scene, dev = _build(args)
+    os.makedirs(args.out, exist_ok=True)
+    step = make_step(dev, cfg)
+    st = init_state(cfg, seed=args.seed or 0)
+    script = (
+        [("settle", FrameInputs.idle())] * 128
+        + [("walk", FrameInputs.make(w=True))] * 120
+        + [("turn", FrameInputs.make(mouse_dx=-20.0))] * 16
+        + [("settle2", FrameInputs.idle())] * 128
+        + [("walk2", FrameInputs.make(w=True))] * 120
+        + [("settle3", FrameInputs.idle())] * 128
+    )
+    t0 = time.time()
+    frame = None
+    last_phase = None
+    for i, (phase, inp) in enumerate(script):
+        st, frame = step(st, inp)
+        if phase != last_phase and last_phase is not None:
+            write_png(f"{args.out}/{i:04d}_{last_phase}.png", np.asarray(frame))
+        last_phase = phase
+    write_png(f"{args.out}/{len(script):04d}_final.png", np.asarray(frame))
+    dt = time.time() - t0
+    print(f"{len(script)} frames in {dt:.1f}s ({len(script)/dt:.0f} fps) "
+          f"-> {args.out}/")
+    return 0
+
+
+def cmd_play(args) -> int:
+    from .runtime.loop import InteractiveLoop
+
+    cfg, scene, dev = _build(args)
+    print("WASD move, j/l turn, q quits. Frames render headless; "
+          "final view saved on exit.")
+    loop = InteractiveLoop(dev, cfg, seed=args.seed or 0)
+    loop.run(max_frames=args.frames, out_png=args.out)
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="mirror_maze_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name, fn in (("render", cmd_render), ("demo", cmd_demo),
+                     ("play", cmd_play)):
+        sp = sub.add_parser(name)
+        sp.set_defaults(fn=fn)
+        sp.add_argument("--config", default="reference")
+        sp.add_argument("--width", type=int, default=0)
+        sp.add_argument("--height", type=int, default=0)
+        sp.add_argument("--spp", type=int, default=0)
+        sp.add_argument("--seed", type=int, default=None)
+        sp.add_argument("--intersector", default=None)
+        sp.add_argument("--frames", type=int, default=None)
+        sp.add_argument("--out", default="frame.png" if name == "render"
+                        else ("demo_out" if name == "demo" else None))
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

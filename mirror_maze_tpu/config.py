@@ -1,0 +1,221 @@
+"""Configuration system for the mirror-maze TPU engine.
+
+The reference hardcodes every operating constant (resolution `main.rs:599-600`,
+chunk width `main.rs:602`, fps `main.rs:760`, maze dims `main.rs:362-363`,
+camera spawn/look `main.rs:735,740`, move speed `main.rs:792`, mouse
+sensitivity `main.rs:923`, and in-shader `bounce_limit=5`, `mirror_limit=15`,
+`lighting_factor=0.25` with a `//TODO: uniform this` at `shaders.metal:293-296`).
+This module lifts all of them into frozen dataclasses so every config in
+BASELINE.json is expressible without code edits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class MazeConfig:
+    """Maze-generation parameters (reference: `main.rs:362-363`, 10x10 cells)."""
+
+    width: int = 10            # cells in x
+    height: int = 10           # cells in y (z in world space)
+    cell_size: float = 10.0    # world units per cell (`main.rs:452`, 10.0)
+    wall_top_y: float = 2.0    # walls span y in [top - height, top]; y points DOWN
+    wall_height: float = 10.0  # maze wall height (`main.rs:457`, u=(0,-10,0))
+    boundary_height: float = 20.0  # outer boundary wall height (`main.rs:519`)
+    seed: int = 0              # reference: StdRng::seed_from_u64(0) (`main.rs:381`)
+
+    # Material probabilities (`main.rs:460-464` vertical 15% mirror,
+    # `main.rs:494-498` horizontal 10% mirror).
+    vert_mirror_prob: float = 0.15
+    hori_mirror_prob: float = 0.10
+
+    # Inset warm light panels on short walls (`main.rs:467-480, 501-514`):
+    # runs of length <= light_max_run get a light_prob chance of a light panel
+    # inset by light_inset, sized light_length x light_height, with
+    # emission light_emission (rgb) * light_strength.
+    light_max_run: float = 2.0
+    light_prob: float = 0.3
+    light_inset: float = 0.1
+    light_length: float = 9.9
+    light_height: float = 6.0
+
+    wall_color: Tuple[float, float, float] = (0.3, 0.35, 0.4)     # main.rs:447
+    floor_color: Tuple[float, float, float] = (0.4, 0.45, 0.3)    # main.rs:553
+    ceiling_color: Tuple[float, float, float] = (0.0, 0.0, 0.0)   # main.rs:582
+    light_emission: Tuple[float, float, float] = (1.0, 0.8, 0.3)  # main.rs:479
+    light_strength: float = 2.0                                    # main.rs:479
+    ceiling_emission_strength: float = 0.02                        # main.rs:585
+
+    @property
+    def world_half_extent(self) -> float:
+        """World spans [-half, half] in x and z (`main.rs:452`: -10*h/2 + i*10)."""
+        return self.cell_size * self.height / 2.0
+
+
+@dataclasses.dataclass(frozen=True)
+class TracerConfig:
+    """Path-tracer parameters (reference: `shaders.metal:293-296`)."""
+
+    bounce_limit: int = 5      # max diffuse/miss segments
+    mirror_limit: int = 15     # mirror segment budget; hitting it kills the ray
+    lighting_factor: float = 0.25   # sky falloff base (`shaders.metal:337`)
+    sky_color: Tuple[float, float, float] = (0.3, 0.6, 0.8)
+    sky_strength: float = 0.0  # reference multiplies the sky term by 0.0
+    mirror_tint: float = 0.005  # additive mirror tint (`shaders.metal:327`)
+    t_min: float = 0.1         # min hit distance (`shaders.metal:63`, a > 0.1)
+    jitter: float = 0.001      # AA ray-direction jitter (`shaders.metal:303`)
+
+    @property
+    def max_segments(self) -> int:
+        """Static trip count for the fixed-shape bounce loop.
+
+        The reference loop (`shaders.metal:306`) runs while
+        ``n < bounce_limit + mirror_hits``; since mirror_hits <= mirror_limit
+        and the iteration that reaches the mirror limit terminates, the loop
+        body executes at most bounce_limit + mirror_limit times.
+        """
+        return self.bounce_limit + self.mirror_limit
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Camera & movement (reference: `main.rs:732-764, 786-815, 922-925`)."""
+
+    spawn: Tuple[float, float, float] = (-5.0, 0.0, -45.0)  # main.rs:735
+    look_dir: Tuple[float, float, float] = (0.1, 0.0, 1.0)  # main.rs:740
+    focal_length: float = 1.0                                # main.rs:736
+    viewport_height: float = 2.0                             # main.rs:732
+    move_speed: float = 5.0          # units per second (`main.rs:792`, 5/fps)
+    mouse_sensitivity: float = 1.0 / 512.0                   # main.rs:923
+    player_half_extent: Tuple[float, float, float] = (0.5, 0.2, 0.5)  # main.rs:738
+
+
+@dataclasses.dataclass(frozen=True)
+class ScreenConfig:
+    """Resolution, progressive-refresh and display (`main.rs:599-603, 646-650`)."""
+
+    width: int = 1024
+    height: int = 768
+    chunk_width: int = 4       # pixel chunk side (`main.rs:602`)
+    # Chunks refreshed per frame. The reference dispatches
+    # (W/2/ppc) x (H/2/ppc) threadgroups = 32x24 = 768 chunks at 1024x768
+    # (`main.rs:646-650`), i.e. 1/64 of the 49,152 total chunks.
+    # None = derive the same 1/64 fraction from the resolution.
+    chunks_per_frame: int | None = None
+    samples_per_pixel: int = 64  # 1024 threads / 16 px per chunk (`main.rs:641-644`)
+    fps: float = 60.0
+    # The reference screen texture is RGBA8Unorm (`main.rs:704`): every write
+    # clamps to [0,1] and quantizes to 8 bits, which stabilizes the feedback
+    # blur. Set False for float32 accumulation.
+    quantize_8bit: bool = True
+    # Feedback blur (fragment_shader, `shaders.metal:214-225`): out =
+    # (c + (l+r)/2 + (u+d)/2) / 3, written back into the screen texture.
+    feedback_blur: bool = True
+
+    @property
+    def pixels_per_chunk(self) -> int:
+        return self.chunk_width * self.chunk_width
+
+    @property
+    def chunks_x(self) -> int:
+        return self.width // self.chunk_width
+
+    @property
+    def chunks_y(self) -> int:
+        return self.height // self.chunk_width
+
+    @property
+    def total_chunks(self) -> int:
+        return self.chunks_x * self.chunks_y
+
+    @property
+    def effective_chunks_per_frame(self) -> int:
+        if self.chunks_per_frame is not None:
+            return self.chunks_per_frame
+        # Reference ratio: (W/2/ppc) * (H/2/ppc) threadgroups per frame.
+        ppc = self.pixels_per_chunk
+        return max(1, (self.width // (2 * ppc)) * (self.height // (2 * ppc)))
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Top-level engine configuration bundling all subsystems."""
+
+    maze: MazeConfig = MazeConfig()
+    tracer: TracerConfig = TracerConfig()
+    camera: CameraConfig = CameraConfig()
+    screen: ScreenConfig = ScreenConfig()
+    # Intersection backend: "brute" (vectorized all-planes test, wins for the
+    # small scenes of configs 1-4), "bvh" (masked stack traversal),
+    # "pallas" (fused wavefront kernel).
+    intersector: str = "pallas"
+
+    def replace(self, **kw) -> "EngineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# --- Named configurations matching BASELINE.json "configs" -------------------
+
+def config_v0() -> EngineConfig:
+    """Config 1: 4x4 maze, 256x256, 1 spp, 1 bounce, brute-force, no BVH."""
+    return EngineConfig(
+        maze=MazeConfig(width=4, height=4),
+        tracer=TracerConfig(bounce_limit=1, mirror_limit=1),
+        camera=CameraConfig(spawn=(-5.0, 0.0, -15.0)),
+        screen=ScreenConfig(width=256, height=256, samples_per_pixel=1,
+                            chunks_per_frame=None),
+        intersector="brute",
+    )
+
+
+def config_bvh() -> EngineConfig:
+    """Config 2: 8x8 maze with BVH traversal, 4 mirror bounces, full materials."""
+    return EngineConfig(
+        maze=MazeConfig(width=8, height=8),
+        tracer=TracerConfig(bounce_limit=5, mirror_limit=4),
+        camera=CameraConfig(spawn=(-5.0, 0.0, -35.0)),
+        screen=ScreenConfig(width=512, height=384, samples_per_pixel=4),
+        intersector="bvh",
+    )
+
+
+def config_fuzzy() -> EngineConfig:
+    """Config 3: 16x16 maze, fuzzy accumulation look, 720p."""
+    return EngineConfig(
+        maze=MazeConfig(width=16, height=16),
+        screen=ScreenConfig(width=1280, height=720),
+        intersector="pallas",
+    )
+
+
+def config_interactive() -> EngineConfig:
+    """Config 4: interactive 1080p, 8 mirror bounces."""
+    return EngineConfig(
+        maze=MazeConfig(width=10, height=10),
+        tracer=TracerConfig(bounce_limit=5, mirror_limit=8),
+        screen=ScreenConfig(width=1920, height=1080),
+        intersector="pallas",
+    )
+
+
+def config_scale() -> EngineConfig:
+    """Config 5: 64x64 maze, 4K, 16 bounces, batched multi-camera on a mesh."""
+    return EngineConfig(
+        maze=MazeConfig(width=64, height=64),
+        tracer=TracerConfig(bounce_limit=5, mirror_limit=16),
+        screen=ScreenConfig(width=3840, height=2160),
+        intersector="pallas",
+    )
+
+
+NAMED_CONFIGS = {
+    "v0": config_v0,
+    "bvh": config_bvh,
+    "fuzzy": config_fuzzy,
+    "interactive": config_interactive,
+    "scale": config_scale,
+    "reference": EngineConfig,
+}

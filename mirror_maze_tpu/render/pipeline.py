@@ -1,0 +1,103 @@
+"""Frame rendering pipeline: pixels -> traced colors -> screen.
+
+Ties camera ray generation, the per-sample jitter, the tracer, and the
+per-pixel sample reduction together. The reference's threadgroup tree
+reduction over 64 samples/pixel (`shaders.metal:342-367`) is a plain mean
+over the sample axis here — free on TPU, and without the reference's
+mem_none barrier race (SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..config import EngineConfig
+from ..ops.sampling import ray_jitter
+from .camera import Camera, ray_directions
+from .intersect import nearest_hit_brute, nearest_hit_bvh
+from .scenebuf import DeviceScene
+from .tracer import tone_map, trace_paths
+
+
+def make_nearest_fn(
+    scene: DeviceScene, cfg: EngineConfig, max_depth: int, max_leaf: int
+) -> Callable:
+    """Select the intersection backend (EngineConfig.intersector)."""
+    if cfg.intersector == "bvh":
+        return lambda o, d: nearest_hit_bvh(
+            scene, o, d, cfg.tracer.t_min, max_depth, max_leaf
+        )
+    return lambda o, d: nearest_hit_brute(scene, o, d, cfg.tracer.t_min)
+
+
+def render_pixels(
+    scene: DeviceScene,
+    cam: Camera,
+    pixels_xy: jnp.ndarray,   # [K, 2] int (x, y)
+    key: jax.Array,
+    cfg: EngineConfig,
+    nearest_fn: Callable | None = None,
+) -> jnp.ndarray:
+    """Trace spp samples for each pixel; returns tone-mapped colors [K, 3].
+
+    Per-sample setup matches the compute kernel (`shaders.metal:281-303`):
+    one camera ray per pixel, then each sample adds an unnormalized
+    direction jitter of scale 0.001.
+    """
+    spp = cfg.screen.samples_per_pixel
+    k = pixels_xy.shape[0]
+    jkey, tkey = jax.random.split(key)
+
+    base_dir = ray_directions(
+        cam, pixels_xy, float(cfg.screen.width), float(cfg.screen.height)
+    )                                                        # [K, 3]
+    jit = ray_jitter(jkey, (k, spp), cfg.tracer.jitter)      # [K, spp, 3]
+    dirs = (base_dir[:, None, :] + jit).reshape(k * spp, 3)
+    ori = jnp.broadcast_to(cam.center, (k * spp, 3))
+
+    if cfg.intersector == "pallas" and nearest_fn is None:
+        from .pallas_tracer import trace_paths_pallas
+
+        seed = jax.random.randint(tkey, (), 0, jnp.iinfo(jnp.int32).max)
+        light = trace_paths_pallas(
+            scene.plane_table, ori, dirs, seed, cfg.tracer
+        )
+    else:
+        light = trace_paths(scene, ori, dirs, tkey, cfg.tracer, nearest_fn)
+    samples = tone_map(light).reshape(k, spp, 3)
+    return jnp.mean(samples, axis=1)
+
+
+def render_full_frame(
+    scene: DeviceScene,
+    cam: Camera,
+    key: jax.Array,
+    cfg: EngineConfig,
+    nearest_fn: Callable | None = None,
+    rows_per_batch: int = 64,
+) -> jnp.ndarray:
+    """Offline full-frame render [H, W, 3] (float, tone-mapped, un-blurred).
+
+    Batches over row blocks with lax.map so the [rays x planes] brute-force
+    intermediates stay within memory at large resolutions.
+    """
+    h, w = cfg.screen.height, cfg.screen.width
+    while h % rows_per_batch != 0:  # largest divisor of h <= requested
+        rows_per_batch -= 1
+    ys = jnp.arange(h, dtype=jnp.int32).reshape(-1, rows_per_batch)
+    xs = jnp.arange(w, dtype=jnp.int32)
+
+    def render_rows(args):
+        y_block, bkey = args
+        gy = jnp.broadcast_to(y_block[:, None], (rows_per_batch, w))
+        gx = jnp.broadcast_to(xs[None, :], (rows_per_batch, w))
+        pix = jnp.stack([gx, gy], axis=-1).reshape(-1, 2)
+        cols = render_pixels(scene, cam, pix, bkey, cfg, nearest_fn)
+        return cols.reshape(rows_per_batch, w, 3)
+
+    keys = jax.random.split(key, ys.shape[0])
+    blocks = jax.lax.map(render_rows, (ys, keys))
+    return blocks.reshape(h, w, 3)

@@ -1,0 +1,81 @@
+"""Device-resident scene buffers.
+
+The reference uploads its scene into six Metal buffers once at init
+(`main.rs:723-730`: pixel-chunks, mirrors, materials, emissions, BVH nodes,
+BVH indices) and never touches them from the host again. The TPU equivalent
+is this NamedTuple-of-arrays pytree: built once on host, placed in HBM, and
+closed over / threaded through jitted functions thereafter.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..scene.builder import Scene
+from ..scene.bvh import BVH, build_bvh
+
+
+class DeviceScene(NamedTuple):
+    """All per-plane and BVH arrays as device arrays (a JAX pytree)."""
+
+    # Plane soup + precomputed intersection constants (see SceneDerived).
+    normal: jnp.ndarray     # [N, 3]
+    d: jnp.ndarray          # [N]
+    w1: jnp.ndarray         # [N, 3]
+    b1: jnp.ndarray         # [N]
+    w2: jnp.ndarray         # [N, 3]
+    b2: jnp.ndarray         # [N]
+    color: jnp.ndarray      # [N, 3]
+    is_mirror: jnp.ndarray  # [N] bool
+    emission: jnp.ndarray   # [N, 4]
+    valid: jnp.ndarray      # [N] bool
+    # Flat BVH (`main.rs:74-81` layout: interior count==0, children adjacent).
+    bvh_min: jnp.ndarray        # [M, 3]
+    bvh_max: jnp.ndarray        # [M, 3]
+    bvh_left_first: jnp.ndarray  # [M] int32
+    bvh_count: jnp.ndarray      # [M] int32
+    bvh_prim: jnp.ndarray       # [N] int32
+    # Leaf AABBs for the collision query (scene/collision.py).
+    leaf_min: jnp.ndarray   # [L, 3]
+    leaf_max: jnp.ndarray   # [L, 3]
+    # Packed [P, 24] table for the Pallas wavefront kernel
+    # (render/pallas_tracer.py PLANE_COLS).
+    plane_table: jnp.ndarray
+
+    @property
+    def num_planes(self) -> int:
+        return self.normal.shape[0]
+
+
+def upload_scene(scene: Scene, bvh: BVH | None = None) -> DeviceScene:
+    """Build derived constants + BVH and place everything on device."""
+    from .pallas_tracer import build_plane_table
+
+    if bvh is None:
+        bvh = build_bvh(scene.origin, scene.u, scene.v)
+    der = scene.derived()
+    leaf_min, leaf_max = bvh.leaf_boxes()
+    as_dev = lambda a: jnp.asarray(a)
+    return DeviceScene(
+        normal=as_dev(der.normal),
+        d=as_dev(der.d),
+        w1=as_dev(der.w1),
+        b1=as_dev(der.b1),
+        w2=as_dev(der.w2),
+        b2=as_dev(der.b2),
+        color=as_dev(der.color),
+        is_mirror=as_dev(der.is_mirror),
+        emission=as_dev(der.emission),
+        valid=as_dev(der.valid),
+        bvh_min=as_dev(bvh.aabb_min),
+        bvh_max=as_dev(bvh.aabb_max),
+        bvh_left_first=as_dev(bvh.left_first),
+        bvh_count=as_dev(bvh.count),
+        bvh_prim=as_dev(bvh.prim_index),
+        leaf_min=as_dev(leaf_min.astype(np.float32)),
+        leaf_max=as_dev(leaf_max.astype(np.float32)),
+        plane_table=as_dev(build_plane_table(der)),
+    )

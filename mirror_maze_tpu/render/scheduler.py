@@ -1,0 +1,59 @@
+"""Progressive pixel-chunk scheduler (device-resident).
+
+The reference divides the screen into 4x4-pixel chunks, shuffles all chunk
+origins once (`gen_pixels`, `main.rs:293-307`), and pops a fixed number per
+frame, refilling from the same shuffled master list when exhausted
+(`random_pixels`, `main.rs:309-326`) — so a full repaint takes ~64 frames
+and each epoch repeats the same chunk order. On camera rotation the queue is
+regenerated with a fresh shuffle (`main.rs:836-841`).
+
+TPU recast: the queue is a device-resident permutation of chunk ids plus a
+cursor; per frame we dynamic-slice the next window (wrapping over a doubled
+view of the permutation so a frame may straddle the epoch boundary, exactly
+like the reference's mid-frame refill), advance the cursor mod C, and on
+rotation replace the permutation via jax.random.permutation and reset the
+cursor. No host round-trips.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ScreenConfig
+
+
+def init_permutation(key: jax.Array, cfg: ScreenConfig) -> jnp.ndarray:
+    """Fresh shuffled chunk-id permutation [C] (gen_pixels equivalent)."""
+    return jax.random.permutation(key, cfg.total_chunks).astype(jnp.int32)
+
+
+def take_chunks(
+    perm: jnp.ndarray, cursor: jnp.ndarray, n: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pop the next n chunk ids; returns (ids [n], new_cursor)."""
+    total = perm.shape[0]
+    doubled = jnp.concatenate([perm, perm])
+    ids = jax.lax.dynamic_slice(doubled, (cursor,), (n,))
+    return ids, (cursor + n) % total
+
+
+def chunk_origin_xy(ids: jnp.ndarray, cfg: ScreenConfig) -> jnp.ndarray:
+    """Decode chunk ids to pixel-space origins [n, 2] (x, y)."""
+    cx = (ids % cfg.chunks_x) * cfg.chunk_width
+    cy = (ids // cfg.chunks_x) * cfg.chunk_width
+    return jnp.stack([cx, cy], axis=-1).astype(jnp.int32)
+
+
+def chunk_pixels(origins_xy: jnp.ndarray, chunk_width: int) -> jnp.ndarray:
+    """Expand chunk origins [G, 2] to per-pixel coords [G*cw*cw, 2].
+
+    Pixel order inside a chunk matches the reference thread->pixel map
+    (`shaders.metal:271-275`): pixel_number/chunk is the x offset,
+    pixel_number%chunk the y offset.
+    """
+    g = origins_xy.shape[0]
+    pn = jnp.arange(chunk_width * chunk_width, dtype=jnp.int32)
+    off = jnp.stack([pn // chunk_width, pn % chunk_width], axis=-1)  # [cw*cw, 2]
+    pix = origins_xy[:, None, :] + off[None, :, :]
+    return pix.reshape(g * chunk_width * chunk_width, 2)

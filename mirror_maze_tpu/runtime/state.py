@@ -1,0 +1,89 @@
+"""Engine state and per-frame inputs.
+
+Everything the reference keeps as host mutable state across frames —
+camera position/quaternion/half_theta (`main.rs:735-741`), the frame
+counter (`main.rs:761`), the shuffled pixel queue (`main.rs:713-720`), and
+the GPU-side screen texture — lives here as ONE device-resident pytree,
+threaded through a single donated jitted step so the whole simulate->render
+loop stays in HBM (the north-star requirement).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import EngineConfig
+from ..ops import quat as quat_ops
+from ..render.camera import Camera, make_camera
+from ..render.scheduler import init_permutation
+
+
+class EngineState(NamedTuple):
+    cam_center: jnp.ndarray   # [3] float32
+    quat: jnp.ndarray         # [4] float32 (x, y, z, w)
+    half_theta: jnp.ndarray   # [] float32 — yaw half-angle (`main.rs:741`)
+    screen: jnp.ndarray       # [H, W, 3] float32 accumulation buffer
+    perm: jnp.ndarray         # [C] int32 shuffled chunk ids
+    cursor: jnp.ndarray       # [] int32
+    key: jnp.ndarray          # PRNG key
+    frame: jnp.ndarray        # [] int32 frame counter ("time" uniform)
+
+    def camera(self, cfg: EngineConfig) -> Camera:
+        vh = cfg.camera.viewport_height
+        aspect = cfg.screen.width / cfg.screen.height
+        return Camera(
+            center=self.cam_center,
+            rotation=self.quat,
+            focal=jnp.float32(cfg.camera.focal_length),
+            viewport=jnp.array([vh * aspect, vh], dtype=jnp.float32),
+        )
+
+
+class FrameInputs(NamedTuple):
+    """Per-frame user input, the only host->device traffic per frame.
+
+    keys: [4] bool for (A, S, D, W) — the reference's keycodes 0/1/2/13
+    (`main.rs:786-815`). mouse_dx: accumulated mouse delta-x this frame.
+    rot_updated: whether the mouse moved (`main.rs:922-928`).
+    """
+
+    keys: jnp.ndarray         # [4] bool: A, S, D, W
+    mouse_dx: jnp.ndarray     # [] float32
+    rot_updated: jnp.ndarray  # [] bool
+
+    @staticmethod
+    def idle() -> "FrameInputs":
+        return FrameInputs(
+            keys=jnp.zeros((4,), dtype=bool),
+            mouse_dx=jnp.float32(0.0),
+            rot_updated=jnp.asarray(False),
+        )
+
+    @staticmethod
+    def make(a=False, s=False, d=False, w=False, mouse_dx=0.0) -> "FrameInputs":
+        return FrameInputs(
+            keys=jnp.array([a, s, d, w], dtype=bool),
+            mouse_dx=jnp.float32(mouse_dx),
+            rot_updated=jnp.asarray(mouse_dx != 0.0),
+        )
+
+
+def init_state(cfg: EngineConfig, seed: int = 0) -> EngineState:
+    key = jax.random.PRNGKey(seed)
+    pkey, key = jax.random.split(key)
+    cam = make_camera(cfg.camera, cfg.screen.width / cfg.screen.height)
+    return EngineState(
+        cam_center=cam.center,
+        quat=cam.rotation,
+        half_theta=quat_ops.half_theta_of(cam.rotation),
+        screen=jnp.zeros(
+            (cfg.screen.height, cfg.screen.width, 3), dtype=jnp.float32
+        ),
+        perm=init_permutation(pkey, cfg.screen),
+        cursor=jnp.int32(0),
+        key=key,
+        frame=jnp.int32(0),
+    )

@@ -1,0 +1,177 @@
+"""The per-frame step: ONE jitted, donated device program.
+
+Reimplements the reference's 60 Hz host frame loop (`main.rs:767-894`) as a
+single pure function state x inputs -> state x frame, so XLA fuses camera
+integration, collision, scheduling, tracing, accumulation, and blur into one
+dispatch and the state never leaves HBM. Order of operations within a frame
+matches the reference:
+
+1. pop the next chunk window from the queue (`main.rs:778-784`);
+2. integrate WASD movement in the camera frame via quaternion rotation
+   (`main.rs:786-815`) and revert on collision (`main.rs:817-826`);
+3. apply the mouse yaw update with the NaN "Help!" guard, regenerating the
+   chunk queue on successful rotation (`main.rs:828-842`) — the regenerated
+   queue takes effect NEXT frame, as in the reference, because this frame's
+   chunks were already popped;
+4. trace the popped chunks and write them into the screen (`main.rs:860-886`);
+5. feedback blur + 8-bit quantization (the present pass, `main.rs:888-894`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..config import EngineConfig
+from ..ops import quat as quat_ops
+from ..render.accumulate import feedback_blur, quantize_8bit, scatter_chunks, to_display
+from ..render.pipeline import make_nearest_fn, render_pixels
+from ..render.scenebuf import DeviceScene
+from ..render.scheduler import chunk_origin_xy, chunk_pixels, take_chunks
+from ..scene.collision import collides
+from .state import EngineState, FrameInputs
+
+
+def integrate_movement(
+    cfg: EngineConfig, center: jnp.ndarray, quat: jnp.ndarray, keys: jnp.ndarray
+) -> jnp.ndarray:
+    """WASD integration (`main.rs:786-815`): per-key displacement of
+    speed/fps rotated into the camera frame; A/S subtract, D/W add."""
+    step = cfg.camera.move_speed / cfg.screen.fps
+    right = quat_ops.rotate(jnp.array([step, 0.0, 0.0], jnp.float32), quat)
+    fwd = quat_ops.rotate(jnp.array([0.0, 0.0, step], jnp.float32), quat)
+    a, s, d, w = keys[0], keys[1], keys[2], keys[3]
+    delta = (
+        -right * a - fwd * s + right * d + fwd * w
+    )
+    return center + delta
+
+
+def resolve_collision(
+    cfg: EngineConfig,
+    scene: DeviceScene,
+    new_center: jnp.ndarray,
+    old_center: jnp.ndarray,
+) -> jnp.ndarray:
+    """Revert the whole move on any hit (`main.rs:817-826`)."""
+    half = jnp.asarray(cfg.camera.player_half_extent, dtype=jnp.float32)
+    hit = collides(
+        scene.leaf_min, scene.leaf_max, new_center - half, new_center + half
+    )
+    return jnp.where(hit, old_center, new_center)
+
+
+def apply_rotation(
+    state: EngineState, inputs: FrameInputs, cfg: EngineConfig
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Mouse yaw update (`main.rs:828-842`, `main.rs:922-925`).
+
+    half_theta -= dx * sensitivity, wrapped into [0, pi); the quaternion is
+    re-aimed via update_angle with the reference's NaN guard (keep the old
+    quaternion if the update degenerates). On successful rotation the chunk
+    queue is regenerated so the whole view re-renders.
+
+    Returns (quat, half_theta, perm, cursor, key).
+    """
+    new_half = jnp.mod(
+        state.half_theta - inputs.mouse_dx * cfg.camera.mouse_sensitivity,
+        jnp.pi,
+    )
+    candidate = quat_ops.update_angle(state.quat, new_half)
+    # The reference guards only NaN (`main.rs:830-835`); we also reject
+    # inf/denormal blowups (see ops/quat.py update_angle) — a non-finite
+    # quaternion must never reach the movement integrator.
+    ok = jnp.all(jnp.isfinite(candidate))
+    rotated = inputs.rot_updated & ok
+
+    quat = jnp.where(rotated, candidate, state.quat)
+    half_theta = jnp.where(inputs.rot_updated, new_half, state.half_theta)
+
+    rkey, key = jax.random.split(state.key)
+    fresh = jax.random.permutation(rkey, state.perm.shape[0]).astype(jnp.int32)
+    perm = jnp.where(rotated, fresh, state.perm)
+    cursor = jnp.where(rotated, jnp.int32(0), state.cursor)
+    return quat, half_theta, perm, cursor, key
+
+
+def make_step_fn(
+    cfg: EngineConfig,
+    max_depth: int = 32,
+    max_leaf: int = 4,
+) -> Callable[[DeviceScene, EngineState, FrameInputs], tuple[EngineState, jnp.ndarray]]:
+    """Build the PURE frame-step function (scene, state, inputs) ->
+    (state, display_frame). Jit-free: callers decide how to stage it."""
+    n_chunks = cfg.screen.effective_chunks_per_frame
+
+    def step(scene: DeviceScene, state: EngineState, inputs: FrameInputs):
+        # For the pallas backend, render_pixels dispatches to the fused
+        # kernel itself — passing a nearest_fn would silently override it.
+        nearest_fn = (
+            None
+            if cfg.intersector == "pallas"
+            else make_nearest_fn(scene, cfg, max_depth, max_leaf)
+        )
+        frame = state.frame + 1
+
+        # 1. Pop this frame's chunk window (pre-rotation queue, as in the
+        # reference where random_pixels runs before the event-driven reset).
+        ids, cursor_next = take_chunks(state.perm, state.cursor, n_chunks)
+
+        # 2. Movement + collision.
+        moved = integrate_movement(cfg, state.cam_center, state.quat, inputs.keys)
+        center = resolve_collision(cfg, scene, moved, state.cam_center)
+
+        # 3. Rotation (+ queue regeneration for NEXT frame).
+        quat, half_theta, perm, cursor_rot, key = apply_rotation(
+            state._replace(cursor=cursor_next), inputs, cfg
+        )
+
+        # 4. Trace the popped chunks.
+        fkey = jax.random.fold_in(key, frame)
+        pixels = chunk_pixels(chunk_origin_xy(ids, cfg.screen), cfg.screen.chunk_width)
+        cam = state._replace(cam_center=center, quat=quat).camera(cfg)
+        colors = render_pixels(scene, cam, pixels, fkey, cfg, nearest_fn)
+        screen = scatter_chunks(state.screen, pixels, colors)
+
+        # 5. Present: feedback blur + quantization (`shaders.metal:214-225`).
+        if cfg.screen.feedback_blur:
+            screen = feedback_blur(screen)
+        if cfg.screen.quantize_8bit:
+            screen = quantize_8bit(screen)
+
+        new_state = EngineState(
+            cam_center=center,
+            quat=quat,
+            half_theta=half_theta,
+            screen=screen,
+            perm=perm,
+            cursor=cursor_rot,
+            key=key,
+            frame=frame,
+        )
+        return new_state, to_display(screen)
+
+    return step
+
+
+def make_step(
+    scene: DeviceScene,
+    cfg: EngineConfig,
+    max_depth: int = 32,
+    max_leaf: int = 4,
+) -> Callable[[EngineState, FrameInputs], tuple[EngineState, jnp.ndarray]]:
+    """Jitted frame step bound to a scene. The state buffers are donated
+    (screen/perm updated in place — no HBM copies per frame).
+
+    The scene is passed as a jit ARGUMENT, not closed over: closed-over
+    device arrays are embedded as HLO constants, which forces a
+    device->host fetch per array at lowering time (pathological over the
+    axon TPU tunnel) and bloats the executable.
+    """
+    step_jit = jax.jit(
+        make_step_fn(cfg, max_depth, max_leaf), donate_argnums=(1,)
+    )
+    return lambda state, inputs: step_jit(scene, state, inputs)

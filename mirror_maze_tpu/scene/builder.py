@@ -1,0 +1,200 @@
+"""Scene construction: wall runs -> structure-of-arrays plane soup.
+
+Reimplements the reference scene builder (`main.rs:443-588`), which converts
+maze wall runs into `Plane` quads with parallel `materials`/`emissions`
+arrays. Where the reference builds three Vec<.>s of #[repr(C)] structs for
+Metal buffers, we build a structure-of-arrays pytree of device arrays — the
+natural TPU layout (each component is a contiguous [N]-vector the VPU can
+stream) — plus precomputed intersection constants so the hot kernel never
+recomputes per-plane normals.
+
+World conventions copied from the reference: +y points DOWN (floor at
+y = +2, ceiling at y = -8), one maze cell = 10 world units, world centered
+on the origin spanning [-half, half] where half = cell_size*height/2 — the
+reference uses `height` for both axes (`main.rs:452-455`), replicated.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import numpy as np
+
+from ..config import MazeConfig
+from .maze import generate_maze, merge_horizontal_walls, merge_vertical_walls
+
+
+@dataclasses.dataclass
+class Scene:
+    """Plane-soup scene, structure-of-arrays. All shapes [N, ...], float32.
+
+    Mirrors the reference's parallel arrays (`main.rs:443-445`):
+    mirrors: Vec<Plane{origin,v,u,color}>, materials: Vec<bool>,
+    emissions: Vec<Float4> (rgb + strength in .w).
+    """
+
+    origin: np.ndarray    # [N, 3] quad corner
+    v: np.ndarray         # [N, 3] first edge vector
+    u: np.ndarray         # [N, 3] second edge vector
+    color: np.ndarray     # [N, 3] albedo
+    is_mirror: np.ndarray  # [N] bool (False = diffuse; `main.rs:444`)
+    emission: np.ndarray  # [N, 4] rgb + strength
+    grid: np.ndarray      # [H, W] uint8 maze bitmask (for tests/minimap)
+
+    @property
+    def num_planes(self) -> int:
+        return self.origin.shape[0]
+
+    def derived(self) -> "SceneDerived":
+        return SceneDerived.from_scene(self)
+
+
+@dataclasses.dataclass
+class SceneDerived:
+    """Precomputed per-plane intersection constants.
+
+    The reference kernel recomputes normalize(cross(v, u)) and the edge
+    projections per ray-plane test (`shaders.metal:51-67`). On TPU we hoist
+    them: with w1 = v/|v|^2, w2 = u/|u|^2 the in-rectangle test
+    0 <= dot(X-origin, v)/|v| <= |v| becomes 0 <= dot(X, w1) - b1 <= 1 —
+    pure FMAs over precomputed constants.
+
+    Degenerate planes (zero-extent wall runs, see scene/maze.py) get
+    valid=False and normal/w rows of zeros, keeping NaNs out of the arrays.
+    """
+
+    normal: np.ndarray   # [N, 3] unit normal (= normalize(cross(v, u)))
+    d: np.ndarray        # [N] plane offset: dot(origin, normal)
+    w1: np.ndarray       # [N, 3] v / |v|^2
+    b1: np.ndarray       # [N] dot(origin, w1)
+    w2: np.ndarray       # [N, 3] u / |u|^2
+    b2: np.ndarray       # [N] dot(origin, w2)
+    color: np.ndarray    # [N, 3]
+    is_mirror: np.ndarray  # [N] bool
+    emission: np.ndarray   # [N, 4]
+    valid: np.ndarray    # [N] bool
+
+    @staticmethod
+    def from_scene(s: Scene) -> "SceneDerived":
+        v, u = s.v, s.u
+        n = np.cross(v, u)
+        n_len = np.linalg.norm(n, axis=-1)
+        v2 = np.sum(v * v, axis=-1)
+        u2 = np.sum(u * u, axis=-1)
+        valid = (n_len > 0) & (v2 > 0) & (u2 > 0)
+        safe = np.where(valid, n_len, 1.0)
+        normal = n / safe[:, None]
+        normal = np.where(valid[:, None], normal, 0.0)
+        w1 = v / np.where(valid, v2, 1.0)[:, None]
+        w2 = u / np.where(valid, u2, 1.0)[:, None]
+        return SceneDerived(
+            normal=normal.astype(np.float32),
+            d=np.sum(s.origin * normal, axis=-1).astype(np.float32),
+            w1=w1.astype(np.float32),
+            b1=np.sum(s.origin * w1, axis=-1).astype(np.float32),
+            w2=w2.astype(np.float32),
+            b2=np.sum(s.origin * w2, axis=-1).astype(np.float32),
+            color=s.color,
+            is_mirror=s.is_mirror,
+            emission=s.emission,
+            valid=valid,
+        )
+
+
+def build_scene(cfg: MazeConfig) -> Scene:
+    """Generate the maze and emit the full plane soup (`main.rs:356-588`).
+
+    Plane order matches the reference: vertical wall runs (each optionally
+    followed by its inset light), horizontal runs likewise, then the four
+    outer boundary walls, the floor, one fixed light panel, and the ceiling.
+    A single RNG stream drives edge shuffling then material/light rolls in
+    that order, as in the reference's reuse of one StdRng (`main.rs:381,460`).
+    """
+    rng = np.random.default_rng(cfg.seed)
+    grid = generate_maze(cfg.width, cfg.height, rng)
+    vert = merge_vertical_walls(grid)
+    hori = merge_horizontal_walls(grid)
+
+    cs = cfg.cell_size
+    half = cfg.world_half_extent
+    top = cfg.wall_top_y
+    wall_u = np.array([0.0, -cfg.wall_height, 0.0])
+    light_u = np.array([0.0, -cfg.light_height, 0.0])
+    wall_color = np.array(cfg.wall_color)
+    light_em = np.array([*cfg.light_emission, cfg.light_strength])
+    no_em_red = np.array([1.0, 0.0, 0.0, 0.0])    # main.rs:465 (strength 0)
+    no_em_white = np.array([1.0, 1.0, 1.0, 0.0])  # main.rs:524 (strength 0)
+
+    origins: List[np.ndarray] = []
+    vs: List[np.ndarray] = []
+    us: List[np.ndarray] = []
+    colors: List[np.ndarray] = []
+    mirrors: List[bool] = []
+    emissions: List[np.ndarray] = []
+
+    def push(o, vv, uu, col, mirror, em):
+        origins.append(np.asarray(o, dtype=np.float64))
+        vs.append(np.asarray(vv, dtype=np.float64))
+        us.append(np.asarray(uu, dtype=np.float64))
+        colors.append(np.asarray(col, dtype=np.float64))
+        mirrors.append(bool(mirror))
+        emissions.append(np.asarray(em, dtype=np.float64))
+
+    # Vertical wall runs (`main.rs:449-481`): a run (x, start, len) lies on
+    # grid line x, spanning z in [start, start+len] cells.
+    for line, start, length in vert:
+        o = [-half + line * cs, top, -half + start * cs]
+        push(o, [0.0, 0.0, length * cs], wall_u, wall_color,
+             rng.random() >= 1.0 - cfg.vert_mirror_prob, no_em_red)
+        if length <= cfg.light_max_run and rng.random() < cfg.light_prob:
+            push([o[0] + cfg.light_inset, top, o[2]],
+                 [0.0, 0.0, cfg.light_length], light_u, wall_color,
+                 False, light_em)
+
+    # Horizontal wall runs (`main.rs:483-515`): run (y, start, len) lies on
+    # grid line y, spanning x in [start, start+len] cells.
+    for line, start, length in hori:
+        o = [-half + start * cs, top, -half + line * cs]
+        push(o, [length * cs, 0.0, 0.0], wall_u, wall_color,
+             rng.random() >= 1.0 - cfg.hori_mirror_prob, no_em_red)
+        if length <= cfg.light_max_run and rng.random() < cfg.light_prob:
+            push([o[0], top, o[2] + cfg.light_inset],
+                 [cfg.light_length, 0.0, 0.0], light_u, wall_color,
+                 False, light_em)
+
+    # Four outer boundary walls (`main.rs:517-548`).
+    bh = cfg.boundary_height
+    span = 2.0 * half
+    push([-half, top, -half], [0.0, -bh, 0.0], [span, 0.0, 0.0],
+         wall_color, False, no_em_white)
+    push([-half, top, half], [span, 0.0, 0.0], [0.0, -bh, 0.0],
+         wall_color, False, no_em_white)
+    push([-half, top, -half], [0.0, 0.0, span], [0.0, -bh, 0.0],
+         wall_color, False, no_em_white)
+    push([half, top, -half], [0.0, -bh, 0.0], [0.0, 0.0, span],
+         wall_color, False, no_em_white)
+
+    # Floor (`main.rs:549-556`).
+    push([-half, top, half], [0.0, 0.0, -span], [span, 0.0, 0.0],
+         cfg.floor_color, False, no_em_white)
+
+    # Fixed light panel (`main.rs:559-566`): at (-5, 2, -49.9) for the
+    # default 10x10/100-unit world; generalized as below.
+    push([-cs / 2.0, top, -(half - cfg.light_inset)],
+         [cs, 0.0, 0.0], light_u, [0.0, 0.0, 0.0], False, light_em)
+
+    # Ceiling (`main.rs:578-585`): faint warm emission.
+    push([-half, top - cfg.wall_height, half], [0.0, 0.0, -span],
+         [span, 0.0, 0.0], cfg.ceiling_color, False,
+         np.array([*cfg.light_emission, cfg.ceiling_emission_strength]))
+
+    return Scene(
+        origin=np.stack(origins).astype(np.float32),
+        v=np.stack(vs).astype(np.float32),
+        u=np.stack(us).astype(np.float32),
+        color=np.stack(colors).astype(np.float32),
+        is_mirror=np.array(mirrors, dtype=bool),
+        emission=np.stack(emissions).astype(np.float32),
+        grid=grid,
+    )

@@ -1,0 +1,102 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh
+(SURVEY.md section 4: fake the device mesh with
+xla_force_host_platform_device_count — no TPU pod needed in CI)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mirror_maze_tpu.config import (
+    CameraConfig,
+    EngineConfig,
+    MazeConfig,
+    ScreenConfig,
+    TracerConfig,
+)
+from mirror_maze_tpu.parallel.shard import (
+    batch_cameras,
+    make_mesh,
+    make_sharded_renderer,
+)
+from mirror_maze_tpu.render import make_camera, upload_scene
+from mirror_maze_tpu.render.pipeline import render_pixels
+from mirror_maze_tpu.scene import build_scene
+
+
+def _cfg():
+    return EngineConfig(
+        maze=MazeConfig(width=4, height=4),
+        camera=CameraConfig(spawn=(-5.0, 0.0, -15.0)),
+        tracer=TracerConfig(bounce_limit=2, mirror_limit=2),
+        screen=ScreenConfig(width=32, height=16, samples_per_pixel=2),
+        intersector="brute",
+    )
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(4, 2)
+    assert dict(mesh.shape) == {"cam": 4, "tile": 2}
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    assert mesh.devices.shape == (2, 2)
+
+
+def test_sharded_render_runs_and_assembles():
+    cfg = _cfg()
+    mesh = make_mesh(4, 2)
+    dev = upload_scene(build_scene(cfg.maze))
+    base = make_camera(cfg.camera, cfg.screen.width / cfg.screen.height)
+    cams = batch_cameras(
+        [base._replace(center=base.center + jnp.float32(i)) for i in range(4)]
+    )
+    render = make_sharded_renderer(cfg, mesh)
+    frames, mean_lum = render(dev, cams, jax.random.PRNGKey(0))
+    assert frames.shape == (4, 16, 32, 3)
+    f = np.asarray(frames)
+    assert np.isfinite(f).all()
+    assert np.isfinite(float(mean_lum))
+    np.testing.assert_allclose(float(mean_lum), f.mean(), rtol=1e-5)
+    # Different camera positions must render different frames.
+    assert not np.array_equal(f[0], f[1])
+
+
+def test_sharded_matches_single_device():
+    """The sharded render must equal the unsharded render of each camera
+    (same per-(camera, tile) RNG stream derivation)."""
+    cfg = _cfg()
+    mesh = make_mesh(2, 2)
+    dev = upload_scene(build_scene(cfg.maze))
+    base = make_camera(cfg.camera, cfg.screen.width / cfg.screen.height)
+    cams = [base, base._replace(center=base.center + 1.0)]
+    render = make_sharded_renderer(cfg, mesh)
+    frames, _ = render(dev, batch_cameras(cams), jax.random.PRNGKey(42))
+    f = np.asarray(frames)
+
+    # Rebuild the same computation without the mesh.
+    h, w = cfg.screen.height, cfg.screen.width
+    n_tile = 2
+    rows_local = h // n_tile
+    key = jax.random.PRNGKey(42)
+    for ci, cam in enumerate(cams):
+        rows = []
+        for ti in range(n_tile):
+            ys = ti * rows_local + jnp.arange(rows_local)
+            xs = jnp.arange(w)
+            gx = jnp.broadcast_to(xs[None, :], (rows_local, w))
+            gy = jnp.broadcast_to(ys[:, None], (rows_local, w))
+            pix = jnp.stack([gx, gy], -1).reshape(-1, 2)
+            k = jax.random.fold_in(jax.random.fold_in(key, ci * 65536 + 0), ti)
+            cols = render_pixels(dev, cam, pix, k, cfg)
+            rows.append(np.asarray(cols).reshape(rows_local, w, 3))
+        expected = np.concatenate(rows, axis=0)
+        np.testing.assert_allclose(f[ci], expected, rtol=1e-5, atol=1e-6)
+
+
+def test_graft_entry_compiles_and_dryruns():
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    ge = importlib.import_module("__graft_entry__")
+    fn, args = ge.entry()
+    jax.jit(fn).lower(*args)  # compile-check
+    ge.dryrun_multichip(8)

@@ -1,0 +1,91 @@
+"""Scene builder tests (reference: `main.rs:443-588`)."""
+
+import numpy as np
+
+from mirror_maze_tpu.config import MazeConfig
+from mirror_maze_tpu.scene import build_scene
+
+
+def test_scene_structure_default():
+    s = build_scene(MazeConfig())
+    n = s.num_planes
+    assert s.origin.shape == (n, 3)
+    assert s.v.shape == (n, 3)
+    assert s.u.shape == (n, 3)
+    assert s.color.shape == (n, 3)
+    assert s.is_mirror.shape == (n,)
+    assert s.emission.shape == (n, 4)
+    # Fixed trailing planes: 4 boundaries + floor + fixed light + ceiling.
+    assert n >= 7
+
+
+def test_fixed_planes_match_reference_values():
+    """Boundary/floor/light/ceiling geometry for the default 10x10 world
+    must match `main.rs:517-585` exactly."""
+    s = build_scene(MazeConfig())
+    # Last 7 planes in order.
+    b1, b2, b3, b4, floor, light, ceil = range(s.num_planes - 7, s.num_planes)
+    np.testing.assert_allclose(s.origin[b1], [-50.0, 2.0, -50.0])
+    np.testing.assert_allclose(s.v[b1], [0.0, -20.0, 0.0])
+    np.testing.assert_allclose(s.u[b1], [100.0, 0.0, 0.0])
+    np.testing.assert_allclose(s.origin[b4], [50.0, 2.0, -50.0])
+    np.testing.assert_allclose(s.origin[floor], [-50.0, 2.0, 50.0])
+    np.testing.assert_allclose(s.color[floor], [0.4, 0.45, 0.3])
+    np.testing.assert_allclose(s.origin[light], [-5.0, 2.0, -49.9])
+    np.testing.assert_allclose(s.v[light], [10.0, 0.0, 0.0])
+    np.testing.assert_allclose(s.u[light], [0.0, -6.0, 0.0])
+    np.testing.assert_allclose(s.emission[light], [1.0, 0.8, 0.3, 2.0])
+    np.testing.assert_allclose(s.origin[ceil], [-50.0, -8.0, 50.0])
+    np.testing.assert_allclose(s.emission[ceil], [1.0, 0.8, 0.3, 0.02], rtol=1e-6)
+    assert not s.is_mirror[[b1, b2, b3, b4, floor, light, ceil]].any()
+
+
+def test_wall_geometry_and_materials():
+    s = build_scene(MazeConfig())
+    walls = slice(0, s.num_planes - 7)
+    # All maze walls have the wall color or are light panels.
+    wall_color = np.array([0.3, 0.35, 0.4], np.float32)
+    assert np.allclose(s.color[walls], wall_color)
+    # Light panels are diffuse with emission strength 2.
+    lights = s.emission[:, 3] == 2.0
+    assert not s.is_mirror[lights].any()
+    # Wall v vectors are axis-aligned in x or z; u straight down (-y).
+    v = s.v[walls]
+    assert np.all((v[:, 1] == 0) | (np.abs(v[:, 1]) > 0))  # sanity
+    # Emission colors of plain maze walls are (1,0,0,0) per `main.rs:465`.
+    plain = (s.emission[walls, 3] == 0.0) & (s.emission[walls, 1] == 0.0)
+    assert plain.any()
+
+
+def test_determinism_and_seed_variation():
+    a = build_scene(MazeConfig(seed=0))
+    b = build_scene(MazeConfig(seed=0))
+    c = build_scene(MazeConfig(seed=5))
+    assert np.array_equal(a.origin, b.origin)
+    assert np.array_equal(a.is_mirror, b.is_mirror)
+    assert a.origin.shape != c.origin.shape or not np.array_equal(a.origin, c.origin)
+
+
+def test_derived_constants():
+    s = build_scene(MazeConfig())
+    d = s.derived()
+    val = d.valid
+    # Unit normals for valid planes.
+    np.testing.assert_allclose(
+        np.linalg.norm(d.normal[val], axis=-1), 1.0, rtol=1e-5
+    )
+    # Degenerate planes are zeroed, not NaN.
+    assert np.isfinite(d.normal).all()
+    assert np.isfinite(d.w1).all() and np.isfinite(d.w2).all()
+    # Edge projections: s1 at origin = 0, at origin+v = 1.
+    s1_origin = np.sum(s.origin * d.w1, -1) - d.b1
+    s1_far = np.sum((s.origin + s.v) * d.w1, -1) - d.b1
+    np.testing.assert_allclose(s1_origin[val], 0.0, atol=1e-4)
+    np.testing.assert_allclose(s1_far[val], 1.0, rtol=1e-4)
+
+
+def test_world_scales_with_maze_size():
+    s = build_scene(MazeConfig(width=4, height=4))
+    # World half extent 20: boundaries at +-20.
+    assert np.isclose(np.abs(s.origin[:, 0]).max(), 20.0)
+    assert np.isclose(np.abs(s.origin[:, 2]).max(), 20.0)

@@ -1,0 +1,104 @@
+"""Chunk scheduler (`main.rs:293-326`) and screen accumulation/blur
+(`shaders.metal:214-225`) tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mirror_maze_tpu.config import ScreenConfig
+from mirror_maze_tpu.render.accumulate import (
+    feedback_blur,
+    quantize_8bit,
+    scatter_chunks,
+    to_display,
+)
+from mirror_maze_tpu.render.scheduler import (
+    chunk_origin_xy,
+    chunk_pixels,
+    init_permutation,
+    take_chunks,
+)
+
+CFG = ScreenConfig(width=32, height=16, chunk_width=4, chunks_per_frame=8)
+
+
+def test_permutation_covers_all_chunks():
+    perm = init_permutation(jax.random.PRNGKey(0), CFG)
+    assert perm.shape == (CFG.total_chunks,)
+    assert sorted(np.asarray(perm).tolist()) == list(range(CFG.total_chunks))
+
+
+def test_take_chunks_walks_and_wraps():
+    perm = jnp.arange(CFG.total_chunks, dtype=jnp.int32)
+    cursor = jnp.int32(0)
+    seen = []
+    for _ in range(CFG.total_chunks // 8):
+        ids, cursor = take_chunks(perm, cursor, 8)
+        seen.extend(np.asarray(ids).tolist())
+    assert sorted(seen) == list(range(CFG.total_chunks))
+    assert int(cursor) == 0  # wrapped exactly
+    # epoch 2 repeats the same order (the reference refills from the same
+    # shuffled master list, `main.rs:319-323`)
+    ids2, cursor = take_chunks(perm, cursor, 8)
+    assert np.array_equal(np.asarray(ids2), np.arange(8))
+
+
+def test_take_chunks_straddles_epoch():
+    perm = jnp.arange(10, dtype=jnp.int32)
+    ids, cursor = take_chunks(perm, jnp.int32(7), 6)
+    assert np.asarray(ids).tolist() == [7, 8, 9, 0, 1, 2]
+    assert int(cursor) == 3
+
+
+def test_chunk_decode_and_pixel_expansion():
+    ids = jnp.array([0, 1, CFG.chunks_x], jnp.int32)
+    org = np.asarray(chunk_origin_xy(ids, CFG))
+    assert org.tolist() == [[0, 0], [4, 0], [0, 4]]
+    pix = np.asarray(chunk_pixels(chunk_origin_xy(ids[:1], CFG), 4))
+    assert pix.shape == (16, 2)
+    # reference order: pixel_number/chunk -> x offset, %chunk -> y offset
+    assert pix[0].tolist() == [0, 0]
+    assert pix[1].tolist() == [0, 1]
+    assert pix[4].tolist() == [1, 0]
+    assert sorted(map(tuple, pix.tolist())) == [
+        (x, y) for x in range(4) for y in range(4)
+    ]
+
+
+def test_scatter_chunks_writes_pixels():
+    screen = jnp.zeros((16, 32, 3))
+    pix = jnp.array([[0, 0], [31, 15], [5, 7]], jnp.int32)
+    cols = jnp.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]])
+    out = np.asarray(scatter_chunks(screen, pix, cols))
+    assert out[0, 0].tolist() == [1, 0, 0]
+    assert out[15, 31].tolist() == [0, 1, 0]
+    assert out[7, 5].tolist() == [0, 0, 1]
+    assert out.sum() == 3.0
+
+
+def test_feedback_blur_closed_form():
+    """out = (c + (l+r)/2 + (u+d)/2) / 3 with edge clamp."""
+    img = np.zeros((5, 5, 3), np.float32)
+    img[2, 2] = 3.0
+    out = np.asarray(feedback_blur(jnp.asarray(img)))
+    assert out[2, 2, 0] == np.float32(1.0)          # 3/3
+    assert out[2, 1, 0] == np.float32(0.5)          # (0 + 3/2 + 0)/3
+    assert out[1, 2, 0] == np.float32(0.5)
+    assert out[1, 1, 0] == 0.0
+    # total mass is conserved in the interior (kernel sums to 1)
+    assert abs(out.sum() - img.sum()) < 1e-5
+
+
+def test_feedback_blur_uniform_fixed_point():
+    img = jnp.full((8, 8, 3), 0.25)
+    out = np.asarray(feedback_blur(img))
+    np.testing.assert_allclose(out, 0.25, rtol=1e-6)
+
+
+def test_quantize_and_display():
+    img = jnp.array([[[0.5, -0.2, 1.7]]])
+    q = np.asarray(quantize_8bit(img))
+    np.testing.assert_allclose(q, [[[128 / 255, 0.0, 1.0]]], rtol=1e-6)
+    d = np.asarray(to_display(img))
+    assert d.dtype == np.uint8
+    assert d.tolist() == [[[128, 0, 255]]]

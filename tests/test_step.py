@@ -1,0 +1,156 @@
+"""End-to-end engine step tests (`runtime/step.py` vs `main.rs:767-894`):
+movement, collision revert, rotation + queue reset, determinism, and the
+progressive repaint."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from mirror_maze_tpu.render import upload_scene
+from mirror_maze_tpu.runtime.state import FrameInputs, init_state
+from mirror_maze_tpu.runtime.step import make_step
+from mirror_maze_tpu.scene import build_scene
+
+
+def test_step_runs_and_is_deterministic(tiny_cfg, tiny_device_scene):
+    step = make_step(tiny_device_scene, tiny_cfg)
+
+    def run():
+        st = init_state(tiny_cfg, seed=7)
+        frames = []
+        for i in range(4):
+            st, f = step(st, FrameInputs.make(w=(i % 2 == 0)))
+            frames.append(np.asarray(f))
+        return st, frames
+
+    st1, f1 = run()
+    st2, f2 = run()
+    for a, b in zip(f1, f2):
+        assert np.array_equal(a, b)
+    assert int(st1.frame) == 4
+    assert np.array_equal(np.asarray(st1.cam_center), np.asarray(st2.cam_center))
+
+
+def test_movement_matches_reference_integration(tiny_cfg, tiny_device_scene):
+    """W moves along quat-rotated +z at speed/fps (`main.rs:807-812`)."""
+    from mirror_maze_tpu.ops import quat as q
+
+    step = make_step(tiny_device_scene, tiny_cfg)
+    st = init_state(tiny_cfg, seed=0)
+    c0 = np.asarray(st.cam_center)
+    st, _ = step(st, FrameInputs.make(w=True))
+    c1 = np.asarray(st.cam_center)
+    speed = tiny_cfg.camera.move_speed / tiny_cfg.screen.fps
+    expected = c0 + np.asarray(
+        q.rotate(jnp.array([0.0, 0.0, speed], jnp.float32), st.quat)
+    )
+    np.testing.assert_allclose(c1, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_collision_blocks_walking_into_wall(tiny_cfg, tiny_scene, tiny_device_scene):
+    """Walking forward forever must be stopped by maze geometry
+    (`main.rs:817-826`), never escaping the outer boundary."""
+    step = make_step(tiny_device_scene, tiny_cfg)
+    st = init_state(tiny_cfg, seed=0)
+    for _ in range(600):  # 10 seconds of walking at 60 fps
+        st, _ = step(st, FrameInputs.make(w=True))
+    c = np.asarray(st.cam_center)
+    half = tiny_cfg.maze.world_half_extent
+    assert np.abs(c[0]) < half and np.abs(c[2]) < half
+
+
+def test_rotation_updates_quat_and_resets_queue(tiny_cfg, tiny_device_scene):
+    step = make_step(tiny_device_scene, tiny_cfg)
+    st = init_state(tiny_cfg, seed=3)
+    perm0 = np.asarray(st.perm)
+    st, _ = step(st, FrameInputs.idle())
+    assert int(st.cursor) == tiny_cfg.screen.effective_chunks_per_frame
+    q_before = np.asarray(st.quat)
+    ht_before = float(st.half_theta)
+    st, _ = step(st, FrameInputs.make(mouse_dx=32.0))
+    assert not np.allclose(np.asarray(st.quat), q_before)
+    expected_ht = (ht_before - 32.0 * tiny_cfg.camera.mouse_sensitivity) % np.pi
+    assert float(st.half_theta) == np.float32(expected_ht)
+    # queue regenerated + cursor reset (`main.rs:836-841`)
+    assert int(st.cursor) == 0
+    assert not np.array_equal(np.asarray(st.perm), perm0)
+
+
+def test_idle_keeps_camera_fixed(tiny_cfg, tiny_device_scene):
+    step = make_step(tiny_device_scene, tiny_cfg)
+    st = init_state(tiny_cfg, seed=0)
+    c0, q0 = np.asarray(st.cam_center), np.asarray(st.quat)
+    for _ in range(3):
+        st, _ = step(st, FrameInputs.idle())
+    assert np.array_equal(np.asarray(st.cam_center), c0)
+    assert np.array_equal(np.asarray(st.quat), q0)
+
+
+def test_progressive_repaint_covers_screen(tiny_cfg, tiny_device_scene):
+    """After total_chunks/chunks_per_frame frames every pixel has been
+    traced at least once (the 64-frame full repaint, `main.rs:293-326`)."""
+    cfg = tiny_cfg.replace(
+        screen=tiny_cfg.screen.__class__(
+            width=32, height=32, samples_per_pixel=1, chunks_per_frame=16,
+            quantize_8bit=False, feedback_blur=False,
+        )
+    )
+    dev = tiny_device_scene
+    step = make_step(dev, cfg)
+    st = init_state(cfg, seed=1)
+    n_frames = cfg.screen.total_chunks // cfg.screen.effective_chunks_per_frame
+    touched = np.zeros((32, 32), bool)
+    prev = np.asarray(st.screen).copy()
+    for _ in range(n_frames):
+        st, _ = step(st, FrameInputs.idle())
+        cur = np.asarray(st.screen)
+        touched |= np.any(cur != prev, axis=-1)
+        prev = cur.copy()
+    # all chunks were scheduled; some pixels may coincidentally write 0.0
+    # over 0.0, so check scheduling coverage via the cursor instead plus a
+    # loose pixel-coverage bound.
+    assert int(st.cursor) == 0
+    assert touched.mean() > 0.5
+
+
+def test_run_scripted(tiny_cfg):
+    from mirror_maze_tpu.runtime.loop import run_scripted
+
+    scene = build_scene(tiny_cfg.maze)
+    dev = upload_scene(scene)
+    st, frame = run_scripted(dev, tiny_cfg, n_frames=3, seed=0)
+    assert frame.shape == (tiny_cfg.screen.height, tiny_cfg.screen.width, 3)
+    assert frame.dtype == np.uint8
+    assert int(st.frame) == 3
+
+
+def test_spin_walk_never_escapes_or_blows_up(tiny_cfg, tiny_device_scene):
+    """Regression: repeated small yaw updates must never produce a
+    non-finite quaternion. The reference formula sin(theta)/sin(acos(w))
+    emits INF once cos(theta) rounds to 1.0 in float32 (theta < ~3.4e-4),
+    slipping past a NaN-only guard and catapulting the camera out of the
+    world (found by runtime probing; see ops/quat.py update_angle)."""
+    step = make_step(tiny_device_scene, tiny_cfg)
+    st = init_state(tiny_cfg, seed=0)
+    # drive half_theta through many wraps incl. the tiny-angle regime
+    for i in range(400):
+        st, _ = step(st, FrameInputs.make(w=True, mouse_dx=7.0))
+    assert bool(jnp.all(jnp.isfinite(st.quat)))
+    assert bool(jnp.all(jnp.isfinite(st.cam_center)))
+    c = np.asarray(st.cam_center)
+    half = tiny_cfg.maze.world_half_extent
+    assert abs(c[0]) < half and abs(c[2]) < half
+
+
+def test_exact_zero_half_theta_keeps_engine_alive(tiny_cfg, tiny_device_scene):
+    """Driving half_theta to exactly 0 degenerates the quat axis; the
+    finite-guard must keep the previous orientation and the engine must
+    keep running (the reference would print "Help!" forever,
+    `main.rs:828-844`)."""
+    step = make_step(tiny_device_scene, tiny_cfg)
+    st = init_state(tiny_cfg, seed=0)
+    dx = float(st.half_theta) / tiny_cfg.camera.mouse_sensitivity
+    st, _ = step(st, FrameInputs.make(mouse_dx=dx))
+    for _ in range(3):
+        st, f = step(st, FrameInputs.make(w=True, mouse_dx=5.0))
+    assert bool(jnp.all(jnp.isfinite(st.quat)))
+    assert bool(jnp.all(jnp.isfinite(st.cam_center)))
