@@ -1,0 +1,86 @@
+"""Profiling and observability harness.
+
+The reference has none (SURVEY.md section 5: commented-out frame timers at
+`main.rs:769-770`, debug printlns only). This module provides the real
+thing the north-star metric demands:
+
+- FrameStats: rolling frame-time / fps / Mrays accounting for the engine
+  loop (host-side, cheap, no device syncs except where asked);
+- trace(): context manager around jax.profiler for on-demand XLA traces;
+- summarize(): one-line JSON-able dict, the shape bench.py emits.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import deque
+from dataclasses import dataclass, field
+
+
+@dataclass
+class FrameStats:
+    """Rolling window of frame timings + ray throughput."""
+
+    rays_per_frame: int
+    window: int = 120
+    _times: deque = field(default_factory=lambda: deque(maxlen=121))
+    _frames: int = 0
+
+    def tick(self) -> None:
+        self._times.append(time.perf_counter())
+        self._frames += 1
+
+    @property
+    def frames(self) -> int:
+        return self._frames
+
+    @property
+    def fps(self) -> float:
+        if len(self._times) < 2:
+            return 0.0
+        dt = self._times[-1] - self._times[0]
+        return (len(self._times) - 1) / dt if dt > 0 else 0.0
+
+    @property
+    def frame_ms(self) -> float:
+        f = self.fps
+        return 1000.0 / f if f > 0 else 0.0
+
+    @property
+    def mrays_per_s(self) -> float:
+        return self.rays_per_frame * self.fps / 1e6
+
+    def summarize(self) -> dict:
+        return {
+            "frames": self.frames,
+            "fps": round(self.fps, 2),
+            "frame_ms": round(self.frame_ms, 3),
+            "mrays_per_s": round(self.mrays_per_s, 2),
+            "rays_per_frame": self.rays_per_frame,
+        }
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/mmx_trace"):
+    """Capture a jax.profiler trace of the enclosed block (view with
+    tensorboard or xprof)."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def device_memory_stats() -> dict:
+    """Best-effort live/peak HBM numbers for the default device."""
+    import jax
+
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+    except Exception:
+        return {}
+    keep = ("bytes_in_use", "peak_bytes_in_use", "bytes_limit")
+    return {k: stats[k] for k in keep if k in stats}
