@@ -61,21 +61,29 @@ def main() -> None:
     state = init_state(cfg, seed=0)
     inputs = FrameInputs.idle()
 
-    # Compile + warmup.
+    # CAUTION: on the axon TPU tunnel, Array.block_until_ready() can return
+    # before remote execution finishes, inflating throughput ~1000x. The
+    # only trustworthy sync is a device->host fetch of a value derived from
+    # the final frame: it provably forces the whole donated-state chain.
+    def force(frame_arr) -> float:
+        return float(frame_arr.sum())
+
+    # Compile + warmup (forced).
     t0 = time.time()
     state, frame = step(state, inputs)
-    frame.block_until_ready()
+    force(frame)
     compile_s = time.time() - t0
     for _ in range(args.warmup):
         state, frame = step(state, inputs)
-    frame.block_until_ready()
+    force(frame)
 
-    # Timed steady state (async dispatch; block once at the end — the
-    # reference likewise never syncs per frame, `main.rs:893-894`).
+    # Timed steady state: async dispatch of all frames (the reference
+    # likewise never syncs per frame, `main.rs:893-894`), then ONE forced
+    # scalar fetch that drains the chain.
     t0 = time.time()
     for _ in range(args.frames):
         state, frame = step(state, inputs)
-    frame.block_until_ready()
+    checksum = force(frame)
     dt = time.time() - t0
 
     fps = args.frames / dt
@@ -102,6 +110,7 @@ def main() -> None:
         "fps": round(fps, 2),
         "rays_per_frame": rays_per_frame,
         "compile_s": round(compile_s, 1),
+        "frame_checksum": round(checksum, 1),
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
         "intersector": cfg.intersector,
