@@ -22,8 +22,10 @@ def main() -> None:
     p.add_argument("--mirror-limit", type=int, default=8)
     p.add_argument("--bounce-limit", type=int, default=5)
     p.add_argument("--maze", type=int, default=10)
-    p.add_argument("--frames", type=int, default=60)
-    p.add_argument("--warmup", type=int, default=8)
+    p.add_argument("--frames", type=int, default=60,
+                   help="frames per device launch (lax.scan)")
+    p.add_argument("--launches", type=int, default=3,
+                   help="timed launches of --frames each")
     p.add_argument("--intersector", type=str, default=None,
                    help="override backend: brute | bvh | pallas")
     args = p.parse_args()
@@ -40,7 +42,7 @@ def main() -> None:
     )
     from mirror_maze_tpu.render import upload_scene
     from mirror_maze_tpu.runtime.state import FrameInputs, init_state
-    from mirror_maze_tpu.runtime.step import make_step
+    from mirror_maze_tpu.runtime.step import make_scan_step, repeat_input
     from mirror_maze_tpu.scene import build_scene
 
     cfg = EngineConfig(
@@ -57,9 +59,13 @@ def main() -> None:
 
     scene = build_scene(cfg.maze)
     dev_scene = upload_scene(scene)
-    step = make_step(dev_scene, cfg)
+    # The whole --frames loop runs device-resident in ONE launch
+    # (lax.scan), like the engine's scripted mode: per-launch dispatch
+    # latency (tens of ms over a remote-dispatch tunnel) is amortized
+    # and what's measured is real device throughput.
+    step_n = make_scan_step(dev_scene, cfg, args.frames)
     state = init_state(cfg, seed=0)
-    inputs = FrameInputs.idle()
+    idle_n = repeat_input(FrameInputs.idle(), args.frames)
 
     # CAUTION: on the axon TPU tunnel, Array.block_until_ready() can return
     # before remote execution finishes, inflating throughput ~1000x. The
@@ -68,26 +74,23 @@ def main() -> None:
     def force(frame_arr) -> float:
         return float(frame_arr.sum())
 
-    # Compile + warmup (forced).
+    # Compile + warmup launch (forced).
     t0 = time.time()
-    state, frame = step(state, inputs)
+    state, frame = step_n(state, idle_n)
     force(frame)
     compile_s = time.time() - t0
-    for _ in range(args.warmup):
-        state, frame = step(state, inputs)
-    force(frame)
 
-    # Timed steady state: async dispatch of all frames (the reference
-    # likewise never syncs per frame, `main.rs:893-894`), then ONE forced
-    # scalar fetch that drains the chain.
+    # Timed steady state: --launches scans of --frames each, one forced
+    # scalar fetch at the end draining the donated-state chain.
     t0 = time.time()
-    for _ in range(args.frames):
-        state, frame = step(state, inputs)
+    for _ in range(args.launches):
+        state, frame = step_n(state, idle_n)
     checksum = force(frame)
     dt = time.time() - t0
 
-    fps = args.frames / dt
-    frame_ms = 1000.0 * dt / args.frames
+    n_total = args.frames * args.launches
+    fps = n_total / dt
+    frame_ms = 1000.0 * dt / n_total
     rays_per_frame = (
         cfg.screen.effective_chunks_per_frame
         * cfg.screen.pixels_per_chunk

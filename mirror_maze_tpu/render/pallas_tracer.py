@@ -1,35 +1,61 @@
 """Pallas wavefront path tracer — the fused TPU megakernel.
 
 This is the TPU-native recast of the reference's Metal compute kernel
-(`shaders.metal:245-368`). One pallas program owns a block of rays living
-entirely in VMEM; the whole bounce loop (nearest-hit search, shading,
-scattering, RNG) runs on-chip, so no [rays x planes] intermediate ever
-touches HBM — unlike the XLA brute-force path, whose t/s1/s2 matrices are
-HBM-resident and make the tracer bandwidth-bound at 1080p.
+(`shaders.metal:245-368`). One pallas program owns a block of B rays
+living entirely in VMEM; the whole bounce loop (nearest-hit search,
+shading, scattering, RNG) runs on-chip, so no [rays x planes]
+intermediate ever touches HBM.
+
+The nearest-hit search is structured around the MXU (v2 design; the v1
+kernel swept the plane table with a scalar fori_loop at ~45 VPU ops per
+(ray, plane) pair and was VPU-bound at ~30 Mrays/s):
+
+- Ray state rides component-major as eight [1, B] row vectors (rays on
+  the 128-wide lane axis — the VPU's vector axis replaces the
+  reference's SIMD threads).
+- All six per-(ray, plane) dot products that a ray-rect test needs
+  (`shaders.metal:51-67`: plane-equation numerator/denominator and the
+  two edge projections of the hit point, each split into its origin- and
+  direction-dependent halves) are ONE matmul on the MXU:
+      A[6P, B] = W[6P, 8] @ G[8, B]
+  where G stacks (ox,oy,oz,1,dx,dy,dz,0) and W packs plane constants.
+  The MXU runs concurrently with the VPU, so these ~30 of the ~45
+  per-pair flops become (nearly) free.
+- The remaining hit test is ~15 elementwise VPU ops on [P, B] tiles:
+      t = numer/denom; s1 = o1 + t*d1; s2 = o2 + t*d2;
+      ok = (t > t_min) & (0 <= s1 <= 1) & (0 <= s2 <= 1)
+  followed by a sublane min-reduction for the nearest t.
+- The hit plane's properties (normal/albedo/emission/mirror flag) are
+  selected without gathers by a second matmul: the one-hot nearest mask
+  [P, B] contracted against the property table [16, P] on the MXU.
+- Invalid / padding planes are encoded directly in W (numerator -1,
+  denominator 0 => t = -inf, always rejected) so no validity lane-ops
+  are spent.
 
 Mapping from the reference:
-- threadgroup-of-1024-threads per 4x4 chunk  ->  grid program per ray block
-  of ROWS x 128 lanes (rays are the vector axis; the VPU replaces SIMD
-  threads);
-- per-thread BVH stack traversal (`shaders.metal:115-156`)  ->  a
-  sequential fori_loop over the (small) plane table broadcast from VMEM
-  scratch, every lane testing one plane per step — branchless, fully
-  vectorized, and faster than a divergent stack walk below a few thousand
-  planes (SURVEY.md section 7 "hard parts" #1);
+- threadgroup-of-1024-threads per 4x4 chunk  ->  grid program per block
+  of B rays;
+- per-thread BVH stack traversal (`shaders.metal:115-156`)  ->  dense
+  all-planes test via MXU matmuls (branchless; wins over a divergent
+  stack walk below a few thousand planes, SURVEY.md section 7 "hard
+  parts" #1);
 - the data-dependent `for n < bounce_limit + mirror_hits` loop
-  (`shaders.metal:306`)  ->  a while_loop with per-lane liveness masks and
-  an all-dead early exit;
-- PCG hash + noise texture RNG (`shaders.metal:181-186, 288-300`)  ->  the
-  TPU's hardware PRNG (pltpu.prng_*), seeded per program;
-- rejection-sampled unit vectors (`shaders.metal:315-318`)  ->  closed-form
-  (z, phi) sphere sampling (distribution-equivalent, fixed shape);
-- threadgroup tree reduction (`shaders.metal:342-367`)  ->  plain jnp mean
-  over the sample axis outside the kernel.
+  (`shaders.metal:306`)  ->  a while_loop with per-lane liveness masks
+  and an all-dead early exit;
+- PCG hash + noise texture RNG (`shaders.metal:181-186, 288-300`)  ->
+  the same PCG hash, vectorized per lane (portable across Mosaic and
+  the interpreter, unlike pltpu.prng_random_bits);
+- rejection-sampled unit vectors (`shaders.metal:315-318`)  ->
+  closed-form (z, phi) sphere sampling (distribution-equivalent, fixed
+  shape);
+- threadgroup tree reduction (`shaders.metal:342-367`)  ->  plain jnp
+  mean over the sample axis outside the kernel.
 
 Scene encoding: one [P, 24] float32 table (see PLANE_COLS) built once at
-upload; it rides in VMEM scratch (a few KB for maze scenes) and each
-fori_loop step broadcasts one row. Scales to roughly 5k planes before a
-culling structure is needed (config 5 — future work: maze-grid DDA).
+upload; W and the property table are derived from it with a handful of
+tiny jnp ops at trace time. Scales to a few thousand planes before a
+culling structure is needed (config 5 — future work: spatial ray
+binning + per-block plane subsets via scalar prefetch).
 """
 
 from __future__ import annotations
@@ -54,6 +80,7 @@ PLANE_COLS = dict(
     is_mirror=18, valid=19,  # 20..23 padding
 )
 PLANE_WIDTH = 24
+PROP_WIDTH = 16  # rows of the transposed property table
 
 
 def build_plane_table(der) -> np.ndarray:
@@ -71,6 +98,60 @@ def build_plane_table(der) -> np.ndarray:
     t[:, 18] = der.is_mirror.astype(np.float32)
     t[:, 19] = der.valid.astype(np.float32)
     return t
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def pack_intersection_tables(plane_table: jnp.ndarray):
+    """Derive the kernel's matmul operands from the [P, 24] plane table.
+
+    Returns (W [6*P8, 8], propsT [16, P8]) with P8 = P rounded up to a
+    sublane multiple. Row blocks of W, in units of P8:
+      0: numerator   = d - O.n        -> coeffs [-n, d | 0]
+      1: denominator = D.n            -> coeffs [0    | n, 0]
+      2: o1 = O.w1 - b1               -> coeffs [w1, -b1 | 0]
+      3: d1 = D.w1                    -> coeffs [0    | w1, 0]
+      4: o2 = O.w2 - b2               -> coeffs [w2, -b2 | 0]
+      5: d2 = D.w2                    -> coeffs [0    | w2, 0]
+    against G rows (ox, oy, oz, 1, dx, dy, dz, 0). Invalid or padding
+    planes get numerator -1 and denominator 0, so t = -inf and every
+    hit test rejects them with zero extra lane work.
+    """
+    p = plane_table.shape[0]
+    p8 = _round_up(p, 8)
+    t = jnp.pad(plane_table, ((0, p8 - p), (0, 0)))
+    valid = t[:, 19:20] > 0.0
+
+    n = jnp.where(valid, t[:, 0:3], 0.0)
+    d = jnp.where(valid, t[:, 3:4], -1.0)
+    w1, b1 = t[:, 4:7], t[:, 7:8]
+    w2, b2 = t[:, 8:11], t[:, 11:12]
+    z1 = jnp.zeros((p8, 1), jnp.float32)
+    z4 = jnp.zeros((p8, 4), jnp.float32)
+
+    w_rows = [
+        jnp.concatenate([-n, d, z4], axis=1),                 # numer
+        jnp.concatenate([z4, n, z1], axis=1),                 # denom
+        jnp.concatenate([w1, -b1, z4], axis=1),               # o1
+        jnp.concatenate([z4, w1, z1], axis=1),                # d1
+        jnp.concatenate([w2, -b2, z4], axis=1),               # o2
+        jnp.concatenate([z4, w2, z1], axis=1),                # d2
+    ]
+    w = jnp.concatenate(w_rows, axis=0)                       # [6*P8, 8]
+
+    props = jnp.concatenate(
+        [
+            t[:, 0:3],     # normal
+            t[:, 12:15],   # albedo
+            t[:, 15:18],   # emission (premultiplied)
+            t[:, 18:19],   # is_mirror
+            jnp.zeros((p8, PROP_WIDTH - 10), jnp.float32),
+        ],
+        axis=1,
+    )                                                          # [P8, 16]
+    return w, props.T
 
 
 def _pcg_init(seed, shape):
@@ -104,11 +185,12 @@ def _pcg_uniform(state):
 
 def _tracer_kernel(
     seed_ref,     # SMEM [1] int32
-    planes_ref,   # VMEM [P, PLANE_WIDTH]
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,   # VMEM [ROWS, 128]
-    lr_ref, lg_ref, lb_ref,                            # VMEM out [ROWS, 128]
+    w_ref,        # VMEM [6*P8, 8]  intersection coefficients
+    props_ref,    # VMEM [16, P8]   transposed property table
+    g_ref,        # VMEM [8, B]     ray block: ox,oy,oz,1,dx,dy,dz,0
+    out_ref,      # VMEM out [8, B] rows 0..2 = gathered light
     *,
-    n_planes: int,
+    n_planes8: int,
     max_segments: int,
     bounce_limit: int,
     mirror_limit: int,
@@ -116,7 +198,9 @@ def _tracer_kernel(
     t_min: float,
 ):
     pid = pl.program_id(0)
-    shape = ox_ref.shape
+    p8 = n_planes8
+    b = g_ref.shape[1]
+    shape = (1, b)
     rng0 = _pcg_init(
         seed_ref[0].astype(jnp.uint32)
         + pid.astype(jnp.uint32) * jnp.uint32(2654435761),
@@ -124,49 +208,40 @@ def _tracer_kernel(
     )
     f0 = jnp.zeros(shape, jnp.float32)
     f1 = jnp.ones(shape, jnp.float32)
+    one_row = f1
+    zero_row = f0
+    w = w_ref[:]
+    props_t = props_ref[:]
 
     def nearest(ox, oy, oz, dx, dy, dz):
-        """Sequential sweep over the plane table; returns the nearest-hit
-        distance and the hit plane's properties, selected on the fly (no
-        gathers — the index never materializes)."""
-        init = (
-            jnp.full(shape, BIG, jnp.float32),      # t
-            f0, f0, f0,                              # normal
-            f0, f0, f0,                              # albedo
-            f0, f0, f0,                              # emission (premult)
-            f0,                                      # is_mirror
+        """MXU nearest-hit: one [6P8, 8] x [8, B] matmul for all dot
+        products, [P8, B] elementwise hit tests, sublane min-reduce, and
+        a one-hot property-select matmul (no gathers — the hit index
+        never materializes)."""
+        g = jnp.concatenate(
+            [ox, oy, oz, one_row, dx, dy, dz, zero_row], axis=0
+        )                                                     # [8, B]
+        a = jnp.dot(w, g, preferred_element_type=jnp.float32)  # [6*P8, B]
+        numer = a[0 * p8:1 * p8]
+        denom = a[1 * p8:2 * p8]
+        o1 = a[2 * p8:3 * p8]
+        d1 = a[3 * p8:4 * p8]
+        o2 = a[4 * p8:5 * p8]
+        d2 = a[5 * p8:6 * p8]
+
+        t = numer / denom            # +-inf for parallel/invalid planes
+        s1 = o1 + t * d1
+        s2 = o2 + t * d2
+        ok = (
+            (t > t_min)
+            & (s1 >= 0.0) & (s1 <= 1.0)
+            & (s2 >= 0.0) & (s2 <= 1.0)
         )
-
-        def body(p, c):
-            t, nx, ny, nz, cr, cg, cb, er, eg, eb, mir = c
-            row = planes_ref[p, :]
-            pnx, pny, pnz, pd = row[0], row[1], row[2], row[3]
-            w1x, w1y, w1z, b1 = row[4], row[5], row[6], row[7]
-            w2x, w2y, w2z, b2 = row[8], row[9], row[10], row[11]
-            denom = dx * pnx + dy * pny + dz * pnz
-            tt = (pd - (ox * pnx + oy * pny + oz * pnz)) / denom
-            hx = ox + tt * dx
-            hy = oy + tt * dy
-            hz = oz + tt * dz
-            s1 = hx * w1x + hy * w1y + hz * w1z - b1
-            s2 = hx * w2x + hy * w2y + hz * w2z - b2
-            ok = (
-                (denom != 0.0)
-                & (tt > t_min) & (tt < t)
-                & (s1 >= 0.0) & (s1 <= 1.0)
-                & (s2 >= 0.0) & (s2 <= 1.0)
-                & (row[19] > 0.0)
-            )
-            sel = lambda a, b: jnp.where(ok, a, b)
-            return (
-                sel(tt, t),
-                sel(pnx, nx), sel(pny, ny), sel(pnz, nz),
-                sel(row[12], cr), sel(row[13], cg), sel(row[14], cb),
-                sel(row[15], er), sel(row[16], eg), sel(row[17], eb),
-                sel(row[18], mir),
-            )
-
-        return jax.lax.fori_loop(0, n_planes, body, init)
+        tv = jnp.where(ok, t, BIG)
+        tmin = jnp.min(tv, axis=0, keepdims=True)             # [1, B]
+        onehot = ((tv <= tmin) & ok).astype(jnp.float32)      # [P8, B]
+        sel = jnp.dot(props_t, onehot, preferred_element_type=jnp.float32)
+        return tmin, sel  # sel rows: n(3), albedo(3), emission(3), mirror
 
     def segment(carry):
         (seg, rng_i, ox, oy, oz, dx, dy, dz, tr, tg, tb, lr, lg, lb,
@@ -176,9 +251,12 @@ def _tracer_kernel(
         rng = pltpu.bitcast(rng_i, jnp.uint32)
         alive = alive_i != 0
 
-        t, nx, ny, nz, cr, cg, cb, er, eg, eb, mir = nearest(
-            ox, oy, oz, dx, dy, dz
-        )
+        t, sel = nearest(ox, oy, oz, dx, dy, dz)
+        nx, ny, nz = sel[0:1], sel[1:2], sel[2:3]
+        cr, cg, cb = sel[3:4], sel[4:5], sel[5:6]
+        er, eg, eb = sel[6:7], sel[7:8], sel[8:9]
+        mir = sel[9:10]
+
         hit = alive & (t < BIG)
         dn = dx * nx + dy * ny + dz * nz
         side = -jnp.sign(dn)
@@ -242,11 +320,12 @@ def _tracer_kernel(
         seg, alive_i = carry[0], carry[-1]
         return (seg < max_segments) & (jnp.max(alive_i) > 0)
 
+    g0 = g_ref[:]
     init = (
         jnp.int32(0),
         pltpu.bitcast(rng0, jnp.int32),
-        ox_ref[:], oy_ref[:], oz_ref[:],
-        dx_ref[:], dy_ref[:], dz_ref[:],
+        g0[0:1], g0[1:2], g0[2:3],
+        g0[4:5], g0[5:6], g0[6:7],
         f1, f1, f1,
         f0, f0, f0,
         jnp.zeros(shape, jnp.int32),
@@ -254,21 +333,21 @@ def _tracer_kernel(
         jnp.ones(shape, jnp.int32),
     )
     out = jax.lax.while_loop(cond, segment, init)
-    lr_ref[:] = out[11]
-    lg_ref[:] = out[12]
-    lb_ref[:] = out[13]
+    out_ref[:] = jnp.concatenate(
+        [out[11], out[12], out[13], jnp.zeros((5, b), jnp.float32)], axis=0
+    )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "max_segments", "bounce_limit", "mirror_limit",
-        "mirror_tint", "t_min", "rows_per_block", "interpret",
+        "mirror_tint", "t_min", "block_rays", "interpret",
     ),
 )
 def _trace_padded(
     plane_table: jnp.ndarray,   # [P, 24]
-    comps: tuple,               # 6 arrays [rows, 128]
+    g_all: jnp.ndarray,         # [8, R] component-major padded rays
     seed: jnp.ndarray,          # [1] int32
     *,
     max_segments: int,
@@ -276,16 +355,17 @@ def _trace_padded(
     mirror_limit: int,
     mirror_tint: float,
     t_min: float,
-    rows_per_block: int,
+    block_rays: int,
     interpret: bool,
 ):
-    rows = comps[0].shape[0]
-    n_blocks = rows // rows_per_block
-    n_planes = plane_table.shape[0]
+    r_total = g_all.shape[1]
+    n_blocks = r_total // block_rays
+    w, props_t = pack_intersection_tables(plane_table)
+    p8 = props_t.shape[1]
 
     kernel = functools.partial(
         _tracer_kernel,
-        n_planes=n_planes,
+        n_planes8=p8,
         max_segments=max_segments,
         bounce_limit=bounce_limit,
         mirror_limit=mirror_limit,
@@ -293,29 +373,29 @@ def _trace_padded(
         t_min=t_min,
     )
     ray_spec = pl.BlockSpec(
-        (rows_per_block, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (8, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM
     )
-    flops_per_plane = 45
+    # ~15 VPU flops per (ray, plane) pair after the MXU matmuls.
     out = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # plane table (whole)
-        ] + [ray_spec] * 6,
-        out_specs=(ray_spec, ray_spec, ray_spec),
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((rows, LANES), jnp.float32) for _ in range(3)
-        ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # W (whole)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # propsT (whole)
+            ray_spec,
+        ],
+        out_specs=ray_spec,
+        out_shape=jax.ShapeDtypeStruct((8, r_total), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=rows * LANES * n_planes * max_segments * flops_per_plane,
-            bytes_accessed=rows * LANES * 4 * 9,
-            transcendentals=rows * LANES * max_segments * 3,
+            flops=r_total * p8 * max_segments * (15 + 2 * 6 + 2),
+            bytes_accessed=r_total * 4 * 16,
+            transcendentals=r_total * max_segments * 3,
         ),
         # On CPU (tests) run under the TPU-semantics interpreter so
-        # pltpu.prng_* and SMEM refs keep working.
+        # SMEM refs and TPU layouts keep working.
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(seed, plane_table, *comps)
+    )(seed, w, props_t, g_all)
     return out
 
 
@@ -325,41 +405,40 @@ def trace_paths_pallas(
     dirs: jnp.ndarray,   # [R, 3]
     seed: jnp.ndarray,   # int32 scalar (any shape ()-like)
     cfg: TracerConfig,
-    rows_per_block: int = 32,
+    rows_per_block: int = 8,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Trace a ray wavefront with the fused kernel; returns light [R, 3].
 
-    Pads R up to a whole number of blocks; padded lanes carry zero
-    directions, miss every plane, and die on segment one.
+    ``rows_per_block`` sets the rays per pallas program in units of 128
+    lanes (B = rows_per_block * 128). Pads R up to a whole number of
+    blocks; padded lanes carry zero directions, miss every plane, and
+    die on segment one.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     n = ori.shape[0]
     block = rows_per_block * LANES
     n_pad = -n % block
-    rows = (n + n_pad) // LANES
+    r_total = n + n_pad
 
-    def comp(a, i):
-        return jnp.pad(a[:, i], (0, n_pad)).reshape(rows, LANES)
+    ot = jnp.pad(ori, ((0, n_pad), (0, 0))).T      # [3, R]
+    dt = jnp.pad(dirs, ((0, n_pad), (0, 0))).T     # [3, R]
+    ones = jnp.ones((1, r_total), jnp.float32)
+    zeros = jnp.zeros((1, r_total), jnp.float32)
+    g_all = jnp.concatenate([ot, ones, dt, zeros], axis=0)  # [8, R]
 
-    comps = tuple(comp(ori, i) for i in range(3)) + tuple(
-        comp(dirs, i) for i in range(3)
-    )
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
-    lr, lg, lb = _trace_padded(
+    out = _trace_padded(
         plane_table,
-        comps,
+        g_all,
         seed_arr,
         max_segments=cfg.max_segments,
         bounce_limit=cfg.bounce_limit,
         mirror_limit=cfg.mirror_limit,
         mirror_tint=cfg.mirror_tint,
         t_min=cfg.t_min,
-        rows_per_block=rows_per_block,
+        block_rays=block,
         interpret=interpret,
     )
-    light = jnp.stack(
-        [lr.reshape(-1)[:n], lg.reshape(-1)[:n], lb.reshape(-1)[:n]], axis=-1
-    )
-    return light
+    return out[0:3, :n].T

@@ -157,6 +157,64 @@ def make_step_fn(
     return step
 
 
+def make_scan_step_fn(
+    cfg: EngineConfig,
+    n_frames: int,
+    max_depth: int = 32,
+    max_leaf: int = 4,
+) -> Callable[[DeviceScene, EngineState, FrameInputs], tuple[EngineState, jnp.ndarray]]:
+    """Multi-frame step: runs ``n_frames`` engine steps in ONE device
+    program via lax.scan, returning (final_state, last_display_frame).
+
+    ``inputs`` is a FrameInputs pytree with a leading [n_frames] axis.
+    This is the TPU-native answer to dispatch latency: the reference
+    pays one Metal command-buffer commit per frame (`main.rs:893-894`);
+    here any scripted/benchmark run keeps the WHOLE frame loop in HBM
+    and pays one launch per n_frames (essential over remote-dispatch
+    links, where each launch costs tens of ms of round-trip latency).
+    Only the final frame is materialized — intermediate displays are
+    never written to HBM.
+    """
+    step = make_step_fn(cfg, max_depth, max_leaf)
+
+    def run(scene: DeviceScene, state: EngineState, inputs: FrameInputs):
+        def body(st, inp):
+            new_st, _ = step(scene, st, inp)
+            return new_st, None
+
+        final, _ = jax.lax.scan(body, state, inputs)
+        return final, to_display(final.screen)
+
+    return run
+
+
+def make_scan_step(
+    scene: DeviceScene,
+    cfg: EngineConfig,
+    n_frames: int,
+    max_depth: int = 32,
+    max_leaf: int = 4,
+) -> Callable[[EngineState, FrameInputs], tuple[EngineState, jnp.ndarray]]:
+    """Jitted multi-frame step bound to a scene (state donated)."""
+    fn = jax.jit(
+        make_scan_step_fn(cfg, n_frames, max_depth, max_leaf),
+        donate_argnums=(1,),
+    )
+    return lambda state, inputs: fn(scene, state, inputs)
+
+
+def stack_inputs(frames: list[FrameInputs]) -> FrameInputs:
+    """Stack per-frame inputs into the [n]-leading pytree scan expects."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *frames)
+
+
+def repeat_input(inp: FrameInputs, n: int) -> FrameInputs:
+    """Broadcast one FrameInputs to a [n]-leading pytree."""
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n,) + jnp.shape(x)), inp
+    )
+
+
 def make_step(
     scene: DeviceScene,
     cfg: EngineConfig,

@@ -154,3 +154,40 @@ def test_exact_zero_half_theta_keeps_engine_alive(tiny_cfg, tiny_device_scene):
         st, f = step(st, FrameInputs.make(w=True, mouse_dx=5.0))
     assert bool(jnp.all(jnp.isfinite(st.quat)))
     assert bool(jnp.all(jnp.isfinite(st.cam_center)))
+
+
+def test_scan_step_matches_sequential_steps(tiny_cfg, tiny_device_scene):
+    """The device-resident multi-frame scan (one launch for n frames) must
+    produce bitwise the same state/frame as n sequential step calls."""
+    from mirror_maze_tpu.runtime.step import (
+        make_scan_step,
+        make_step,
+        stack_inputs,
+    )
+
+    script = [
+        FrameInputs.make(w=True),
+        FrameInputs.make(mouse_dx=8.0),
+        FrameInputs.make(d=True),
+        FrameInputs.idle(),
+    ]
+    step = make_step(tiny_device_scene, tiny_cfg)
+    st_seq = init_state(tiny_cfg, seed=3)
+    for inp in script:
+        st_seq, frame_seq = step(st_seq, inp)
+
+    scan = make_scan_step(tiny_device_scene, tiny_cfg, len(script))
+    st_scan, frame_scan = scan(init_state(tiny_cfg, seed=3), stack_inputs(script))
+
+    assert np.array_equal(np.asarray(frame_seq), np.asarray(frame_scan))
+    for a, b in zip(st_seq, st_scan):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_repeat_input_shapes(tiny_cfg):
+    from mirror_maze_tpu.runtime.step import repeat_input
+
+    r = repeat_input(FrameInputs.make(w=True, mouse_dx=2.0), 5)
+    assert r.keys.shape == (5, 4)
+    assert r.mouse_dx.shape == (5,)
+    assert r.rot_updated.shape == (5,)
