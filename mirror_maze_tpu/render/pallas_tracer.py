@@ -229,17 +229,26 @@ def _tracer_kernel(
         o2 = a[4 * p8:5 * p8]
         d2 = a[5 * p8:6 * p8]
 
-        t = numer / denom            # +-inf for parallel/invalid planes
+        # t = numer/denom via approximate reciprocal + one Newton step
+        # (~1 ulp, cheaper than a full-precision divide on the VPU).
+        # denom == 0 (parallel/invalid) => rcp = inf => t = +-inf or NaN,
+        # and every comparison below rejects it.
+        rcp = pl.reciprocal(denom, approx=True)
+        rcp = rcp * (2.0 - denom * rcp)
+        t = numer * rcp
         s1 = o1 + t * d1
         s2 = o2 + t * d2
-        ok = (
-            (t > t_min)
-            & (s1 >= 0.0) & (s1 <= 1.0)
-            & (s2 >= 0.0) & (s2 <= 1.0)
+        # In-rectangle iff min(s, 1-s) >= 0 for both edge projections.
+        m = jnp.minimum(
+            jnp.minimum(s1, 1.0 - s1), jnp.minimum(s2, 1.0 - s2)
         )
+        ok = (m >= 0.0) & (t > t_min)
         tv = jnp.where(ok, t, BIG)
         tmin = jnp.min(tv, axis=0, keepdims=True)             # [1, B]
-        onehot = ((tv <= tmin) & ok).astype(jnp.float32)      # [P8, B]
+        # One-hot winner: tv <= tmin picks the (ok) minimum; the tmin < BIG
+        # guard (a [1, B] row broadcast) zeroes no-hit columns where every
+        # tv is BIG.
+        onehot = ((tv <= tmin) & (tmin < BIG)).astype(jnp.float32)
         sel = jnp.dot(props_t, onehot, preferred_element_type=jnp.float32)
         return tmin, sel  # sel rows: n(3), albedo(3), emission(3), mirror
 
@@ -287,26 +296,24 @@ def _tracer_kernel(
         tr = jnp.where(diffuse, tr * cr, tr)
         tg = jnp.where(diffuse, tg * cg, tg)
         tb = jnp.where(diffuse, tb * cb, tb)
-        sx = ux + nx * side
-        sy = uy + ny * side
-        sz = uz + nz * side
-        s_inv = jax.lax.rsqrt(sx * sx + sy * sy + sz * sz)
-
         # Mirror: flat tint + reflect (`shaders.metal:324-330`).
         lr = jnp.where(mirror_live, lr + cr * mirror_tint, lr)
         lg = jnp.where(mirror_live, lg + cg * mirror_tint, lg)
         lb = jnp.where(mirror_live, lb + cb * mirror_tint, lb)
-        rx = dx - 2.0 * dn * nx
-        ry = dy - 2.0 * dn * ny
-        rz = dz - 2.0 * dn * nz
-        r_inv = jax.lax.rsqrt(rx * rx + ry * ry + rz * rz)
+
+        # New direction: diffuse scatter or mirror reflection, selected
+        # BEFORE the (shared) normalization — one rsqrt instead of two.
+        vx = jnp.where(diffuse, ux + nx * side, dx - 2.0 * dn * nx)
+        vy = jnp.where(diffuse, uy + ny * side, dy - 2.0 * dn * ny)
+        vz = jnp.where(diffuse, uz + nz * side, dz - 2.0 * dn * nz)
+        v_inv = jax.lax.rsqrt(vx * vx + vy * vy + vz * vz)
 
         ox = jnp.where(advance, ox + dx * t, ox)
         oy = jnp.where(advance, oy + dy * t, oy)
         oz = jnp.where(advance, oz + dz * t, oz)
-        dx = jnp.where(diffuse, sx * s_inv, jnp.where(mirror_live, rx * r_inv, dx))
-        dy = jnp.where(diffuse, sy * s_inv, jnp.where(mirror_live, ry * r_inv, dy))
-        dz = jnp.where(diffuse, sz * s_inv, jnp.where(mirror_live, rz * r_inv, dz))
+        dx = jnp.where(advance, vx * v_inv, dx)
+        dy = jnp.where(advance, vy * v_inv, dy)
+        dz = jnp.where(advance, vz * v_inv, dz)
 
         dc_new = dc + diffuse.astype(jnp.int32)
         alive = (
@@ -333,8 +340,12 @@ def _tracer_kernel(
         jnp.ones(shape, jnp.int32),
     )
     out = jax.lax.while_loop(cond, segment, init)
+    # Rows 0..2: gathered light. Row 3: segments this block executed
+    # (early-exit diagnostic, see utils/profiling.py). Rows 4..7: zero.
+    segs = jnp.broadcast_to(out[0].astype(jnp.float32), (1, b))
     out_ref[:] = jnp.concatenate(
-        [out[11], out[12], out[13], jnp.zeros((5, b), jnp.float32)], axis=0
+        [out[11], out[12], out[13], segs, jnp.zeros((4, b), jnp.float32)],
+        axis=0,
     )
 
 
