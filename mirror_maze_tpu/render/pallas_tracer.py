@@ -104,11 +104,17 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+PLANE_TILE = 128  # planes per VMEM tile of the nearest-hit sweep
+
+
 def pack_intersection_tables(plane_table: jnp.ndarray):
     """Derive the kernel's matmul operands from the [P, 24] plane table.
 
-    Returns (W [6*P8, 8], propsT [16, P8]) with P8 = P rounded up to a
-    sublane multiple. Row blocks of W, in units of P8:
+    Returns (W [T, 6*PT, 8], propsT [T, 16, PT]) where the plane table is
+    tiled into T tiles of PT = min(P8, PLANE_TILE) planes (P8 = P rounded
+    up to a sublane multiple) so the kernel's [planes, rays] intermediates
+    stay VMEM-resident at ANY scene size (config 5's 64x64 maze has
+    thousands of planes). Row blocks of W within a tile, in units of PT:
       0: numerator   = d - O.n        -> coeffs [-n, d | 0]
       1: denominator = D.n            -> coeffs [0    | n, 0]
       2: o1 = O.w1 - b1               -> coeffs [w1, -b1 | 0]
@@ -116,11 +122,13 @@ def pack_intersection_tables(plane_table: jnp.ndarray):
       4: o2 = O.w2 - b2               -> coeffs [w2, -b2 | 0]
       5: d2 = D.w2                    -> coeffs [0    | w2, 0]
     against G rows (ox, oy, oz, 1, dx, dy, dz, 0). Invalid or padding
-    planes get numerator -1 and denominator 0, so t = -inf and every
+    planes get numerator -1 and denominator 0, so t = NaN/-inf and every
     hit test rejects them with zero extra lane work.
     """
     p = plane_table.shape[0]
-    p8 = _round_up(p, 8)
+    pt = min(_round_up(p, 8), PLANE_TILE)
+    n_tiles = -(-_round_up(p, 8) // pt)
+    p8 = n_tiles * pt
     t = jnp.pad(plane_table, ((0, p8 - p), (0, 0)))
     valid = t[:, 19:20] > 0.0
 
@@ -131,7 +139,7 @@ def pack_intersection_tables(plane_table: jnp.ndarray):
     z1 = jnp.zeros((p8, 1), jnp.float32)
     z4 = jnp.zeros((p8, 4), jnp.float32)
 
-    w_rows = [
+    quantities = [
         jnp.concatenate([-n, d, z4], axis=1),                 # numer
         jnp.concatenate([z4, n, z1], axis=1),                 # denom
         jnp.concatenate([w1, -b1, z4], axis=1),               # o1
@@ -139,7 +147,9 @@ def pack_intersection_tables(plane_table: jnp.ndarray):
         jnp.concatenate([w2, -b2, z4], axis=1),               # o2
         jnp.concatenate([z4, w2, z1], axis=1),                # d2
     ]
-    w = jnp.concatenate(w_rows, axis=0)                       # [6*P8, 8]
+    # [6, T, PT, 8] -> [T, 6*PT, 8] (quantity-major inside each tile)
+    q = jnp.stack([x.reshape(n_tiles, pt, 8) for x in quantities], axis=1)
+    w = q.reshape(n_tiles, 6 * pt, 8)
 
     props = jnp.concatenate(
         [
@@ -151,7 +161,8 @@ def pack_intersection_tables(plane_table: jnp.ndarray):
         ],
         axis=1,
     )                                                          # [P8, 16]
-    return w, props.T
+    props_t = props.reshape(n_tiles, pt, PROP_WIDTH).transpose(0, 2, 1)
+    return w, props_t
 
 
 def _pcg_init(seed, shape):
@@ -185,12 +196,13 @@ def _pcg_uniform(state):
 
 def _tracer_kernel(
     seed_ref,     # SMEM [1] int32
-    w_ref,        # VMEM [6*P8, 8]  intersection coefficients
-    props_ref,    # VMEM [16, P8]   transposed property table
+    w_ref,        # VMEM [T, 6*PT, 8]  intersection coefficients, tiled
+    props_ref,    # VMEM [T, 16, PT]   transposed property table, tiled
     g_ref,        # VMEM [8, B]     ray block: ox,oy,oz,1,dx,dy,dz,0
     out_ref,      # VMEM out [8, B] rows 0..2 = gathered light
     *,
-    n_planes8: int,
+    plane_tile: int,
+    n_tiles: int,
     max_segments: int,
     bounce_limit: int,
     mirror_limit: int,
@@ -198,7 +210,7 @@ def _tracer_kernel(
     t_min: float,
 ):
     pid = pl.program_id(0)
-    p8 = n_planes8
+    pt = plane_tile
     b = g_ref.shape[1]
     shape = (1, b)
     rng0 = _pcg_init(
@@ -210,24 +222,20 @@ def _tracer_kernel(
     f1 = jnp.ones(shape, jnp.float32)
     one_row = f1
     zero_row = f0
-    w = w_ref[:]
-    props_t = props_ref[:]
 
-    def nearest(ox, oy, oz, dx, dy, dz):
-        """MXU nearest-hit: one [6P8, 8] x [8, B] matmul for all dot
-        products, [P8, B] elementwise hit tests, sublane min-reduce, and
-        a one-hot property-select matmul (no gathers — the hit index
-        never materializes)."""
-        g = jnp.concatenate(
-            [ox, oy, oz, one_row, dx, dy, dz, zero_row], axis=0
-        )                                                     # [8, B]
-        a = jnp.dot(w, g, preferred_element_type=jnp.float32)  # [6*P8, B]
-        numer = a[0 * p8:1 * p8]
-        denom = a[1 * p8:2 * p8]
-        o1 = a[2 * p8:3 * p8]
-        d1 = a[3 * p8:4 * p8]
-        o2 = a[4 * p8:5 * p8]
-        d2 = a[5 * p8:6 * p8]
+    def nearest_tile(w, props_t, g, tmin_in, sel_in):
+        """MXU nearest-hit over one plane tile: one [6PT, 8] x [8, B]
+        matmul for all dot products, [PT, B] elementwise hit tests,
+        sublane min-reduce, a one-hot property-select matmul (no gathers
+        — the hit index never materializes), and a running-min merge
+        with the previous tiles' winner."""
+        a = jnp.dot(w, g, preferred_element_type=jnp.float32)  # [6*PT, B]
+        numer = a[0 * pt:1 * pt]
+        denom = a[1 * pt:2 * pt]
+        o1 = a[2 * pt:3 * pt]
+        d1 = a[3 * pt:4 * pt]
+        o2 = a[4 * pt:5 * pt]
+        d2 = a[5 * pt:6 * pt]
 
         # t = numer/denom via approximate reciprocal + one Newton step
         # (~1 ulp, cheaper than a full-precision divide on the VPU).
@@ -244,13 +252,31 @@ def _tracer_kernel(
         )
         ok = (m >= 0.0) & (t > t_min)
         tv = jnp.where(ok, t, BIG)
-        tmin = jnp.min(tv, axis=0, keepdims=True)             # [1, B]
-        # One-hot winner: tv <= tmin picks the (ok) minimum; the tmin < BIG
-        # guard (a [1, B] row broadcast) zeroes no-hit columns where every
-        # tv is BIG.
-        onehot = ((tv <= tmin) & (tmin < BIG)).astype(jnp.float32)
+        tile_tmin = jnp.min(tv, axis=0, keepdims=True)        # [1, B]
+        # One-hot winner: tv <= tmin picks the (ok) minimum; the
+        # tile_tmin < BIG guard (a [1, B] row broadcast) zeroes no-hit
+        # columns where every tv is BIG.
+        onehot = ((tv <= tile_tmin) & (tile_tmin < BIG)).astype(jnp.float32)
         sel = jnp.dot(props_t, onehot, preferred_element_type=jnp.float32)
-        return tmin, sel  # sel rows: n(3), albedo(3), emission(3), mirror
+        better = tile_tmin < tmin_in                          # [1, B]
+        return (
+            jnp.minimum(tile_tmin, tmin_in),
+            jnp.where(better, sel, sel_in),
+        )
+
+    def nearest(ox, oy, oz, dx, dy, dz):
+        g = jnp.concatenate(
+            [ox, oy, oz, one_row, dx, dy, dz, zero_row], axis=0
+        )                                                     # [8, B]
+        tmin = jnp.full(shape, BIG, jnp.float32)
+        sel = jnp.zeros((PROP_WIDTH, b), jnp.float32)
+        if n_tiles == 1:
+            return nearest_tile(w_ref[0], props_ref[0], g, tmin, sel)
+
+        def tile_body(ti, carry):
+            return nearest_tile(w_ref[ti], props_ref[ti], g, *carry)
+
+        return jax.lax.fori_loop(0, n_tiles, tile_body, (tmin, sel))
 
     def segment(carry):
         (seg, rng_i, ox, oy, oz, dx, dy, dz, tr, tg, tb, lr, lg, lb,
@@ -372,11 +398,12 @@ def _trace_padded(
     r_total = g_all.shape[1]
     n_blocks = r_total // block_rays
     w, props_t = pack_intersection_tables(plane_table)
-    p8 = props_t.shape[1]
+    n_tiles, _, pt = props_t.shape
 
     kernel = functools.partial(
         _tracer_kernel,
-        n_planes8=p8,
+        plane_tile=pt,
+        n_tiles=n_tiles,
         max_segments=max_segments,
         bounce_limit=bounce_limit,
         mirror_limit=mirror_limit,
@@ -399,7 +426,7 @@ def _trace_padded(
         out_specs=ray_spec,
         out_shape=jax.ShapeDtypeStruct((8, r_total), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=r_total * p8 * max_segments * (15 + 2 * 6 + 2),
+            flops=r_total * n_tiles * pt * max_segments * (15 + 2 * 6 + 2),
             bytes_accessed=r_total * 4 * 16,
             transcendentals=r_total * max_segments * 3,
         ),

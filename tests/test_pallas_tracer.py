@@ -147,3 +147,34 @@ def test_step_dispatches_to_pallas(tiny_cfg, tiny_device_scene):
     # in their noise; identical screens mean pallas was silently bypassed.
     assert not np.array_equal(fb, fp)
     assert np.isfinite(fp).all()
+
+
+def test_large_scene_plane_tiling(rng):
+    """Scenes beyond one plane tile (>128 planes) must trace identically:
+    the tiled running-min merge is exercised against the jnp tracer on a
+    16x16 maze (several hundred planes)."""
+    scene = build_scene(MazeConfig(width=16, height=16))
+    dev = upload_scene(scene)
+    assert dev.plane_table.shape[0] > 128  # really multi-tile
+    cfg = TracerConfig(bounce_limit=1, mirror_limit=1)
+    o, d = _rays(257, rng, extent=70.0)
+    lj = np.asarray(trace_paths(dev, o, d, KEY, cfg))
+    lp = np.asarray(trace_paths_pallas(dev.plane_table, o, d, jnp.int32(7),
+                                       cfg, rows_per_block=4))
+    np.testing.assert_allclose(lj, lp, rtol=1e-4, atol=1e-6)
+
+
+def test_pack_tables_tiling_shapes():
+    from mirror_maze_tpu.render.pallas_tracer import (
+        PLANE_TILE,
+        pack_intersection_tables,
+    )
+
+    for p in (3, 81, 128, 129, 700):
+        table = np.zeros((p, 24), np.float32)
+        table[:, 19] = 1.0
+        w, pt = pack_intersection_tables(jnp.asarray(table))
+        tiles = max(1, -(-((p + 7) // 8 * 8) // PLANE_TILE))
+        assert w.shape[0] == pt.shape[0] == tiles
+        assert w.shape[2] == 8 and pt.shape[1] == 16
+        assert w.shape[1] == 6 * pt.shape[2]
