@@ -67,6 +67,11 @@ class TracerConfig:
     mirror_tint: float = 0.005  # additive mirror tint (`shaders.metal:327`)
     t_min: float = 0.1         # min hit distance (`shaders.metal:63`, a > 0.1)
     jitter: float = 0.001      # AA ray-direction jitter (`shaders.metal:303`)
+    # Mix the per-pixel noise-texture sample into the RNG seed, as the
+    # reference does (`shaders.metal:288-300`, `main.rs:667-695`). Off by
+    # default: the counter-based seeding is already decorrelated; on, the
+    # reference's spatially-correlated grain is reproduced (pallas path).
+    noise_rng: bool = False
 
     @property
     def max_segments(self) -> int:

@@ -213,11 +213,15 @@ def _tracer_kernel(
     pt = plane_tile
     b = g_ref.shape[1]
     shape = (1, b)
+    # Per-lane PCG init; G row 7 optionally carries a per-ray noise-texture
+    # sample in [0,1) (the reference's seed source, `shaders.metal:288-300`)
+    # — zero when noise_rng is off, leaving the stream unchanged.
+    noise_off = (g_ref[7:8] * jnp.float32(1 << 24)).astype(jnp.int32)
     rng0 = _pcg_init(
         seed_ref[0].astype(jnp.uint32)
         + pid.astype(jnp.uint32) * jnp.uint32(2654435761),
         shape,
-    )
+    ) + pltpu.bitcast(noise_off, jnp.uint32)
     f0 = jnp.zeros(shape, jnp.float32)
     f1 = jnp.ones(shape, jnp.float32)
     one_row = f1
@@ -445,13 +449,15 @@ def trace_paths_pallas(
     cfg: TracerConfig,
     rows_per_block: int = 8,
     interpret: bool | None = None,
+    seed_row: jnp.ndarray | None = None,  # [R] float32 in [0,1)
 ) -> jnp.ndarray:
     """Trace a ray wavefront with the fused kernel; returns light [R, 3].
 
     ``rows_per_block`` sets the rays per pallas program in units of 128
     lanes (B = rows_per_block * 128). Pads R up to a whole number of
     blocks; padded lanes carry zero directions, miss every plane, and
-    die on segment one.
+    die on segment one. ``seed_row`` optionally mixes a per-ray value
+    (e.g. a noise-texture sample) into the RNG seed.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -463,8 +469,11 @@ def trace_paths_pallas(
     ot = jnp.pad(ori, ((0, n_pad), (0, 0))).T      # [3, R]
     dt = jnp.pad(dirs, ((0, n_pad), (0, 0))).T     # [3, R]
     ones = jnp.ones((1, r_total), jnp.float32)
-    zeros = jnp.zeros((1, r_total), jnp.float32)
-    g_all = jnp.concatenate([ot, ones, dt, zeros], axis=0)  # [8, R]
+    if seed_row is None:
+        srow = jnp.zeros((1, r_total), jnp.float32)
+    else:
+        srow = jnp.pad(seed_row, (0, n_pad)).reshape(1, r_total)
+    g_all = jnp.concatenate([ot, ones, dt, srow], axis=0)  # [8, R]
 
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
     out = _trace_padded(

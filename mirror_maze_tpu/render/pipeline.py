@@ -62,8 +62,16 @@ def render_pixels(
         from .pallas_tracer import trace_paths_pallas
 
         seed = jax.random.randint(tkey, (), 0, jnp.iinfo(jnp.int32).max)
+        seed_row = None
+        if cfg.tracer.noise_rng:
+            from ..utils.noise import sample_noise
+
+            # Reference seeding: per-pixel noise sample, shared by the
+            # pixel's spp samples (`shaders.metal:288-300`).
+            seed_row = jnp.repeat(sample_noise(scene.noise, pixels_xy), spp)
         light = trace_paths_pallas(
-            scene.plane_table, ori, dirs, seed, cfg.tracer
+            scene.plane_table, ori, dirs, seed, cfg.tracer,
+            seed_row=seed_row,
         )
     else:
         light = trace_paths(scene, ori, dirs, tkey, cfg.tracer, nearest_fn)

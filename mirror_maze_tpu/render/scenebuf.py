@@ -44,18 +44,26 @@ class DeviceScene(NamedTuple):
     # Packed [P, 24] table for the Pallas wavefront kernel
     # (render/pallas_tracer.py PLANE_COLS).
     plane_table: jnp.ndarray
+    # Noise texture [S, S] float32 in [0,1) — the reference's RNG seed
+    # source (`main.rs:667-695`), used when TracerConfig.noise_rng is on.
+    noise: jnp.ndarray
 
     @property
     def num_planes(self) -> int:
         return self.normal.shape[0]
 
 
-def upload_scene(scene: Scene, bvh: BVH | None = None) -> DeviceScene:
+def upload_scene(
+    scene: Scene, bvh: BVH | None = None, noise: np.ndarray | None = None
+) -> DeviceScene:
     """Build derived constants + BVH and place everything on device."""
+    from ..utils.noise import generate_noise
     from .pallas_tracer import build_plane_table
 
     if bvh is None:
         bvh = build_bvh(scene.origin, scene.u, scene.v)
+    if noise is None:
+        noise = generate_noise()
     der = scene.derived()
     leaf_min, leaf_max = bvh.leaf_boxes()
     as_dev = lambda a: jnp.asarray(a)
@@ -78,4 +86,5 @@ def upload_scene(scene: Scene, bvh: BVH | None = None) -> DeviceScene:
         leaf_min=as_dev(leaf_min.astype(np.float32)),
         leaf_max=as_dev(leaf_max.astype(np.float32)),
         plane_table=as_dev(build_plane_table(der)),
+        noise=as_dev(np.asarray(noise, dtype=np.float32)),
     )

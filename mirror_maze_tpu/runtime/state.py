@@ -71,6 +71,31 @@ class FrameInputs(NamedTuple):
         )
 
 
+def save_state(path: str, state: EngineState) -> None:
+    """Checkpoint the engine state to an .npz file.
+
+    The reference has NO checkpoint/resume — all run state is ephemeral
+    and seed-0 determinism is its only resume story (SURVEY.md section 5).
+    Here the complete simulation+render state (camera, yaw, accumulation
+    screen, chunk queue, RNG key, frame counter) round-trips losslessly,
+    so a session — or a long offline render — can stop and resume
+    bit-exactly on any host.
+    """
+    import numpy as np
+
+    np.savez_compressed(
+        path, **{k: np.asarray(v) for k, v in state._asdict().items()}
+    )
+
+
+def load_state(path: str) -> EngineState:
+    """Restore a checkpoint written by save_state (bit-exact)."""
+    import numpy as np
+
+    with np.load(path) as z:
+        return EngineState(**{k: jnp.asarray(z[k]) for k in EngineState._fields})
+
+
 def init_state(cfg: EngineConfig, seed: int = 0) -> EngineState:
     key = jax.random.PRNGKey(seed)
     pkey, key = jax.random.split(key)

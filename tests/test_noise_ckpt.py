@@ -1,0 +1,93 @@
+"""Noise texture (reference RNG seed source) + checkpoint/resume."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mirror_maze_tpu.config import EngineConfig, MazeConfig, TracerConfig
+from mirror_maze_tpu.render import upload_scene
+from mirror_maze_tpu.render.pallas_tracer import trace_paths_pallas
+from mirror_maze_tpu.scene import build_scene
+from mirror_maze_tpu.utils.noise import generate_noise, sample_noise
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_generate_noise_deterministic_and_uniform():
+    a = generate_noise(64, seed=1)
+    b = generate_noise(64, seed=1)
+    c = generate_noise(64, seed=2)
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)
+    assert a.min() >= 0.0 and a.max() < 1.0
+    assert abs(a.mean() - 0.5) < 0.02  # white noise
+
+
+def test_sample_noise_wraps():
+    tex = generate_noise(16)
+    pix = jnp.array([[1, 2], [17, 18], [33, 34]], jnp.int32)
+    v = np.asarray(sample_noise(tex, pix))
+    assert v[0] == v[1] == v[2]
+
+
+def test_noise_rng_changes_grain_not_statistics(rng):
+    scene = build_scene(MazeConfig(width=4, height=4))
+    dev = upload_scene(scene)
+    cfg = TracerConfig(bounce_limit=3, mirror_limit=2)
+    o = jnp.broadcast_to(jnp.array([-5.0, 0.0, -15.0]), (512, 3))
+    d = rng.normal(size=(512, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    base = np.asarray(trace_paths_pallas(dev.plane_table, o, d, jnp.int32(3), cfg))
+    srow = sample_noise(dev.noise, jnp.zeros((512, 2), jnp.int32) + jnp.arange(512)[:, None])
+    noised = np.asarray(trace_paths_pallas(dev.plane_table, o, d, jnp.int32(3), cfg,
+                                           seed_row=srow))
+    assert not np.array_equal(base, noised)         # different grain
+    assert abs(base.mean() - noised.mean()) < 0.1   # same lighting
+    # zero seed_row must be bit-identical to no seed_row (stream unchanged)
+    z = np.asarray(trace_paths_pallas(dev.plane_table, o, d, jnp.int32(3), cfg,
+                                      seed_row=jnp.zeros((512,), jnp.float32)))
+    assert np.array_equal(base, z)
+
+
+def test_pipeline_noise_rng_flag(tiny_cfg, tiny_device_scene):
+    from mirror_maze_tpu.render import make_camera
+    from mirror_maze_tpu.render.pipeline import render_pixels
+
+    cfg = tiny_cfg.replace(
+        intersector="pallas",
+        tracer=TracerConfig(bounce_limit=2, mirror_limit=2, noise_rng=True),
+    )
+    cam = make_camera(cfg.camera, cfg.screen.width / cfg.screen.height)
+    pix = jnp.stack(
+        jnp.meshgrid(jnp.arange(8), jnp.arange(8), indexing="xy"), -1
+    ).reshape(-1, 2)
+    cols = np.asarray(render_pixels(tiny_device_scene, cam, pix, KEY, cfg))
+    assert np.isfinite(cols).all()
+
+
+def test_state_checkpoint_roundtrip(tmp_path, tiny_cfg, tiny_device_scene):
+    from mirror_maze_tpu.runtime.state import (
+        FrameInputs,
+        init_state,
+        load_state,
+        save_state,
+    )
+    from mirror_maze_tpu.runtime.step import make_step
+
+    step = make_step(tiny_device_scene, tiny_cfg)
+    st = init_state(tiny_cfg, seed=7)
+    for _ in range(3):
+        st, _ = step(st, FrameInputs.make(w=True, mouse_dx=3.0))
+    path = os.path.join(tmp_path, "ckpt.npz")
+    save_state(path, st)
+    st2 = load_state(path)
+    for a, b in zip(st, st2):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    # resumed run continues identically
+    sa, _ = step(st, FrameInputs.idle())
+    sb, _ = step(st2, FrameInputs.idle())
+    for a, b in zip(sa, sb):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
