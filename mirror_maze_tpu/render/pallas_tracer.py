@@ -77,14 +77,19 @@ LANES = 128
 PLANE_COLS = dict(
     normal=(0, 3), d=3, w1=(4, 7), b1=7, w2=(8, 11), b2=11,
     color=(12, 15), emission=(15, 18),  # premultiplied rgb * strength
-    is_mirror=18, valid=19,  # 20..23 padding
+    is_mirror=18, valid=19,
+    aabb_lo=(20, 23), aabb_hi=(23, 26),  # quad bounding box; 26..31 pad
 )
-PLANE_WIDTH = 24
+PLANE_WIDTH = 32
 PROP_WIDTH = 16  # rows of the transposed property table
 
 
-def build_plane_table(der) -> np.ndarray:
-    """Pack SceneDerived into the kernel's [P, 24] table."""
+def build_plane_table(der, scene=None) -> np.ndarray:
+    """Pack SceneDerived into the kernel's [P, 32] table.
+
+    When the raw Scene is given, columns 20:26 carry each quad's AABB
+    (over all four parallelogram corners), which feeds the kernel's
+    per-tile conservative skip."""
     p = der.normal.shape[0]
     t = np.zeros((p, PLANE_WIDTH), np.float32)
     t[:, 0:3] = der.normal
@@ -97,6 +102,13 @@ def build_plane_table(der) -> np.ndarray:
     t[:, 15:18] = der.emission[:, :3] * der.emission[:, 3:4]
     t[:, 18] = der.is_mirror.astype(np.float32)
     t[:, 19] = der.valid.astype(np.float32)
+    if scene is not None:
+        o = np.asarray(scene.origin, np.float32)
+        u = np.asarray(scene.u, np.float32)
+        v = np.asarray(scene.v, np.float32)
+        corners = np.stack([o, o + u, o + v, o + u + v], axis=1)  # [P,4,3]
+        t[:, 20:23] = corners.min(axis=1)
+        t[:, 23:26] = corners.max(axis=1)
     return t
 
 
@@ -107,14 +119,49 @@ def _round_up(x: int, m: int) -> int:
 PLANE_TILE = 128  # planes per VMEM tile of the nearest-hit sweep
 
 
+def _morton2(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Interleave two 16-bit integer arrays into Morton codes."""
+    def spread(v):
+        v = v.astype(np.uint64) & np.uint64(0xFFFF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x33333333)
+        v = (v | (v << np.uint64(1))) & np.uint64(0x55555555)
+        return v
+
+    return spread(x) | (spread(y) << np.uint64(1))
+
+
+def spatial_plane_order(plane_table) -> np.ndarray:
+    """Plane permutation clustering nearby planes into the same tile.
+
+    Sorts by Morton code of the quad AABB midpoint's (x, z) so each
+    128-plane tile covers a compact maze region with a tight AABB — the
+    basis of the kernel's per-tile conservative skip (world-spanning
+    planes like the floor simply make their own tile unskippable).
+    Stable, so coincident planes keep their original relative order.
+    """
+    t = np.asarray(plane_table)
+    lo, hi = t[:, 20:23], t[:, 23:26]
+    cx = (lo[:, 0] + hi[:, 0]) * 0.5
+    cz = (lo[:, 2] + hi[:, 2]) * 0.5
+    qx = np.clip((cx - cx.min()) * 8.0, 0, 65535).astype(np.uint64)
+    qz = np.clip((cz - cz.min()) * 8.0, 0, 65535).astype(np.uint64)
+    return np.argsort(_morton2(qx, qz), kind="stable")
+
+
 def pack_intersection_tables(plane_table: jnp.ndarray):
     """Derive the kernel's matmul operands from the [P, 24] plane table.
 
-    Returns (W [T, 6*PT, 8], propsT [T, 16, PT]) where the plane table is
-    tiled into T tiles of PT = min(P8, PLANE_TILE) planes (P8 = P rounded
-    up to a sublane multiple) so the kernel's [planes, rays] intermediates
-    stay VMEM-resident at ANY scene size (config 5's 64x64 maze has
-    thousands of planes). Row blocks of W within a tile, in units of PT:
+    Returns (W [T, 6*PT, 8], propsT [T, 16, PT], aabbs [T, 8]) where the
+    plane table is tiled into T tiles of PT = min(P8, PLANE_TILE) planes
+    (P8 = P rounded up to a sublane multiple) so the kernel's
+    [planes, rays] intermediates stay VMEM-resident at ANY scene size
+    (config 5's 64x64 maze has thousands of planes). Planes are
+    Morton-ordered so tiles are spatially compact, and aabbs carries each
+    tile's conservative bounding box (lo xyz, hi xyz, 2 pad) for the
+    kernel's slab-test tile skip. Row blocks of W within a tile, in
+    units of PT:
       0: numerator   = d - O.n        -> coeffs [-n, d | 0]
       1: denominator = D.n            -> coeffs [0    | n, 0]
       2: o1 = O.w1 - b1               -> coeffs [w1, -b1 | 0]
@@ -131,6 +178,18 @@ def pack_intersection_tables(plane_table: jnp.ndarray):
     p8 = n_tiles * pt
     t = jnp.pad(plane_table, ((0, p8 - p), (0, 0)))
     valid = t[:, 19:20] > 0.0
+
+    # Per-tile conservative AABBs for the kernel's slab-test skip.
+    # Padding/invalid rows get an empty box (lo=+BIG, hi=-BIG) so they
+    # never un-skip a tile.
+    # The 1e-2 inflation absorbs the approximate-reciprocal slab error so
+    # the skip stays strictly conservative.
+    lo = jnp.where(valid, t[:, 20:23], BIG).reshape(n_tiles, pt, 3)
+    hi = jnp.where(valid, t[:, 23:26], -BIG).reshape(n_tiles, pt, 3)
+    aabbs = jnp.concatenate(
+        [lo.min(axis=1) - 1e-2, hi.max(axis=1) + 1e-2,
+         jnp.zeros((n_tiles, 2))], axis=1
+    ).astype(jnp.float32)                                      # [T, 8]
 
     n = jnp.where(valid, t[:, 0:3], 0.0)
     d = jnp.where(valid, t[:, 3:4], -1.0)
@@ -162,7 +221,7 @@ def pack_intersection_tables(plane_table: jnp.ndarray):
         axis=1,
     )                                                          # [P8, 16]
     props_t = props.reshape(n_tiles, pt, PROP_WIDTH).transpose(0, 2, 1)
-    return w, props_t
+    return w, props_t, aabbs
 
 
 def _pcg_init(seed, shape):
@@ -196,6 +255,7 @@ def _pcg_uniform(state):
 
 def _tracer_kernel(
     seed_ref,     # SMEM [1] int32
+    aabb_ref,     # SMEM [T, 8]        per-tile AABB (lo xyz, hi xyz, pad)
     w_ref,        # VMEM [T, 6*PT, 8]  intersection coefficients, tiled
     props_ref,    # VMEM [T, 16, PT]   transposed property table, tiled
     g_ref,        # VMEM [8, B]     ray block: ox,oy,oz,1,dx,dy,dz,0
@@ -268,7 +328,7 @@ def _tracer_kernel(
             jnp.where(better, sel, sel_in),
         )
 
-    def nearest(ox, oy, oz, dx, dy, dz):
+    def nearest(ox, oy, oz, dx, dy, dz, lane_live):
         g = jnp.concatenate(
             [ox, oy, oz, one_row, dx, dy, dz, zero_row], axis=0
         )                                                     # [8, B]
@@ -277,8 +337,39 @@ def _tracer_kernel(
         if n_tiles == 1:
             return nearest_tile(w_ref[0], props_ref[0], g, tmin, sel)
 
+        # Slab-test tile skip: Morton-ordered tiles are spatially compact,
+        # and a whole [PT, B] dense test is skipped when NO lane's ray can
+        # enter the tile's AABB closer than its current best hit. Division
+        # by zero direction components yields +-inf slabs, which the
+        # min/max arithmetic below handles per IEEE (the standard robust
+        # slab formulation).
+        idx = pl.reciprocal(dx, approx=True)
+        idy = pl.reciprocal(dy, approx=True)
+        idz = pl.reciprocal(dz, approx=True)
+
         def tile_body(ti, carry):
-            return nearest_tile(w_ref[ti], props_ref[ti], g, *carry)
+            tmin_c, sel_c = carry
+            t1x = (aabb_ref[ti, 0] - ox) * idx
+            t2x = (aabb_ref[ti, 3] - ox) * idx
+            t1y = (aabb_ref[ti, 1] - oy) * idy
+            t2y = (aabb_ref[ti, 4] - oy) * idy
+            t1z = (aabb_ref[ti, 2] - oz) * idz
+            t2z = (aabb_ref[ti, 5] - oz) * idz
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                jnp.minimum(t1z, t2z),
+            )
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                jnp.maximum(t1z, t2z),
+            )
+            could_hit = (tf >= tn) & (tf > 0.0) & (tn < tmin_c) & lane_live
+            return jax.lax.cond(
+                jnp.any(could_hit),
+                lambda c: nearest_tile(w_ref[ti], props_ref[ti], g, *c),
+                lambda c: c,
+                carry,
+            )
 
         return jax.lax.fori_loop(0, n_tiles, tile_body, (tmin, sel))
 
@@ -290,7 +381,7 @@ def _tracer_kernel(
         rng = pltpu.bitcast(rng_i, jnp.uint32)
         alive = alive_i != 0
 
-        t, sel = nearest(ox, oy, oz, dx, dy, dz)
+        t, sel = nearest(ox, oy, oz, dx, dy, dz, alive)
         nx, ny, nz = sel[0:1], sel[1:2], sel[2:3]
         cr, cg, cb = sel[3:4], sel[4:5], sel[5:6]
         er, eg, eb = sel[6:7], sel[7:8], sel[8:9]
@@ -401,7 +492,7 @@ def _trace_padded(
 ):
     r_total = g_all.shape[1]
     n_blocks = r_total // block_rays
-    w, props_t = pack_intersection_tables(plane_table)
+    w, props_t, aabbs = pack_intersection_tables(plane_table)
     n_tiles, _, pt = props_t.shape
 
     kernel = functools.partial(
@@ -423,6 +514,7 @@ def _trace_padded(
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # tile AABBs
             pl.BlockSpec(memory_space=pltpu.VMEM),   # W (whole)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # propsT (whole)
             ray_spec,
@@ -437,7 +529,7 @@ def _trace_padded(
         # On CPU (tests) run under the TPU-semantics interpreter so
         # SMEM refs and TPU layouts keep working.
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(seed, w, props_t, g_all)
+    )(seed, aabbs, w, props_t, g_all)
     return out
 
 

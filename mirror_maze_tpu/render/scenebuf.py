@@ -58,7 +58,6 @@ def upload_scene(
 ) -> DeviceScene:
     """Build derived constants + BVH and place everything on device."""
     from ..utils.noise import generate_noise
-    from .pallas_tracer import build_plane_table
 
     if bvh is None:
         bvh = build_bvh(scene.origin, scene.u, scene.v)
@@ -85,6 +84,20 @@ def upload_scene(
         bvh_prim=as_dev(bvh.prim_index),
         leaf_min=as_dev(leaf_min.astype(np.float32)),
         leaf_max=as_dev(leaf_max.astype(np.float32)),
-        plane_table=as_dev(build_plane_table(der)),
+        plane_table=as_dev(_ordered_plane_table(der, scene)),
         noise=as_dev(np.asarray(noise, dtype=np.float32)),
     )
+
+
+def _ordered_plane_table(der, scene) -> np.ndarray:
+    """Morton-ordered [P, 32] plane table for the pallas kernel.
+
+    The spatial order makes the kernel's 128-plane tiles geographically
+    compact, enabling its per-tile AABB skip (pallas_tracer.py). The
+    table is self-contained (all shading properties inline), so its
+    order is independent of the DeviceScene arrays'.
+    """
+    from .pallas_tracer import build_plane_table, spatial_plane_order
+
+    table = build_plane_table(der, scene)
+    return table[spatial_plane_order(table)]

@@ -167,14 +167,45 @@ def test_large_scene_plane_tiling(rng):
 def test_pack_tables_tiling_shapes():
     from mirror_maze_tpu.render.pallas_tracer import (
         PLANE_TILE,
+        PLANE_WIDTH,
         pack_intersection_tables,
     )
 
     for p in (3, 81, 128, 129, 700):
-        table = np.zeros((p, 24), np.float32)
+        table = np.zeros((p, PLANE_WIDTH), np.float32)
         table[:, 19] = 1.0
-        w, pt = pack_intersection_tables(jnp.asarray(table))
+        w, pt, aabbs = pack_intersection_tables(jnp.asarray(table))
         tiles = max(1, -(-((p + 7) // 8 * 8) // PLANE_TILE))
-        assert w.shape[0] == pt.shape[0] == tiles
+        assert w.shape[0] == pt.shape[0] == aabbs.shape[0] == tiles
         assert w.shape[2] == 8 and pt.shape[1] == 16
         assert w.shape[1] == 6 * pt.shape[2]
+        assert aabbs.shape[1] == 8
+
+
+def test_tile_aabbs_conservative():
+    """Each tile's AABB must contain every quad corner of its planes."""
+    from mirror_maze_tpu.render.pallas_tracer import (
+        pack_intersection_tables,
+    )
+
+    scene = build_scene(MazeConfig(width=16, height=16))
+    dev = upload_scene(scene)
+    table = np.asarray(dev.plane_table)
+    w, pt, aabbs = map(np.asarray, pack_intersection_tables(dev.plane_table))
+    tiles, _, ptile = pt.shape
+    for ti in range(tiles):
+        rows = table[ti * ptile:(ti + 1) * ptile]
+        rows = rows[rows[:, 19] > 0]  # valid only
+        if len(rows) == 0:
+            continue
+        assert (rows[:, 20:23] >= aabbs[ti, 0:3] - 1e-4).all()
+        assert (rows[:, 23:26] <= aabbs[ti, 3:6] + 1e-4).all()
+
+
+def test_spatial_order_is_permutation():
+    from mirror_maze_tpu.render.pallas_tracer import spatial_plane_order
+
+    scene = build_scene(MazeConfig(width=8, height=8))
+    dev = upload_scene(scene)
+    perm = spatial_plane_order(np.asarray(dev.plane_table))
+    assert sorted(perm.tolist()) == list(range(dev.plane_table.shape[0]))
