@@ -51,11 +51,12 @@ Mapping from the reference:
 - threadgroup tree reduction (`shaders.metal:342-367`)  ->  plain jnp
   mean over the sample axis outside the kernel.
 
-Scene encoding: one [P, 24] float32 table (see PLANE_COLS) built once at
-upload; W and the property table are derived from it with a handful of
-tiny jnp ops at trace time. Scales to a few thousand planes before a
-culling structure is needed (config 5 — future work: spatial ray
-binning + per-block plane subsets via scalar prefetch).
+Scene encoding: one Morton-ordered [P, 32] float32 table (see PLANE_COLS)
+built once at upload, together with its packed matmul operands
+(pack_intersection_tables -> DeviceScene.mxu_*). Scenes beyond 128 planes
+are processed in spatially-compact plane tiles with a conservative
+per-tile AABB skip, so both VMEM use and per-segment work stay bounded at
+config-5 scale.
 """
 
 from __future__ import annotations
@@ -89,9 +90,13 @@ def build_plane_table(der, scene=None) -> np.ndarray:
 
     When the raw Scene is given, columns 20:26 carry each quad's AABB
     (over all four parallelogram corners), which feeds the kernel's
-    per-tile conservative skip."""
+    per-tile conservative skip. Without a scene the AABB columns default
+    to (-BIG, +BIG) — infinite boxes that disable the skip rather than
+    silently skipping everything."""
     p = der.normal.shape[0]
     t = np.zeros((p, PLANE_WIDTH), np.float32)
+    t[:, 20:23] = -BIG
+    t[:, 23:26] = BIG
     t[:, 0:3] = der.normal
     t[:, 3] = der.d
     t[:, 4:7] = der.w1
@@ -151,7 +156,7 @@ def spatial_plane_order(plane_table) -> np.ndarray:
 
 
 def pack_intersection_tables(plane_table: jnp.ndarray):
-    """Derive the kernel's matmul operands from the [P, 24] plane table.
+    """Derive the kernel's matmul operands from the [P, 32] plane table.
 
     Returns (W [T, 6*PT, 8], propsT [T, 16, PT], aabbs [T, 8]) where the
     plane table is tiled into T tiles of PT = min(P8, PLANE_TILE) planes
@@ -339,13 +344,17 @@ def _tracer_kernel(
 
         # Slab-test tile skip: Morton-ordered tiles are spatially compact,
         # and a whole [PT, B] dense test is skipped when NO lane's ray can
-        # enter the tile's AABB closer than its current best hit. Division
-        # by zero direction components yields +-inf slabs, which the
-        # min/max arithmetic below handles per IEEE (the standard robust
-        # slab formulation).
-        idx = pl.reciprocal(dx, approx=True)
-        idy = pl.reciprocal(dy, approx=True)
-        idz = pl.reciprocal(dz, approx=True)
+        # enter the tile's AABB closer than its current best hit.
+        # Robustness: reciprocals are CLAMPED to +-BIG so zero direction
+        # components give huge-but-finite slab distances (never 0*inf=NaN),
+        # and the accept test widens tn/tf by a relative 1e-3 + the
+        # absolute AABB inflation, dominating the approximate-reciprocal
+        # error (~2^-12 relative) at any distance — the skip stays
+        # strictly conservative.
+        clamp = lambda r: jnp.clip(r, -BIG, BIG)
+        idx = clamp(pl.reciprocal(dx, approx=True))
+        idy = clamp(pl.reciprocal(dy, approx=True))
+        idz = clamp(pl.reciprocal(dz, approx=True))
 
         def tile_body(ti, carry):
             tmin_c, sel_c = carry
@@ -363,6 +372,8 @@ def _tracer_kernel(
                 jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
                 jnp.maximum(t1z, t2z),
             )
+            tn = tn - jnp.abs(tn) * 1e-3
+            tf = tf + jnp.abs(tf) * 1e-3
             could_hit = (tf >= tn) & (tf > 0.0) & (tn < tmin_c) & lane_live
             return jax.lax.cond(
                 jnp.any(could_hit),
@@ -462,7 +473,7 @@ def _tracer_kernel(
     )
     out = jax.lax.while_loop(cond, segment, init)
     # Rows 0..2: gathered light. Row 3: segments this block executed
-    # (early-exit diagnostic, see utils/profiling.py). Rows 4..7: zero.
+    # (early-exit diagnostic, surfaced via trace_paths_pallas(return_block_segments=True)). Rows 4..7: zero.
     segs = jnp.broadcast_to(out[0].astype(jnp.float32), (1, b))
     out_ref[:] = jnp.concatenate(
         [out[11], out[12], out[13], segs, jnp.zeros((4, b), jnp.float32)],
@@ -478,7 +489,9 @@ def _tracer_kernel(
     ),
 )
 def _trace_padded(
-    plane_table: jnp.ndarray,   # [P, 24]
+    w: jnp.ndarray,             # [T, 6*PT, 8] packed coefficients
+    props_t: jnp.ndarray,       # [T, 16, PT]
+    aabbs: jnp.ndarray,         # [T, 8]
     g_all: jnp.ndarray,         # [8, R] component-major padded rays
     seed: jnp.ndarray,          # [1] int32
     *,
@@ -492,7 +505,6 @@ def _trace_padded(
 ):
     r_total = g_all.shape[1]
     n_blocks = r_total // block_rays
-    w, props_t, aabbs = pack_intersection_tables(plane_table)
     n_tiles, _, pt = props_t.shape
 
     kernel = functools.partial(
@@ -542,17 +554,27 @@ def trace_paths_pallas(
     rows_per_block: int = 8,
     interpret: bool | None = None,
     seed_row: jnp.ndarray | None = None,  # [R] float32 in [0,1)
-) -> jnp.ndarray:
+    tables: tuple | None = None,  # precomputed pack_intersection_tables()
+    return_block_segments: bool = False,
+):
     """Trace a ray wavefront with the fused kernel; returns light [R, 3].
 
     ``rows_per_block`` sets the rays per pallas program in units of 128
     lanes (B = rows_per_block * 128). Pads R up to a whole number of
     blocks; padded lanes carry zero directions, miss every plane, and
     die on segment one. ``seed_row`` optionally mixes a per-ray value
-    (e.g. a noise-texture sample) into the RNG seed.
+    (e.g. a noise-texture sample) into the RNG seed. ``tables`` supplies
+    the (W, propsT, aabbs) operands precomputed at scene upload
+    (DeviceScene.mxu_*); left None they are derived from the plane table
+    here (fine under jit, but re-executed every call). With
+    ``return_block_segments`` the per-block executed-segment counts
+    (the early-exit diagnostic, kernel output row 3) are returned as a
+    second array [R // (rows_per_block*128)].
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if tables is None:
+        tables = pack_intersection_tables(plane_table)
     n = ori.shape[0]
     block = rows_per_block * LANES
     n_pad = -n % block
@@ -568,8 +590,11 @@ def trace_paths_pallas(
     g_all = jnp.concatenate([ot, ones, dt, srow], axis=0)  # [8, R]
 
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    w, props_t, aabbs = tables
     out = _trace_padded(
-        plane_table,
+        w,
+        props_t,
+        aabbs,
         g_all,
         seed_arr,
         max_segments=cfg.max_segments,
@@ -580,4 +605,7 @@ def trace_paths_pallas(
         block_rays=block,
         interpret=interpret,
     )
-    return out[0:3, :n].T
+    light = out[0:3, :n].T
+    if return_block_segments:
+        return light, out[3, ::block]
+    return light

@@ -41,9 +41,14 @@ class DeviceScene(NamedTuple):
     # Leaf AABBs for the collision query (scene/collision.py).
     leaf_min: jnp.ndarray   # [L, 3]
     leaf_max: jnp.ndarray   # [L, 3]
-    # Packed [P, 24] table for the Pallas wavefront kernel
-    # (render/pallas_tracer.py PLANE_COLS).
+    # Packed [P, 32] table for the Pallas wavefront kernel
+    # (render/pallas_tracer.py PLANE_COLS), Morton-ordered, plus its
+    # derived matmul operands (pack_intersection_tables) computed once
+    # at upload: W [T, 6*PT, 8], propsT [T, 16, PT], tile AABBs [T, 8].
     plane_table: jnp.ndarray
+    mxu_w: jnp.ndarray
+    mxu_props: jnp.ndarray
+    mxu_aabbs: jnp.ndarray
     # Noise texture [S, S] float32 in [0,1) — the reference's RNG seed
     # source (`main.rs:667-695`), used when TracerConfig.noise_rng is on.
     noise: jnp.ndarray
@@ -58,12 +63,15 @@ def upload_scene(
 ) -> DeviceScene:
     """Build derived constants + BVH and place everything on device."""
     from ..utils.noise import generate_noise
+    from .pallas_tracer import pack_intersection_tables
 
     if bvh is None:
         bvh = build_bvh(scene.origin, scene.u, scene.v)
     if noise is None:
         noise = generate_noise()
     der = scene.derived()
+    table = _ordered_plane_table(der, scene)
+    mxu_w, mxu_props, mxu_aabbs = pack_intersection_tables(jnp.asarray(table))
     leaf_min, leaf_max = bvh.leaf_boxes()
     as_dev = lambda a: jnp.asarray(a)
     return DeviceScene(
@@ -84,7 +92,10 @@ def upload_scene(
         bvh_prim=as_dev(bvh.prim_index),
         leaf_min=as_dev(leaf_min.astype(np.float32)),
         leaf_max=as_dev(leaf_max.astype(np.float32)),
-        plane_table=as_dev(_ordered_plane_table(der, scene)),
+        plane_table=as_dev(table),
+        mxu_w=as_dev(mxu_w),
+        mxu_props=as_dev(mxu_props),
+        mxu_aabbs=as_dev(mxu_aabbs),
         noise=as_dev(np.asarray(noise, dtype=np.float32)),
     )
 

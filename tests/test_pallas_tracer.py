@@ -209,3 +209,35 @@ def test_spatial_order_is_permutation():
     dev = upload_scene(scene)
     perm = spatial_plane_order(np.asarray(dev.plane_table))
     assert sorted(perm.tolist()) == list(range(dev.plane_table.shape[0]))
+
+
+def test_sceneless_table_disables_skip_not_geometry(rng):
+    """build_plane_table without a Scene has no quad AABBs; the default
+    must be infinite boxes (skip disabled), never collapsed boxes that
+    silently skip real geometry (regression: zero-filled AABB columns
+    rendered multi-tile scenes black)."""
+    from mirror_maze_tpu.render.pallas_tracer import build_plane_table
+
+    scene = build_scene(MazeConfig(width=16, height=16))
+    dev = upload_scene(scene)
+    table = jnp.asarray(build_plane_table(scene.derived()))
+    assert table.shape[0] > 128
+    cfg = TracerConfig(bounce_limit=1, mirror_limit=1)
+    o, d = _rays(257, rng, extent=70.0)
+    lj = np.asarray(trace_paths(dev, o, d, KEY, cfg))
+    lp = np.asarray(trace_paths_pallas(table, o, d, jnp.int32(7), cfg,
+                                       rows_per_block=4))
+    np.testing.assert_allclose(lj, lp, rtol=1e-4, atol=1e-6)
+
+
+def test_block_segments_diagnostic(rng):
+    scene = build_scene(MazeConfig(width=4, height=4))
+    dev = upload_scene(scene)
+    cfg = TracerConfig(bounce_limit=3, mirror_limit=4)
+    o, d = _rays(256, rng)
+    light, segs = trace_paths_pallas(dev.plane_table, o, d, jnp.int32(7), cfg,
+                                     rows_per_block=1,
+                                     return_block_segments=True)
+    segs = np.asarray(segs)
+    assert segs.shape == (2,)
+    assert (segs >= 1).all() and (segs <= cfg.max_segments).all()
