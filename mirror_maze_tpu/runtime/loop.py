@@ -88,7 +88,20 @@ class InteractiveLoop:
                 dx += self.YAW_STEP
         return FrameInputs.make(a=a, s=s, d=d, w=w, mouse_dx=dx)
 
-    def run(self, max_frames: int | None = None, out_png: str | None = None):
+    def run(
+        self,
+        max_frames: int | None = None,
+        out_png: str | None = None,
+        display: str | None = "ansi",
+        display_every: int = 6,
+        display_cols: int = 100,
+    ):
+        """Run the interactive loop.
+
+        display="ansi" paints the view into the terminal as 24-bit
+        half-block art every display_every frames (the headless stand-in
+        for the reference's CAMetalLayer window); None disables it.
+        """
         import sys
         import termios
         import tty
@@ -104,6 +117,12 @@ class InteractiveLoop:
                 inp = self._poll_keys()
                 self.state, self.frame = self.step(self.state, inp)
                 n += 1
+                if display == "ansi" and n % display_every == 0:
+                    from ..utils.imageio import ansi_frame
+
+                    art = ansi_frame(np.asarray(self.frame), display_cols)
+                    sys.stdout.write("\x1b[H\x1b[2J" + art + "\n")
+                    sys.stdout.flush()
                 deadline += spf
                 delay = deadline - time.monotonic()
                 if delay > 0:

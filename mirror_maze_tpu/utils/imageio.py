@@ -49,6 +49,30 @@ def _write_png_builtin(path: str, img: np.ndarray) -> None:
         f.write(chunk(b"IEND", b""))
 
 
+def ansi_frame(img: np.ndarray, max_cols: int = 100) -> str:
+    """Render an RGB uint8 image as 24-bit ANSI half-block art.
+
+    Each character cell shows two vertically-stacked pixels (upper-half
+    block with independent fg/bg colors), the closest a plain terminal
+    gets to the reference's window (`utils.rs:104-168`). Downsamples by
+    integer striding to fit max_cols.
+    """
+    h, w = img.shape[:2]
+    step = max(1, -(-w // max_cols))
+    small = img[::step, ::step]
+    if small.shape[0] % 2:
+        small = small[:-1]
+    top, bot = small[0::2], small[1::2]
+    rows = []
+    for tr, br in zip(top, bot):
+        cells = [
+            f"\x1b[38;2;{t[0]};{t[1]};{t[2]}m\x1b[48;2;{b[0]};{b[1]};{b[2]}m▀"
+            for t, b in zip(tr, br)
+        ]
+        rows.append("".join(cells) + "\x1b[0m")
+    return "\n".join(rows)
+
+
 def read_png(path: str) -> np.ndarray:
     """Read a PNG to an [H, W, C] uint8 array (PIL path only; used for the
     optional noise-texture load and golden-image tests)."""

@@ -53,3 +53,19 @@ def test_png_builtin_writer(tmp_path):
     p = str(tmp_path / "b.png")
     _write_png_builtin(p, img)
     assert np.array_equal(read_png(p)[..., :3], img)
+
+
+def test_ansi_frame_shape_and_colors():
+    from mirror_maze_tpu.utils.imageio import ansi_frame
+
+    img = np.zeros((8, 12, 3), np.uint8)
+    img[0] = (255, 0, 0)
+    art = ansi_frame(img, max_cols=12)
+    lines = art.split("\n")
+    assert len(lines) == 4  # 8 pixel rows -> 4 half-block rows
+    assert "38;2;255;0;0" in lines[0]
+    assert lines[0].endswith("\x1b[0m")
+    # downsampling fits max_cols
+    wide = np.zeros((4, 200, 3), np.uint8)
+    art2 = ansi_frame(wide, max_cols=50)
+    assert art2.split("\n")[0].count("▀") <= 50

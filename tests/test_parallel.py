@@ -100,3 +100,45 @@ def test_graft_entry_compiles_and_dryruns():
     fn, args = ge.entry()
     jax.jit(fn).lower(*args)  # compile-check
     ge.dryrun_multichip(8)
+
+
+def test_sharded_renderer_pallas_backend():
+    """The fused pallas kernel must compose with shard_map (per-shard
+    pallas_call under a (cam, tile) mesh) — config 5 runs it on real
+    meshes, so the interpreter path is exercised here."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mirror_maze_tpu.config import (
+        CameraConfig,
+        EngineConfig,
+        MazeConfig,
+        ScreenConfig,
+    )
+    from mirror_maze_tpu.parallel.shard import (
+        batch_cameras,
+        make_mesh,
+        make_sharded_renderer,
+    )
+    from mirror_maze_tpu.render import make_camera, upload_scene
+    from mirror_maze_tpu.scene import build_scene
+
+    n = min(2, len(jax.devices()))
+    mesh = make_mesh(n, 1)
+    cfg = EngineConfig(
+        maze=MazeConfig(width=4, height=4),
+        camera=CameraConfig(spawn=(-5.0, 0.0, -15.0)),
+        screen=ScreenConfig(width=32, height=16, samples_per_pixel=2),
+        intersector="pallas",
+    )
+    scene = upload_scene(build_scene(cfg.maze))
+    base = make_camera(cfg.camera, 2.0)
+    cams = batch_cameras(
+        [base._replace(center=base.center + jnp.float32(i)) for i in range(n)]
+    )
+    render = make_sharded_renderer(cfg, mesh)
+    frames, mean_lum = render(scene, cams, jax.random.PRNGKey(0))
+    assert frames.shape == (n, 16, 32, 3)
+    assert np.isfinite(np.asarray(frames)).all()
+    assert float(mean_lum) > 0.0
