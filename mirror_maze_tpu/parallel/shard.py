@@ -106,3 +106,213 @@ def make_sharded_renderer(
 def gather_frames(frames: jnp.ndarray) -> jnp.ndarray:
     """Fetch assembled frames to host order (XLA reshards as needed)."""
     return jax.device_get(frames)
+
+
+# --- Sharded interactive engine ----------------------------------------------
+#
+# The full engine step (progressive chunk refresh + camera sim + feedback
+# blur), spatially sharded: the screen lives as row-bands on the 'tile'
+# mesh axis, each band runs its own chunk queue over its own rows, camera
+# simulation is replicated (identical inputs -> identical arithmetic on
+# every shard), and the feedback blur exchanges 1-row halos with band
+# neighbors over ICI via lax.ppermute so band seams blur exactly like the
+# single-chip screen.
+
+from typing import NamedTuple
+
+from ..config import ScreenConfig
+from ..render.accumulate import quantize_8bit, scatter_chunks, to_display
+from ..render.pipeline import render_pixels
+from ..render.scheduler import chunk_origin_xy, chunk_pixels, take_chunks
+from ..runtime.state import FrameInputs
+from ..runtime import step as step_mod
+
+
+class ShardedEngineState(NamedTuple):
+    """Engine state over a (cam=1, tile=n) mesh. Camera fields are
+    replicated; screen/perm/cursor/key are per-band (leading axis sharded
+    on 'tile'; cursor/key gain a [n_tile] band axis)."""
+
+    cam_center: jnp.ndarray   # [3] replicated
+    quat: jnp.ndarray         # [4] replicated
+    half_theta: jnp.ndarray   # [] replicated
+    screen: jnp.ndarray       # [H, W, 3] sharded P('tile')
+    perm: jnp.ndarray         # [C] sharded P('tile') — per-band queues
+    cursor: jnp.ndarray       # [n_tile] sharded P('tile')
+    key: jnp.ndarray          # [n_tile, 2] sharded P('tile')
+    frame: jnp.ndarray        # [] replicated
+
+
+def _band_screen_cfg(cfg: EngineConfig, n_tile: int) -> ScreenConfig:
+    s = cfg.screen
+    assert s.height % n_tile == 0, (s.height, n_tile)
+    rows = s.height // n_tile
+    assert rows % s.chunk_width == 0, (rows, s.chunk_width)
+    return ScreenConfig(
+        width=s.width,
+        height=rows,
+        chunk_width=s.chunk_width,
+        chunks_per_frame=max(1, s.effective_chunks_per_frame // n_tile),
+        samples_per_pixel=s.samples_per_pixel,
+        fps=s.fps,
+        quantize_8bit=s.quantize_8bit,
+        feedback_blur=s.feedback_blur,
+    )
+
+
+def _blur_with_halo(local: jnp.ndarray, axis: str = "tile") -> jnp.ndarray:
+    """The reference's cross blur (`shaders.metal:219-222`) over a row-band,
+    with 1-row halos exchanged between neighbor bands (ppermute over ICI);
+    outermost bands clamp to the edge like the single-chip blur."""
+    n = jax.lax.axis_size(axis)
+    ti = jax.lax.axis_index(axis)
+    down = jax.lax.ppermute(
+        local[-1:], axis, [(i, i + 1) for i in range(n - 1)]
+    )  # my top halo = upper neighbor's bottom row
+    up = jax.lax.ppermute(
+        local[:1], axis, [(i + 1, i) for i in range(n - 1)]
+    )  # my bottom halo = lower neighbor's top row
+    top = jnp.where(ti == 0, local[:1], down)
+    bot = jnp.where(ti == n - 1, local[-1:], up)
+    p = jnp.concatenate([top, local, bot], axis=0)
+    p = jnp.pad(p, ((0, 0), (1, 1), (0, 0)), mode="edge")
+    c = p[1:-1, 1:-1]
+    l = p[1:-1, :-2]
+    r = p[1:-1, 2:]
+    u = p[:-2, 1:-1]
+    d = p[2:, 1:-1]
+    return (c + (l + r) / 2.0 + (u + d) / 2.0) / 3.0
+
+
+def make_sharded_engine(cfg: EngineConfig, mesh: Mesh):
+    """Build (init_fn, step_fn) for the tile-sharded interactive engine.
+
+    init_fn(seed) -> ShardedEngineState; step_fn(state, FrameInputs) ->
+    (state, frame [H, W, 3] uint8 sharded P('tile')). Camera semantics
+    are identical to the single-chip step (runtime/step.py); the
+    progressive refresh runs one independent chunk queue per band, and
+    the feedback blur exchanges halos so output has no band seams.
+    """
+    n_tile = mesh.shape["tile"]
+    band = _band_screen_cfg(cfg, n_tile)
+    band_cfg = cfg.replace(screen=band)
+    n_chunks = band.effective_chunks_per_frame
+    rows = band.height
+
+    state_specs = ShardedEngineState(
+        cam_center=P(), quat=P(), half_theta=P(),
+        screen=P("tile"), perm=P("tile"), cursor=P("tile"),
+        key=P("tile"), frame=P(),
+    )
+
+    def local_init(seed_arr):
+        ti = jax.lax.axis_index("tile")
+        key = jax.random.fold_in(jax.random.PRNGKey(seed_arr[0]), ti)
+        pkey, key = jax.random.split(key)
+        from ..render.camera import make_camera
+
+        cam = make_camera(cfg.camera, cfg.screen.width / cfg.screen.height)
+        from ..ops import quat as quat_ops
+
+        return ShardedEngineState(
+            cam_center=cam.center,
+            quat=cam.rotation,
+            half_theta=quat_ops.half_theta_of(cam.rotation),
+            screen=jnp.zeros((rows, band.width, 3), jnp.float32),
+            perm=jax.random.permutation(pkey, band.total_chunks).astype(jnp.int32),
+            cursor=jnp.zeros((1,), jnp.int32),
+            key=key[None],
+            frame=jnp.int32(0),
+        )
+
+    init_sharded = jax.jit(
+        shard_map(
+            local_init, mesh=mesh, in_specs=(P(),), out_specs=state_specs,
+            check_vma=False,
+        )
+    )
+
+    def local_step(scene: DeviceScene, state: ShardedEngineState,
+                   inputs: FrameInputs):
+        ti = jax.lax.axis_index("tile")
+        frame = state.frame + 1
+        cursor = state.cursor[0]
+        key = state.key[0]
+
+        # 1. Pop this band's chunk window.
+        ids, cursor_next = take_chunks(state.perm, cursor, n_chunks)
+
+        # 2-3. Camera: movement, collision, rotation — replicated math,
+        # reusing the single-chip step's functions verbatim.
+        moved = step_mod.integrate_movement(
+            cfg, state.cam_center, state.quat, inputs.keys
+        )
+        center = step_mod.resolve_collision(cfg, scene, moved, state.cam_center)
+        new_half = jnp.mod(
+            state.half_theta - inputs.mouse_dx * cfg.camera.mouse_sensitivity,
+            jnp.pi,
+        )
+        from ..ops import quat as quat_ops
+
+        candidate = quat_ops.update_angle(state.quat, new_half)
+        ok = jnp.all(jnp.isfinite(candidate))
+        rotated = inputs.rot_updated & ok
+        quat = jnp.where(rotated, candidate, state.quat)
+        half_theta = jnp.where(inputs.rot_updated, new_half, state.half_theta)
+        rkey, key = jax.random.split(key)
+        fresh = jax.random.permutation(rkey, state.perm.shape[0]).astype(jnp.int32)
+        perm = jnp.where(rotated, fresh, state.perm)
+        cursor_out = jnp.where(rotated, jnp.int32(0), cursor_next)
+
+        # 4. Trace this band's chunks: band-local chunk ids map to global
+        # pixel rows by the band offset, so camera rays are exact.
+        fkey = jax.random.fold_in(key, frame)
+        local_xy = chunk_origin_xy(ids, band)
+        gxy = local_xy.at[:, 1].add(ti * rows)
+        pixels = chunk_pixels(gxy, band.chunk_width)
+        from ..render.camera import Camera
+
+        cam = Camera(
+            center=center,
+            rotation=quat,
+            focal=jnp.float32(cfg.camera.focal_length),
+            viewport=jnp.array(
+                [
+                    cfg.camera.viewport_height
+                    * cfg.screen.width / cfg.screen.height,
+                    cfg.camera.viewport_height,
+                ],
+                jnp.float32,
+            ),
+        )
+        colors = render_pixels(scene, cam, pixels, fkey, band_cfg)
+        local_pix = pixels.at[:, 1].add(-ti * rows)
+        screen = scatter_chunks(state.screen, local_pix, colors)
+
+        # 5. Present: halo-exchanged feedback blur + quantization.
+        if cfg.screen.feedback_blur:
+            screen = _blur_with_halo(screen)
+        if cfg.screen.quantize_8bit:
+            screen = quantize_8bit(screen)
+
+        new_state = ShardedEngineState(
+            cam_center=center, quat=quat, half_theta=half_theta,
+            screen=screen, perm=perm, cursor=cursor_out[None],
+            key=key[None], frame=frame,
+        )
+        return new_state, to_display(screen)
+
+    step_sharded = jax.jit(
+        shard_map(
+            local_step, mesh=mesh,
+            in_specs=(P(), state_specs, P()),
+            out_specs=(state_specs, P("tile")),
+            check_vma=False,
+        ),
+        donate_argnums=(1,),
+    )
+
+    def init_fn(seed: int = 0) -> ShardedEngineState:
+        return init_sharded(jnp.array([seed], jnp.int32))
+
+    return init_fn, step_sharded
