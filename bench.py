@@ -28,6 +28,9 @@ def main() -> None:
                    help="timed launches of --frames each")
     p.add_argument("--intersector", type=str, default=None,
                    help="override backend: brute | bvh | pallas")
+    p.add_argument("--preset", type=str, default=None,
+                   help="named config (v0|bvh|fuzzy|interactive|scale|"
+                        "reference); overrides the geometry flags")
     args = p.parse_args()
 
     import jax
@@ -45,15 +48,21 @@ def main() -> None:
     from mirror_maze_tpu.runtime.step import make_scan_step, repeat_input
     from mirror_maze_tpu.scene import build_scene
 
-    cfg = EngineConfig(
-        maze=MazeConfig(width=args.maze, height=args.maze),
-        tracer=TracerConfig(
-            bounce_limit=args.bounce_limit, mirror_limit=args.mirror_limit
-        ),
-        screen=ScreenConfig(
-            width=args.width, height=args.height, samples_per_pixel=args.spp
-        ),
-    )
+    if args.preset:
+        from mirror_maze_tpu.config import NAMED_CONFIGS
+
+        cfg = NAMED_CONFIGS[args.preset]()
+    else:
+        cfg = EngineConfig(
+            maze=MazeConfig(width=args.maze, height=args.maze),
+            tracer=TracerConfig(
+                bounce_limit=args.bounce_limit, mirror_limit=args.mirror_limit
+            ),
+            screen=ScreenConfig(
+                width=args.width, height=args.height,
+                samples_per_pixel=args.spp,
+            ),
+        )
     if args.intersector:
         cfg = cfg.replace(intersector=args.intersector)
 
@@ -104,8 +113,9 @@ def main() -> None:
 
     result = {
         "metric": "primary Mrays/s, progressive mirror-maze path tracing "
-                  f"({args.width}x{args.height}, {args.mirror_limit} mirror "
-                  f"bounces, {args.spp} spp/refresh)",
+                  f"({cfg.screen.width}x{cfg.screen.height}, "
+                  f"{cfg.tracer.mirror_limit} mirror bounces, "
+                  f"{cfg.screen.samples_per_pixel} spp/refresh)",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / baseline_mrays, 3),

@@ -74,6 +74,36 @@ def trace(log_dir: str = "/tmp/mmx_trace"):
         jax.profiler.stop_trace()
 
 
+def tracer_segment_histogram(
+    scene, cfg, ori, dirs, seed: int = 7, rows_per_block: int = 8
+) -> dict:
+    """Per-block executed-segment statistics for the pallas tracer — the
+    early-exit diagnostic behind PERF.md's block-utilization numbers.
+
+    Returns {"mean", "max_segments", "histogram"} where histogram[k] =
+    number of ray blocks that ran exactly k bounce-loop segments before
+    their all-dead early exit.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..render.pallas_tracer import trace_paths_pallas
+
+    _, segs = trace_paths_pallas(
+        scene.plane_table, ori, dirs, jnp.int32(seed), cfg.tracer,
+        rows_per_block=rows_per_block, return_block_segments=True,
+        tables=(scene.mxu_w, scene.mxu_props, scene.mxu_aabbs),
+    )
+    segs = np.asarray(segs).astype(int)
+    return {
+        "mean": float(segs.mean()),
+        "max_segments": cfg.tracer.max_segments,
+        "histogram": np.bincount(
+            segs, minlength=cfg.tracer.max_segments + 1
+        ).tolist(),
+    }
+
+
 def device_memory_stats() -> dict:
     """Best-effort live/peak HBM numbers for the default device."""
     import jax

@@ -91,3 +91,16 @@ def test_state_checkpoint_roundtrip(tmp_path, tiny_cfg, tiny_device_scene):
     sb, _ = step(st2, FrameInputs.idle())
     for a, b in zip(sa, sb):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tracer_segment_histogram(tiny_cfg, tiny_device_scene, rng):
+    from mirror_maze_tpu.utils.profiling import tracer_segment_histogram
+
+    o = jnp.broadcast_to(jnp.array([-5.0, 0.0, -15.0]), (256, 3))
+    d = rng.normal(size=(256, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    h = tracer_segment_histogram(
+        tiny_device_scene, tiny_cfg, o, jnp.asarray(d), rows_per_block=1
+    )
+    assert sum(h["histogram"]) == 2  # 256 rays / 128-ray blocks
+    assert 1.0 <= h["mean"] <= h["max_segments"]
