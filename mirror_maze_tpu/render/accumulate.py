@@ -13,6 +13,11 @@ as an explicit quantization step (ScreenConfig.quantize_8bit).
 Deviation (documented): the reference's fragment shader reads out-of-bounds
 at screen edges (uint2 + (-1,0) wraps; undefined behavior in Metal). We
 clamp to the edge instead.
+
+Known faithful artifact: dim radial light falloffs show concentric
+banding rings under 8-bit quantization + blur feedback — the reference's
+RGBA8Unorm screen behaves identically; set quantize_8bit=False for
+float accumulation without it.
 """
 
 from __future__ import annotations

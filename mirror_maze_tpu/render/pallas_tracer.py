@@ -242,8 +242,17 @@ def _pcg_init(seed, shape):
         + rows * jnp.uint32(9737333)
         + cols * jnp.uint32(15823)
     )
-    # one mixing round so nearby lanes decorrelate immediately
-    return state * jnp.uint32(747796405) + jnp.uint32(291336453)
+    # Full avalanche so adjacent lanes (adjacent pixels/samples) start
+    # statistically independent: one LCG round alone leaves low-bit
+    # structure that shows up as concentric-ring noise patterns on walls
+    # (sequential seeds -> correlated (z, phi) scatter draws). Two
+    # xorshift-multiply scrambles (PCG output permutation) kill it; runs
+    # once per program, so cost is nil.
+    for _ in range(2):
+        state = state * jnp.uint32(747796405) + jnp.uint32(291336453)
+        word = ((state >> ((state >> 28) + jnp.uint32(4))) ^ state) * jnp.uint32(277803737)
+        state = (word >> 22) ^ word
+    return state
 
 
 def _pcg_uniform(state):
