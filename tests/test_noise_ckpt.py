@@ -2,6 +2,8 @@
 
 import os
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -104,3 +106,39 @@ def test_tracer_segment_histogram(tiny_cfg, tiny_device_scene, rng):
     )
     assert sum(h["histogram"]) == 2  # 256 rays / 128-ray blocks
     assert 1.0 <= h["mean"] <= h["max_segments"]
+
+
+def test_watchdog_rolls_back_poisoned_state(tiny_cfg, tiny_device_scene):
+    from mirror_maze_tpu.runtime.state import FrameInputs, init_state
+    from mirror_maze_tpu.runtime.step import make_step
+    from mirror_maze_tpu.runtime.watchdog import Watchdog, state_is_finite
+
+    step = make_step(tiny_device_scene, tiny_cfg)
+    st = init_state(tiny_cfg, seed=0)
+    wd = Watchdog(interval=1)
+    for _ in range(3):
+        st, _ = step(st, FrameInputs.make(w=True))
+        st = wd.check(st)
+    assert wd.rollbacks == 0
+    good_center = np.asarray(st.cam_center)
+
+    # poison the state as an unforeseen numeric failure would
+    bad = st._replace(cam_center=st.cam_center * np.float32("nan"))
+    assert not state_is_finite(bad)
+    recovered = wd.check(bad)
+    assert wd.rollbacks == 1
+    assert np.array_equal(np.asarray(recovered.cam_center), good_center)
+    # engine continues from the snapshot
+    recovered, _ = step(recovered, FrameInputs.idle())
+    assert state_is_finite(recovered)
+
+
+def test_watchdog_raises_without_snapshot(tiny_cfg):
+    from mirror_maze_tpu.runtime.state import init_state
+    from mirror_maze_tpu.runtime.watchdog import Watchdog
+
+    st = init_state(tiny_cfg, seed=0)
+    bad = st._replace(quat=st.quat * np.float32("inf"))
+    wd = Watchdog(interval=1)
+    with pytest.raises(FloatingPointError):
+        wd.check(bad)
