@@ -111,4 +111,9 @@ def _ordered_plane_table(der, scene) -> np.ndarray:
     from .pallas_tracer import build_plane_table, spatial_plane_order
 
     table = build_plane_table(der, scene)
+    # Drop invalid planes (degenerate zero-extent wall runs) — the kernel
+    # sweeps every table row per segment, so a 10x10 maze paying for 9
+    # dead rows of 81 is pure waste. The table is index-independent, so
+    # filtering is safe.
+    table = table[table[:, 19] > 0.0]
     return table[spatial_plane_order(table)]
