@@ -128,6 +128,8 @@ def main() -> None:
         "device": str(jax.devices()[0]),
         "intersector": cfg.intersector,
         "planes": scene.num_planes,
+        # what the pallas kernel actually sweeps (degenerate rows filtered)
+        "kernel_planes": int(dev_scene.plane_table.shape[0]),
     }
     print(json.dumps(result))
 

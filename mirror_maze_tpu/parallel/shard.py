@@ -122,7 +122,7 @@ from typing import NamedTuple
 
 from ..config import ScreenConfig
 from ..render.accumulate import quantize_8bit, scatter_chunks, to_display
-from ..render.pipeline import render_pixels
+from ..render.pipeline import make_nearest_fn, render_pixels
 from ..render.scheduler import chunk_origin_xy, chunk_pixels, take_chunks
 from ..runtime.state import FrameInputs
 from ..runtime import step as step_mod
@@ -144,19 +144,19 @@ class ShardedEngineState(NamedTuple):
 
 
 def _band_screen_cfg(cfg: EngineConfig, n_tile: int) -> ScreenConfig:
+    """Per-band ScreenConfig: used ONLY for the band-local chunk grid
+    (scheduler addressing); ray generation always uses the GLOBAL screen
+    config so pixel coords normalize against the full viewport."""
+    import dataclasses
+
     s = cfg.screen
     assert s.height % n_tile == 0, (s.height, n_tile)
     rows = s.height // n_tile
     assert rows % s.chunk_width == 0, (rows, s.chunk_width)
-    return ScreenConfig(
-        width=s.width,
+    return dataclasses.replace(
+        cfg.screen,
         height=rows,
-        chunk_width=s.chunk_width,
         chunks_per_frame=max(1, s.effective_chunks_per_frame // n_tile),
-        samples_per_pixel=s.samples_per_pixel,
-        fps=s.fps,
-        quantize_8bit=s.quantize_8bit,
-        feedback_blur=s.feedback_blur,
     )
 
 
@@ -195,7 +195,6 @@ def make_sharded_engine(cfg: EngineConfig, mesh: Mesh):
     """
     n_tile = mesh.shape["tile"]
     band = _band_screen_cfg(cfg, n_tile)
-    band_cfg = cfg.replace(screen=band)
     n_chunks = band.effective_chunks_per_frame
     rows = band.height
 
@@ -239,6 +238,15 @@ def make_sharded_engine(cfg: EngineConfig, mesh: Mesh):
         cursor = state.cursor[0]
         key = state.key[0]
 
+        # Same backend selection as the single-chip step (runtime/step.py):
+        # pallas dispatches inside render_pixels; bvh/brute get an explicit
+        # nearest_fn.
+        nearest_fn = (
+            None
+            if cfg.intersector == "pallas"
+            else make_nearest_fn(scene, cfg, 32, 4)
+        )
+
         # 1. Pop this band's chunk window.
         ids, cursor_next = take_chunks(state.perm, cursor, n_chunks)
 
@@ -248,44 +256,25 @@ def make_sharded_engine(cfg: EngineConfig, mesh: Mesh):
             cfg, state.cam_center, state.quat, inputs.keys
         )
         center = step_mod.resolve_collision(cfg, scene, moved, state.cam_center)
-        new_half = jnp.mod(
-            state.half_theta - inputs.mouse_dx * cfg.camera.mouse_sensitivity,
-            jnp.pi,
+        quat, half_theta, perm, cursor_out, key = step_mod.rotation_update(
+            state.quat, state.half_theta, state.perm, cursor_next, key,
+            inputs, cfg,
         )
-        from ..ops import quat as quat_ops
-
-        candidate = quat_ops.update_angle(state.quat, new_half)
-        ok = jnp.all(jnp.isfinite(candidate))
-        rotated = inputs.rot_updated & ok
-        quat = jnp.where(rotated, candidate, state.quat)
-        half_theta = jnp.where(inputs.rot_updated, new_half, state.half_theta)
-        rkey, key = jax.random.split(key)
-        fresh = jax.random.permutation(rkey, state.perm.shape[0]).astype(jnp.int32)
-        perm = jnp.where(rotated, fresh, state.perm)
-        cursor_out = jnp.where(rotated, jnp.int32(0), cursor_next)
 
         # 4. Trace this band's chunks: band-local chunk ids map to global
-        # pixel rows by the band offset, so camera rays are exact.
+        # pixel rows by the band offset. Ray generation uses the GLOBAL
+        # screen config — pixel coords normalize against the full
+        # viewport, making band rays identical to the single-chip ones.
         fkey = jax.random.fold_in(key, frame)
         local_xy = chunk_origin_xy(ids, band)
         gxy = local_xy.at[:, 1].add(ti * rows)
         pixels = chunk_pixels(gxy, band.chunk_width)
-        from ..render.camera import Camera
+        from ..render.camera import make_camera
 
-        cam = Camera(
-            center=center,
-            rotation=quat,
-            focal=jnp.float32(cfg.camera.focal_length),
-            viewport=jnp.array(
-                [
-                    cfg.camera.viewport_height
-                    * cfg.screen.width / cfg.screen.height,
-                    cfg.camera.viewport_height,
-                ],
-                jnp.float32,
-            ),
-        )
-        colors = render_pixels(scene, cam, pixels, fkey, band_cfg)
+        cam = make_camera(
+            cfg.camera, cfg.screen.width / cfg.screen.height
+        )._replace(center=center, rotation=quat)
+        colors = render_pixels(scene, cam, pixels, fkey, cfg, nearest_fn)
         local_pix = pixels.at[:, 1].add(-ti * rows)
         screen = scatter_chunks(state.screen, local_pix, colors)
 

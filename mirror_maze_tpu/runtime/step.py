@@ -64,8 +64,14 @@ def resolve_collision(
     return jnp.where(hit, old_center, new_center)
 
 
-def apply_rotation(
-    state: EngineState, inputs: FrameInputs, cfg: EngineConfig
+def rotation_update(
+    quat: jnp.ndarray,
+    half_theta: jnp.ndarray,
+    perm: jnp.ndarray,
+    cursor: jnp.ndarray,
+    key: jnp.ndarray,
+    inputs: FrameInputs,
+    cfg: EngineConfig,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Mouse yaw update (`main.rs:828-842`, `main.rs:922-925`).
 
@@ -74,27 +80,40 @@ def apply_rotation(
     quaternion if the update degenerates). On successful rotation the chunk
     queue is regenerated so the whole view re-renders.
 
+    Pure-scalar core shared by the single-chip step and the tile-sharded
+    engine (parallel/shard.py) — any change here applies to both.
+
     Returns (quat, half_theta, perm, cursor, key).
     """
     new_half = jnp.mod(
-        state.half_theta - inputs.mouse_dx * cfg.camera.mouse_sensitivity,
+        half_theta - inputs.mouse_dx * cfg.camera.mouse_sensitivity,
         jnp.pi,
     )
-    candidate = quat_ops.update_angle(state.quat, new_half)
+    candidate = quat_ops.update_angle(quat, new_half)
     # The reference guards only NaN (`main.rs:830-835`); we also reject
     # inf/denormal blowups (see ops/quat.py update_angle) — a non-finite
     # quaternion must never reach the movement integrator.
     ok = jnp.all(jnp.isfinite(candidate))
     rotated = inputs.rot_updated & ok
 
-    quat = jnp.where(rotated, candidate, state.quat)
-    half_theta = jnp.where(inputs.rot_updated, new_half, state.half_theta)
+    quat_out = jnp.where(rotated, candidate, quat)
+    half_out = jnp.where(inputs.rot_updated, new_half, half_theta)
 
-    rkey, key = jax.random.split(state.key)
-    fresh = jax.random.permutation(rkey, state.perm.shape[0]).astype(jnp.int32)
-    perm = jnp.where(rotated, fresh, state.perm)
-    cursor = jnp.where(rotated, jnp.int32(0), state.cursor)
-    return quat, half_theta, perm, cursor, key
+    rkey, key = jax.random.split(key)
+    fresh = jax.random.permutation(rkey, perm.shape[0]).astype(jnp.int32)
+    perm_out = jnp.where(rotated, fresh, perm)
+    cursor_out = jnp.where(rotated, jnp.int32(0), cursor)
+    return quat_out, half_out, perm_out, cursor_out, key
+
+
+def apply_rotation(
+    state: EngineState, inputs: FrameInputs, cfg: EngineConfig
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """rotation_update over an EngineState."""
+    return rotation_update(
+        state.quat, state.half_theta, state.perm, state.cursor, state.key,
+        inputs, cfg,
+    )
 
 
 def make_step_fn(

@@ -57,7 +57,15 @@ class Watchdog:
             return state
         self._since = 0
         if state_is_finite(state):
-            self._snapshot = state
+            # DEEP copy: the engine step donates its state argument
+            # (donate_argnums), so aliasing the live state would leave the
+            # snapshot pointing at deleted device buffers after the very
+            # next step. jnp.copy allocates fresh buffers the donation
+            # can't reclaim.
+            import jax
+            import jax.numpy as jnp
+
+            self._snapshot = jax.tree.map(jnp.copy, state)
             return state
         self.rollbacks += 1
         if self._snapshot is None:

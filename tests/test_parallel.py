@@ -209,3 +209,54 @@ def test_sharded_engine_matches_camera_and_blurs_seamless():
         inner = fs[16 * b - 3: 16 * b + 3].mean()
         if inner > 0:
             assert edge > 0.0
+
+
+def test_sharded_engine_content_matches_full_frame_render():
+    """Deterministic content check: with jitter=0, single-segment paths,
+    full refresh in one frame, and blur/quantize off, the sharded
+    engine's assembled screen must equal render_full_frame row-bands
+    bit-exactly (regression: band-local screen heights once corrupted
+    ray directions, rendering bands from the wrong viewport rows)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mirror_maze_tpu.config import (
+        CameraConfig,
+        EngineConfig,
+        MazeConfig,
+        ScreenConfig,
+        TracerConfig,
+    )
+    from mirror_maze_tpu.parallel.shard import make_mesh, make_sharded_engine
+    from mirror_maze_tpu.render import make_camera, render_full_frame, upload_scene
+    from mirror_maze_tpu.runtime.state import FrameInputs
+    from mirror_maze_tpu.scene import build_scene
+
+    n_tile = min(4, len(jax.devices()))
+    h = 16 * n_tile
+    cfg = EngineConfig(
+        maze=MazeConfig(width=4, height=4),
+        tracer=TracerConfig(bounce_limit=1, mirror_limit=1, jitter=0.0),
+        camera=CameraConfig(spawn=(-5.0, 0.0, -15.0)),
+        screen=ScreenConfig(
+            width=64, height=h, samples_per_pixel=1,
+            chunks_per_frame=(64 // 4) * (h // 4),  # full refresh / frame
+            feedback_blur=False, quantize_8bit=False,
+        ),
+        intersector="brute",
+    )
+    mesh = make_mesh(1, n_tile)
+    scene = upload_scene(build_scene(cfg.maze))
+
+    init_fn, step_fn = make_sharded_engine(cfg, mesh)
+    st = init_fn(seed=0)
+    st, _ = step_fn(scene, st, FrameInputs.idle())
+    sharded = np.asarray(st.screen)
+
+    cam = make_camera(cfg.camera, cfg.screen.width / cfg.screen.height)
+    # Single-segment emission light is deterministic (RNG only affects
+    # scatter directions, which never shade with bounce_limit=1), so any
+    # key yields the same image.
+    ref = np.asarray(render_full_frame(scene, cam, jax.random.PRNGKey(0), cfg))
+    np.testing.assert_array_equal(sharded, ref)
