@@ -79,7 +79,8 @@ PLANE_COLS = dict(
     normal=(0, 3), d=3, w1=(4, 7), b1=7, w2=(8, 11), b2=11,
     color=(12, 15), emission=(15, 18),  # premultiplied rgb * strength
     is_mirror=18, valid=19,
-    aabb_lo=(20, 23), aabb_hi=(23, 26),  # quad bounding box; 26..31 pad
+    aabb_lo=(20, 23), aabb_hi=(23, 26),  # quad bounding box
+    kind=26,  # closed-world test class (scene/builder.py Scene.kind)
 )
 PLANE_WIDTH = 32
 PROP_WIDTH = 16  # rows of the transposed property table
@@ -114,6 +115,7 @@ def build_plane_table(der, scene=None) -> np.ndarray:
         corners = np.stack([o, o + u, o + v, o + u + v], axis=1)  # [P,4,3]
         t[:, 20:23] = corners.min(axis=1)
         t[:, 23:26] = corners.max(axis=1)
+        t[:, 26] = np.asarray(scene.kind, np.float32)
     return t
 
 
@@ -146,27 +148,31 @@ def spatial_plane_order(plane_table) -> np.ndarray:
     planes like the floor simply make their own tile unskippable).
     Stable, so coincident planes keep their original relative order.
     """
+    return np.argsort(spatial_plane_order_key(plane_table), kind="stable")
+
+
+def spatial_plane_order_key(plane_table) -> np.ndarray:
+    """Morton code [P] of each quad's AABB midpoint (x, z)."""
     t = np.asarray(plane_table)
     lo, hi = t[:, 20:23], t[:, 23:26]
     cx = (lo[:, 0] + hi[:, 0]) * 0.5
     cz = (lo[:, 2] + hi[:, 2]) * 0.5
     qx = np.clip((cx - cx.min()) * 8.0, 0, 65535).astype(np.uint64)
     qz = np.clip((cz - cz.min()) * 8.0, 0, 65535).astype(np.uint64)
-    return np.argsort(_morton2(qx, qz), kind="stable")
+    return _morton2(qx, qz)
 
 
-def pack_intersection_tables(plane_table: jnp.ndarray):
-    """Derive the kernel's matmul operands from the [P, 32] plane table.
+# Quantities per W tile by test mode (closed-world specialization):
+# mode 0 (full rect test) needs all 6; mode 1 (along-wall only) needs 4;
+# mode 2 (plane test only) needs numer/denom.
+MODE_QUANTITIES = {0: 6, 1: 4, 2: 2}
 
-    Returns (W [T, 6*PT, 8], propsT [T, 16, PT], aabbs [T, 8]) where the
-    plane table is tiled into T tiles of PT = min(P8, PLANE_TILE) planes
-    (P8 = P rounded up to a sublane multiple) so the kernel's
-    [planes, rays] intermediates stay VMEM-resident at ANY scene size
-    (config 5's 64x64 maze has thousands of planes). Planes are
-    Morton-ordered so tiles are spatially compact, and aabbs carries each
-    tile's conservative bounding box (lo xyz, hi xyz, 2 pad) for the
-    kernel's slab-test tile skip. Row blocks of W within a tile, in
-    units of PT:
+
+def _pack_group(t: jnp.ndarray, mode: int):
+    """Pack one kind-homogeneous [Pk, 32] sub-table into tiled matmul
+    operands: (W [T, q*PT, 8], propsT [T, 16, PT], aabbs [T, 8]) with
+    q = MODE_QUANTITIES[mode] and PT = min(Pk8, PLANE_TILE). Row blocks
+    of W within a tile, in units of PT (modes keep a prefix of this):
       0: numerator   = d - O.n        -> coeffs [-n, d | 0]
       1: denominator = D.n            -> coeffs [0    | n, 0]
       2: o1 = O.w1 - b1               -> coeffs [w1, -b1 | 0]
@@ -177,18 +183,17 @@ def pack_intersection_tables(plane_table: jnp.ndarray):
     planes get numerator -1 and denominator 0, so t = NaN/-inf and every
     hit test rejects them with zero extra lane work.
     """
-    p = plane_table.shape[0]
+    p = t.shape[0]
     pt = min(_round_up(p, 8), PLANE_TILE)
     n_tiles = -(-_round_up(p, 8) // pt)
     p8 = n_tiles * pt
-    t = jnp.pad(plane_table, ((0, p8 - p), (0, 0)))
+    t = jnp.pad(t, ((0, p8 - p), (0, 0)))
     valid = t[:, 19:20] > 0.0
 
     # Per-tile conservative AABBs for the kernel's slab-test skip.
     # Padding/invalid rows get an empty box (lo=+BIG, hi=-BIG) so they
-    # never un-skip a tile.
-    # The 1e-2 inflation absorbs the approximate-reciprocal slab error so
-    # the skip stays strictly conservative.
+    # never un-skip a tile. The 1e-2 inflation absorbs the
+    # approximate-reciprocal slab error so the skip stays conservative.
     lo = jnp.where(valid, t[:, 20:23], BIG).reshape(n_tiles, pt, 3)
     hi = jnp.where(valid, t[:, 23:26], -BIG).reshape(n_tiles, pt, 3)
     aabbs = jnp.concatenate(
@@ -210,10 +215,10 @@ def pack_intersection_tables(plane_table: jnp.ndarray):
         jnp.concatenate([z4, w1, z1], axis=1),                # d1
         jnp.concatenate([w2, -b2, z4], axis=1),               # o2
         jnp.concatenate([z4, w2, z1], axis=1),                # d2
-    ]
-    # [6, T, PT, 8] -> [T, 6*PT, 8] (quantity-major inside each tile)
+    ][: MODE_QUANTITIES[mode]]
+    # [q, T, PT, 8] -> [T, q*PT, 8] (quantity-major inside each tile)
     q = jnp.stack([x.reshape(n_tiles, pt, 8) for x in quantities], axis=1)
-    w = q.reshape(n_tiles, 6 * pt, 8)
+    w = q.reshape(n_tiles, len(quantities) * pt, 8)
 
     props = jnp.concatenate(
         [
@@ -227,6 +232,35 @@ def pack_intersection_tables(plane_table: jnp.ndarray):
     )                                                          # [P8, 16]
     props_t = props.reshape(n_tiles, pt, PROP_WIDTH).transpose(0, 2, 1)
     return w, props_t, aabbs
+
+
+def pack_intersection_tables(plane_table):
+    """Derive the kernel's matmul operands from the [P, 32] plane table.
+
+    Returns a 3-tuple indexed by closed-world test mode (Scene.kind):
+    entry k is None when the scene has no kind-k planes, else the tiled
+    (W, propsT, aabbs) operands from _pack_group — tiles of at most
+    PLANE_TILE planes so [planes, rays] intermediates stay VMEM-resident
+    at ANY scene size (config 5's 64x64 maze has thousands of planes).
+    The tuple's None/operand structure is static under jit; the kind
+    partition itself requires a CONCRETE table (it is done once at scene
+    upload — see DeviceScene.mxu_tables).
+
+    Mode semantics (see scene/builder.py Scene.kind): 0 = full 2-edge
+    rectangle test, 1 = along-wall edge test only, 2 = plane test only.
+    Tables without kind info (column 26 zero) land entirely in mode 0,
+    preserving the unspecialized behavior.
+    """
+    t = np.asarray(plane_table)
+    kinds = t[:, 26].astype(np.int32)
+    groups = []
+    for mode in (0, 1, 2):
+        rows = t[kinds == mode]
+        if rows.shape[0] == 0:
+            groups.append(None)
+        else:
+            groups.append(_pack_group(jnp.asarray(rows), mode))
+    return tuple(groups)
 
 
 def _pcg_init(seed, shape):
@@ -269,22 +303,18 @@ def _pcg_uniform(state):
 
 def _tracer_kernel(
     seed_ref,     # SMEM [1] int32
-    aabb_ref,     # SMEM [T, 8]        per-tile AABB (lo xyz, hi xyz, pad)
-    w_ref,        # VMEM [T, 6*PT, 8]  intersection coefficients, tiled
-    props_ref,    # VMEM [T, 16, PT]   transposed property table, tiled
-    g_ref,        # VMEM [8, B]     ray block: ox,oy,oz,1,dx,dy,dz,0
-    out_ref,      # VMEM out [8, B] rows 0..2 = gathered light
-    *,
-    plane_tile: int,
-    n_tiles: int,
+    *refs,        # per group: (aabb SMEM [T,8], W VMEM [T,q*PT,8],
+                  #             propsT VMEM [T,16,PT]); then g_ref, out_ref
+    group_meta: tuple,   # static ((mode, n_tiles, pt), ...) per group
     max_segments: int,
     bounce_limit: int,
     mirror_limit: int,
     mirror_tint: float,
     t_min: float,
 ):
+    g_ref = refs[-2]     # VMEM [8, B] ray block: ox,oy,oz,1,dx,dy,dz,seed
+    out_ref = refs[-1]   # VMEM out [8, B] rows 0..2 = gathered light
     pid = pl.program_id(0)
-    pt = plane_tile
     b = g_ref.shape[1]
     shape = (1, b)
     # Per-lane PCG init; G row 7 optionally carries a per-ray noise-texture
@@ -301,19 +331,18 @@ def _tracer_kernel(
     one_row = f1
     zero_row = f0
 
-    def nearest_tile(w, props_t, g, tmin_in, sel_in):
-        """MXU nearest-hit over one plane tile: one [6PT, 8] x [8, B]
+    def nearest_tile(mode, pt, w, props_t, g, tmin_in, sel_in):
+        """MXU nearest-hit over one plane tile: one [q*PT, 8] x [8, B]
         matmul for all dot products, [PT, B] elementwise hit tests,
         sublane min-reduce, a one-hot property-select matmul (no gathers
         — the hit index never materializes), and a running-min merge
-        with the previous tiles' winner."""
-        a = jnp.dot(w, g, preferred_element_type=jnp.float32)  # [6*PT, B]
+        with the previous tiles' winner. The edge test is specialized by
+        the tile's closed-world mode (Scene.kind): 0 tests both quad
+        edges, 1 only the along-wall edge (vertical extent guaranteed by
+        floor/ceiling), 2 none (world-closing planes)."""
+        a = jnp.dot(w, g, preferred_element_type=jnp.float32)  # [q*PT, B]
         numer = a[0 * pt:1 * pt]
         denom = a[1 * pt:2 * pt]
-        o1 = a[2 * pt:3 * pt]
-        d1 = a[3 * pt:4 * pt]
-        o2 = a[4 * pt:5 * pt]
-        d2 = a[5 * pt:6 * pt]
 
         # t = numer/denom via approximate reciprocal + one Newton step
         # (~1 ulp, cheaper than a full-precision divide on the VPU).
@@ -322,18 +351,30 @@ def _tracer_kernel(
         rcp = pl.reciprocal(denom, approx=True)
         rcp = rcp * (2.0 - denom * rcp)
         t = numer * rcp
-        s1 = o1 + t * d1
-        s2 = o2 + t * d2
-        # In-rectangle iff min(s, 1-s) >= 0 for both edge projections.
-        m = jnp.minimum(
-            jnp.minimum(s1, 1.0 - s1), jnp.minimum(s2, 1.0 - s2)
-        )
-        ok = (m >= 0.0) & (t > t_min)
+        # In-rectangle iff min(s, 1-s) >= 0 for each tested edge.
+        if mode == 0:
+            s1 = a[2 * pt:3 * pt] + t * a[3 * pt:4 * pt]
+            s2 = a[4 * pt:5 * pt] + t * a[5 * pt:6 * pt]
+            m = jnp.minimum(
+                jnp.minimum(s1, 1.0 - s1), jnp.minimum(s2, 1.0 - s2)
+            )
+            ok = (m >= 0.0) & (t > t_min)
+        elif mode == 1:
+            s1 = a[2 * pt:3 * pt] + t * a[3 * pt:4 * pt]
+            ok = (jnp.minimum(s1, 1.0 - s1) >= 0.0) & (t > t_min)
+        else:
+            ok = t > t_min
         tv = jnp.where(ok, t, BIG)
         tile_tmin = jnp.min(tv, axis=0, keepdims=True)        # [1, B]
         # One-hot winner: tv <= tmin picks the (ok) minimum; the
         # tile_tmin < BIG guard (a [1, B] row broadcast) zeroes no-hit
-        # columns where every tv is BIG.
+        # columns where every tv is BIG. Exact ties WITHIN a tile sum the
+        # tied planes' properties (measure-zero for distinct geometry);
+        # ties ACROSS tiles/groups keep the earlier winner (strict <
+        # merge below), which is what resolves the maze-edge walls that
+        # coincide exactly with the outer boundary planes — kind-1 walls
+        # are processed before kind-2 boundary, matching the brute path's
+        # lowest-index pick.
         onehot = ((tv <= tile_tmin) & (tile_tmin < BIG)).astype(jnp.float32)
         sel = jnp.dot(props_t, onehot, preferred_element_type=jnp.float32)
         better = tile_tmin < tmin_in                          # [1, B]
@@ -346,52 +387,66 @@ def _tracer_kernel(
         g = jnp.concatenate(
             [ox, oy, oz, one_row, dx, dy, dz, zero_row], axis=0
         )                                                     # [8, B]
-        tmin = jnp.full(shape, BIG, jnp.float32)
-        sel = jnp.zeros((PROP_WIDTH, b), jnp.float32)
-        if n_tiles == 1:
-            return nearest_tile(w_ref[0], props_ref[0], g, tmin, sel)
+        carry = (
+            jnp.full(shape, BIG, jnp.float32),
+            jnp.zeros((PROP_WIDTH, b), jnp.float32),
+        )
+        multi = any(n_tiles > 1 for _, n_tiles, _ in group_meta)
+        if multi:
+            # Slab-test prereqs (see tile skip below). Reciprocals are
+            # CLAMPED to +-BIG so zero direction components give
+            # huge-but-finite slab distances (never 0*inf=NaN).
+            clamp = lambda r: jnp.clip(r, -BIG, BIG)
+            idx = clamp(pl.reciprocal(dx, approx=True))
+            idy = clamp(pl.reciprocal(dy, approx=True))
+            idz = clamp(pl.reciprocal(dz, approx=True))
 
-        # Slab-test tile skip: Morton-ordered tiles are spatially compact,
-        # and a whole [PT, B] dense test is skipped when NO lane's ray can
-        # enter the tile's AABB closer than its current best hit.
-        # Robustness: reciprocals are CLAMPED to +-BIG so zero direction
-        # components give huge-but-finite slab distances (never 0*inf=NaN),
-        # and the accept test widens tn/tf by a relative 1e-3 + the
-        # absolute AABB inflation, dominating the approximate-reciprocal
-        # error (~2^-12 relative) at any distance — the skip stays
-        # strictly conservative.
-        clamp = lambda r: jnp.clip(r, -BIG, BIG)
-        idx = clamp(pl.reciprocal(dx, approx=True))
-        idy = clamp(pl.reciprocal(dy, approx=True))
-        idz = clamp(pl.reciprocal(dz, approx=True))
+        for gi, (mode, n_tiles, pt) in enumerate(group_meta):
+            aabb_ref, w_ref, props_ref = refs[3 * gi:3 * gi + 3]
+            if n_tiles == 1:
+                carry = nearest_tile(
+                    mode, pt, w_ref[0], props_ref[0], g, *carry
+                )
+                continue
 
-        def tile_body(ti, carry):
-            tmin_c, sel_c = carry
-            t1x = (aabb_ref[ti, 0] - ox) * idx
-            t2x = (aabb_ref[ti, 3] - ox) * idx
-            t1y = (aabb_ref[ti, 1] - oy) * idy
-            t2y = (aabb_ref[ti, 4] - oy) * idy
-            t1z = (aabb_ref[ti, 2] - oz) * idz
-            t2z = (aabb_ref[ti, 5] - oz) * idz
-            tn = jnp.maximum(
-                jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
-                jnp.minimum(t1z, t2z),
-            )
-            tf = jnp.minimum(
-                jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
-                jnp.maximum(t1z, t2z),
-            )
-            tn = tn - jnp.abs(tn) * 1e-3
-            tf = tf + jnp.abs(tf) * 1e-3
-            could_hit = (tf >= tn) & (tf > 0.0) & (tn < tmin_c) & lane_live
-            return jax.lax.cond(
-                jnp.any(could_hit),
-                lambda c: nearest_tile(w_ref[ti], props_ref[ti], g, *c),
-                lambda c: c,
-                carry,
-            )
+            # Slab-test tile skip: Morton-ordered tiles are spatially
+            # compact, and a whole [PT, B] dense test is skipped when NO
+            # live lane's ray can enter the tile's AABB closer than its
+            # current best hit. The accept test widens tn/tf by a
+            # relative 1e-3 on top of the absolute AABB inflation,
+            # dominating the approximate-reciprocal error (~2^-12
+            # relative) at any distance — strictly conservative.
+            def tile_body(ti, c, aabb_ref=aabb_ref, w_ref=w_ref,
+                          props_ref=props_ref, mode=mode, pt=pt):
+                tmin_c, _ = c
+                t1x = (aabb_ref[ti, 0] - ox) * idx
+                t2x = (aabb_ref[ti, 3] - ox) * idx
+                t1y = (aabb_ref[ti, 1] - oy) * idy
+                t2y = (aabb_ref[ti, 4] - oy) * idy
+                t1z = (aabb_ref[ti, 2] - oz) * idz
+                t2z = (aabb_ref[ti, 5] - oz) * idz
+                tn = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                    jnp.minimum(t1z, t2z),
+                )
+                tf = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                    jnp.maximum(t1z, t2z),
+                )
+                tn = tn - jnp.abs(tn) * 1e-3
+                tf = tf + jnp.abs(tf) * 1e-3
+                could_hit = (tf >= tn) & (tf > 0.0) & (tn < tmin_c) & lane_live
+                return jax.lax.cond(
+                    jnp.any(could_hit),
+                    lambda cc: nearest_tile(
+                        mode, pt, w_ref[ti], props_ref[ti], g, *cc
+                    ),
+                    lambda cc: cc,
+                    c,
+                )
 
-        return jax.lax.fori_loop(0, n_tiles, tile_body, (tmin, sel))
+            carry = jax.lax.fori_loop(0, n_tiles, tile_body, carry)
+        return carry
 
     def segment(carry):
         (seg, rng_i, ox, oy, oz, dx, dy, dz, tr, tg, tb, lr, lg, lb,
@@ -498,9 +553,7 @@ def _tracer_kernel(
     ),
 )
 def _trace_padded(
-    w: jnp.ndarray,             # [T, 6*PT, 8] packed coefficients
-    props_t: jnp.ndarray,       # [T, 16, PT]
-    aabbs: jnp.ndarray,         # [T, 8]
+    tables: tuple,              # pack_intersection_tables() 3-tuple
     g_all: jnp.ndarray,         # [8, R] component-major padded rays
     seed: jnp.ndarray,          # [1] int32
     *,
@@ -514,12 +567,28 @@ def _trace_padded(
 ):
     r_total = g_all.shape[1]
     n_blocks = r_total // block_rays
-    n_tiles, _, pt = props_t.shape
+
+    group_meta = []
+    args = []
+    specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]          # seed
+    total_pw = 0
+    for mode, group in enumerate(tables):
+        if group is None:
+            continue
+        w, props_t, aabbs = group
+        n_tiles, _, pt = props_t.shape
+        group_meta.append((mode, n_tiles, pt))
+        args += [aabbs, w, props_t]
+        specs += [
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # tile AABBs
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # W (whole)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # propsT (whole)
+        ]
+        total_pw += n_tiles * pt
 
     kernel = functools.partial(
         _tracer_kernel,
-        plane_tile=pt,
-        n_tiles=n_tiles,
+        group_meta=tuple(group_meta),
         max_segments=max_segments,
         bounce_limit=bounce_limit,
         mirror_limit=mirror_limit,
@@ -533,24 +602,18 @@ def _trace_padded(
     out = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # tile AABBs
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # W (whole)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # propsT (whole)
-            ray_spec,
-        ],
+        in_specs=specs + [ray_spec],
         out_specs=ray_spec,
         out_shape=jax.ShapeDtypeStruct((8, r_total), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=r_total * n_tiles * pt * max_segments * (15 + 2 * 6 + 2),
+            flops=r_total * total_pw * max_segments * (15 + 2 * 6 + 2),
             bytes_accessed=r_total * 4 * 16,
             transcendentals=r_total * max_segments * 3,
         ),
         # On CPU (tests) run under the TPU-semantics interpreter so
         # SMEM refs and TPU layouts keep working.
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(seed, aabbs, w, props_t, g_all)
+    )(seed, *args, g_all)
     return out
 
 
@@ -573,9 +636,9 @@ def trace_paths_pallas(
     blocks; padded lanes carry zero directions, miss every plane, and
     die on segment one. ``seed_row`` optionally mixes a per-ray value
     (e.g. a noise-texture sample) into the RNG seed. ``tables`` supplies
-    the (W, propsT, aabbs) operands precomputed at scene upload
-    (DeviceScene.mxu_*); left None they are derived from the plane table
-    here (fine under jit, but re-executed every call). With
+    the per-kind (W, propsT, aabbs) operand groups precomputed at scene
+    upload (DeviceScene.mxu_tables); left None they are derived from the
+    plane table here, which requires a CONCRETE (non-traced) table. With
     ``return_block_segments`` the per-block executed-segment counts
     (the early-exit diagnostic, kernel output row 3) are returned as a
     second array [R // (rows_per_block*128)].
@@ -599,11 +662,8 @@ def trace_paths_pallas(
     g_all = jnp.concatenate([ot, ones, dt, srow], axis=0)  # [8, R]
 
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
-    w, props_t, aabbs = tables
     out = _trace_padded(
-        w,
-        props_t,
-        aabbs,
+        tables,
         g_all,
         seed_arr,
         max_segments=cfg.max_segments,

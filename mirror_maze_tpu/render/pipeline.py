@@ -72,7 +72,7 @@ def render_pixels(
         light = trace_paths_pallas(
             scene.plane_table, ori, dirs, seed, cfg.tracer,
             seed_row=seed_row,
-            tables=(scene.mxu_w, scene.mxu_props, scene.mxu_aabbs),
+            tables=scene.mxu_tables,
         )
     else:
         light = trace_paths(scene, ori, dirs, tkey, cfg.tracer, nearest_fn)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -42,13 +43,12 @@ class DeviceScene(NamedTuple):
     leaf_min: jnp.ndarray   # [L, 3]
     leaf_max: jnp.ndarray   # [L, 3]
     # Packed [P, 32] table for the Pallas wavefront kernel
-    # (render/pallas_tracer.py PLANE_COLS), Morton-ordered, plus its
-    # derived matmul operands (pack_intersection_tables) computed once
-    # at upload: W [T, 6*PT, 8], propsT [T, 16, PT], tile AABBs [T, 8].
+    # (render/pallas_tracer.py PLANE_COLS), Morton-ordered within each
+    # closed-world test kind, plus its derived matmul operand groups
+    # (pack_intersection_tables) computed once at upload: a 3-tuple
+    # indexed by kind, each None or (W, propsT, tile AABBs).
     plane_table: jnp.ndarray
-    mxu_w: jnp.ndarray
-    mxu_props: jnp.ndarray
-    mxu_aabbs: jnp.ndarray
+    mxu_tables: tuple
     # Noise texture [S, S] float32 in [0,1) — the reference's RNG seed
     # source (`main.rs:667-695`), used when TracerConfig.noise_rng is on.
     noise: jnp.ndarray
@@ -71,7 +71,9 @@ def upload_scene(
         noise = generate_noise()
     der = scene.derived()
     table = _ordered_plane_table(der, scene)
-    mxu_w, mxu_props, mxu_aabbs = pack_intersection_tables(jnp.asarray(table))
+    mxu_tables = jax.tree.map(
+        jnp.asarray, pack_intersection_tables(table)
+    )
     leaf_min, leaf_max = bvh.leaf_boxes()
     as_dev = lambda a: jnp.asarray(a)
     return DeviceScene(
@@ -93,9 +95,7 @@ def upload_scene(
         leaf_min=as_dev(leaf_min.astype(np.float32)),
         leaf_max=as_dev(leaf_max.astype(np.float32)),
         plane_table=as_dev(table),
-        mxu_w=as_dev(mxu_w),
-        mxu_props=as_dev(mxu_props),
-        mxu_aabbs=as_dev(mxu_aabbs),
+        mxu_tables=mxu_tables,
         noise=as_dev(np.asarray(noise, dtype=np.float32)),
     )
 
@@ -108,7 +108,7 @@ def _ordered_plane_table(der, scene) -> np.ndarray:
     table is self-contained (all shading properties inline), so its
     order is independent of the DeviceScene arrays'.
     """
-    from .pallas_tracer import build_plane_table, spatial_plane_order
+    from .pallas_tracer import build_plane_table, spatial_plane_order_key
 
     table = build_plane_table(der, scene)
     # Drop invalid planes (degenerate zero-extent wall runs) — the kernel
@@ -116,4 +116,5 @@ def _ordered_plane_table(der, scene) -> np.ndarray:
     # dead rows of 81 is pure waste. The table is index-independent, so
     # filtering is safe.
     table = table[table[:, 19] > 0.0]
-    return table[spatial_plane_order(table)]
+    order = np.lexsort((spatial_plane_order_key(table), table[:, 26]))
+    return table[order]

@@ -41,6 +41,20 @@ class Scene:
     is_mirror: np.ndarray  # [N] bool (False = diffuse; `main.rs:444`)
     emission: np.ndarray  # [N, 4] rgb + strength
     grid: np.ndarray      # [H, W] uint8 maze bitmask (for tests/minimap)
+    # Closed-world test class (render/pallas_tracer.py specialization):
+    # 0 = partial quad, full 2-edge in-rectangle test (light panels);
+    # 1 = full floor-to-ceiling wall, only the along-wall (v/s1) edge test
+    #     is needed — any in-world ray crossing the plane beyond the
+    #     vertical extent crosses floor/ceiling first at smaller t;
+    # 2 = world-closing plane (floor/ceiling/outer boundary), no edge
+    #     test — an in-world ray's nearest crossing is always inside.
+    # Defaults to all-zero (full tests everywhere): always correct, just
+    # unspecialized — so hand-built test scenes need not set it.
+    kind: np.ndarray | None = None  # [N] uint8
+
+    def __post_init__(self):
+        if self.kind is None:
+            self.kind = np.zeros(self.origin.shape[0], dtype=np.uint8)
 
     @property
     def num_planes(self) -> int:
@@ -132,21 +146,23 @@ def build_scene(cfg: MazeConfig) -> Scene:
     colors: List[np.ndarray] = []
     mirrors: List[bool] = []
     emissions: List[np.ndarray] = []
+    kinds: List[int] = []
 
-    def push(o, vv, uu, col, mirror, em):
+    def push(o, vv, uu, col, mirror, em, kind=0):
         origins.append(np.asarray(o, dtype=np.float64))
         vs.append(np.asarray(vv, dtype=np.float64))
         us.append(np.asarray(uu, dtype=np.float64))
         colors.append(np.asarray(col, dtype=np.float64))
         mirrors.append(bool(mirror))
         emissions.append(np.asarray(em, dtype=np.float64))
+        kinds.append(int(kind))
 
     # Vertical wall runs (`main.rs:449-481`): a run (x, start, len) lies on
     # grid line x, spanning z in [start, start+len] cells.
     for line, start, length in vert:
         o = [-half + line * cs, top, -half + start * cs]
         push(o, [0.0, 0.0, length * cs], wall_u, wall_color,
-             rng.random() >= 1.0 - cfg.vert_mirror_prob, no_em_red)
+             rng.random() >= 1.0 - cfg.vert_mirror_prob, no_em_red, kind=1)
         if length <= cfg.light_max_run and rng.random() < cfg.light_prob:
             push([o[0] + cfg.light_inset, top, o[2]],
                  [0.0, 0.0, cfg.light_length], light_u, wall_color,
@@ -157,7 +173,7 @@ def build_scene(cfg: MazeConfig) -> Scene:
     for line, start, length in hori:
         o = [-half + start * cs, top, -half + line * cs]
         push(o, [length * cs, 0.0, 0.0], wall_u, wall_color,
-             rng.random() >= 1.0 - cfg.hori_mirror_prob, no_em_red)
+             rng.random() >= 1.0 - cfg.hori_mirror_prob, no_em_red, kind=1)
         if length <= cfg.light_max_run and rng.random() < cfg.light_prob:
             push([o[0], top, o[2] + cfg.light_inset],
                  [cfg.light_length, 0.0, 0.0], light_u, wall_color,
@@ -167,17 +183,17 @@ def build_scene(cfg: MazeConfig) -> Scene:
     bh = cfg.boundary_height
     span = 2.0 * half
     push([-half, top, -half], [0.0, -bh, 0.0], [span, 0.0, 0.0],
-         wall_color, False, no_em_white)
+         wall_color, False, no_em_white, kind=2)
     push([-half, top, half], [span, 0.0, 0.0], [0.0, -bh, 0.0],
-         wall_color, False, no_em_white)
+         wall_color, False, no_em_white, kind=2)
     push([-half, top, -half], [0.0, 0.0, span], [0.0, -bh, 0.0],
-         wall_color, False, no_em_white)
+         wall_color, False, no_em_white, kind=2)
     push([half, top, -half], [0.0, -bh, 0.0], [0.0, 0.0, span],
-         wall_color, False, no_em_white)
+         wall_color, False, no_em_white, kind=2)
 
     # Floor (`main.rs:549-556`).
     push([-half, top, half], [0.0, 0.0, -span], [span, 0.0, 0.0],
-         cfg.floor_color, False, no_em_white)
+         cfg.floor_color, False, no_em_white, kind=2)
 
     # Fixed light panel (`main.rs:559-566`): at (-5, 2, -49.9) for the
     # default 10x10/100-unit world; generalized as below.
@@ -187,7 +203,8 @@ def build_scene(cfg: MazeConfig) -> Scene:
     # Ceiling (`main.rs:578-585`): faint warm emission.
     push([-half, top - cfg.wall_height, half], [0.0, 0.0, -span],
          [span, 0.0, 0.0], cfg.ceiling_color, False,
-         np.array([*cfg.light_emission, cfg.ceiling_emission_strength]))
+         np.array([*cfg.light_emission, cfg.ceiling_emission_strength]),
+         kind=2)
 
     return Scene(
         origin=np.stack(origins).astype(np.float32),
@@ -197,4 +214,5 @@ def build_scene(cfg: MazeConfig) -> Scene:
         is_mirror=np.array(mirrors, dtype=bool),
         emission=np.stack(emissions).astype(np.float32),
         grid=grid,
+        kind=np.array(kinds, dtype=np.uint8),
     )

@@ -92,7 +92,7 @@ def tracer_segment_histogram(
     _, segs = trace_paths_pallas(
         scene.plane_table, ori, dirs, jnp.int32(seed), cfg.tracer,
         rows_per_block=rows_per_block, return_block_segments=True,
-        tables=(scene.mxu_w, scene.mxu_props, scene.mxu_aabbs),
+        tables=scene.mxu_tables,
     )
     segs = np.asarray(segs).astype(int)
     return {

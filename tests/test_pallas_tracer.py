@@ -166,6 +166,7 @@ def test_large_scene_plane_tiling(rng):
 
 def test_pack_tables_tiling_shapes():
     from mirror_maze_tpu.render.pallas_tracer import (
+        MODE_QUANTITIES,
         PLANE_TILE,
         PLANE_WIDTH,
         pack_intersection_tables,
@@ -174,12 +175,42 @@ def test_pack_tables_tiling_shapes():
     for p in (3, 81, 128, 129, 700):
         table = np.zeros((p, PLANE_WIDTH), np.float32)
         table[:, 19] = 1.0
-        w, pt, aabbs = pack_intersection_tables(jnp.asarray(table))
+        # no kind column -> everything lands in mode 0
+        groups = pack_intersection_tables(jnp.asarray(table))
+        assert groups[1] is None and groups[2] is None
+        w, pt, aabbs = groups[0]
         tiles = max(1, -(-((p + 7) // 8 * 8) // PLANE_TILE))
         assert w.shape[0] == pt.shape[0] == aabbs.shape[0] == tiles
         assert w.shape[2] == 8 and pt.shape[1] == 16
-        assert w.shape[1] == 6 * pt.shape[2]
+        assert w.shape[1] == MODE_QUANTITIES[0] * pt.shape[2]
         assert aabbs.shape[1] == 8
+
+
+def test_pack_tables_kind_groups():
+    """A real scene partitions into all three closed-world kinds with the
+    right W widths (6/4/2 quantities) and plane counts."""
+    from mirror_maze_tpu.render.pallas_tracer import (
+        MODE_QUANTITIES,
+        pack_intersection_tables,
+    )
+
+    scene = build_scene(MazeConfig(width=10, height=10))
+    dev = upload_scene(scene)
+    table = np.asarray(dev.plane_table)
+    groups = pack_intersection_tables(dev.plane_table)
+    total = 0
+    for mode, group in enumerate(groups):
+        n_mode = int((table[:, 26] == mode).sum())
+        if group is None:
+            assert n_mode == 0
+            continue
+        w, pt, aabbs = group
+        assert w.shape[1] == MODE_QUANTITIES[mode] * pt.shape[2]
+        assert w.shape[0] == pt.shape[0] == aabbs.shape[0]
+        assert pt.shape[0] * pt.shape[2] >= n_mode
+        total += n_mode
+    assert total == table.shape[0]
+    assert int((table[:, 26] == 2).sum()) == 6  # floor+ceiling+4 boundary
 
 
 def test_tile_aabbs_conservative():
@@ -191,15 +222,19 @@ def test_tile_aabbs_conservative():
     scene = build_scene(MazeConfig(width=16, height=16))
     dev = upload_scene(scene)
     table = np.asarray(dev.plane_table)
-    w, pt, aabbs = map(np.asarray, pack_intersection_tables(dev.plane_table))
-    tiles, _, ptile = pt.shape
-    for ti in range(tiles):
-        rows = table[ti * ptile:(ti + 1) * ptile]
-        rows = rows[rows[:, 19] > 0]  # valid only
-        if len(rows) == 0:
+    for mode, group in enumerate(pack_intersection_tables(dev.plane_table)):
+        if group is None:
             continue
-        assert (rows[:, 20:23] >= aabbs[ti, 0:3] - 1e-4).all()
-        assert (rows[:, 23:26] <= aabbs[ti, 3:6] + 1e-4).all()
+        rows_all = table[table[:, 26] == mode]
+        _, pt, aabbs = map(np.asarray, group)
+        tiles, _, ptile = pt.shape
+        for ti in range(tiles):
+            rows = rows_all[ti * ptile:(ti + 1) * ptile]
+            rows = rows[rows[:, 19] > 0]  # valid only
+            if len(rows) == 0:
+                continue
+            assert (rows[:, 20:23] >= aabbs[ti, 0:3] - 1e-4).all()
+            assert (rows[:, 23:26] <= aabbs[ti, 3:6] + 1e-4).all()
 
 
 def test_spatial_order_is_permutation():
