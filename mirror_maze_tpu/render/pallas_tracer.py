@@ -331,15 +331,14 @@ def _tracer_kernel(
     one_row = f1
     zero_row = f0
 
-    def nearest_tile(mode, pt, w, props_t, g, tmin_in, sel_in):
-        """MXU nearest-hit over one plane tile: one [q*PT, 8] x [8, B]
-        matmul for all dot products, [PT, B] elementwise hit tests,
-        sublane min-reduce, a one-hot property-select matmul (no gathers
-        — the hit index never materializes), and a running-min merge
-        with the previous tiles' winner. The edge test is specialized by
-        the tile's closed-world mode (Scene.kind): 0 tests both quad
-        edges, 1 only the along-wall edge (vertical extent guaranteed by
-        floor/ceiling), 2 none (world-closing planes)."""
+    def tile_tv(mode, pt, w, g):
+        """Hit distances for one plane tile: one [q*PT, 8] x [8, B] MXU
+        matmul for all dot products, then [PT, B] elementwise hit tests.
+        Returns tv [PT, B] = t where the tile's plane is hit, else BIG.
+        The edge test is specialized by the tile's closed-world mode
+        (Scene.kind): 0 tests both quad edges, 1 only the along-wall
+        edge (vertical extent guaranteed by floor/ceiling), 2 none
+        (world-closing planes)."""
         a = jnp.dot(w, g, preferred_element_type=jnp.float32)  # [q*PT, B]
         numer = a[0 * pt:1 * pt]
         denom = a[1 * pt:2 * pt]
@@ -364,17 +363,22 @@ def _tracer_kernel(
             ok = (jnp.minimum(s1, 1.0 - s1) >= 0.0) & (t > t_min)
         else:
             ok = t > t_min
-        tv = jnp.where(ok, t, BIG)
+        return jnp.where(ok, t, BIG)
+
+    def nearest_tile(mode, pt, w, props_t, g, tmin_in, sel_in):
+        """Nearest-hit over one plane tile merged with the running
+        winner: tile_tv, sublane min-reduce, a one-hot property-select
+        matmul (no gathers — the hit index never materializes), and a
+        strict-< merge with the previous tiles' (tmin, sel). Exact ties
+        WITHIN a tile sum the tied planes' properties; ties ACROSS tiles
+        keep the earlier winner. Both are measure-zero: the scene
+        builder insets the boundary planes so no two distinct planes of
+        a generated maze coincide."""
+        tv = tile_tv(mode, pt, w, g)
         tile_tmin = jnp.min(tv, axis=0, keepdims=True)        # [1, B]
         # One-hot winner: tv <= tmin picks the (ok) minimum; the
         # tile_tmin < BIG guard (a [1, B] row broadcast) zeroes no-hit
-        # columns where every tv is BIG. Exact ties WITHIN a tile sum the
-        # tied planes' properties (measure-zero for distinct geometry);
-        # ties ACROSS tiles/groups keep the earlier winner (strict <
-        # merge below), which is what resolves the maze-edge walls that
-        # coincide exactly with the outer boundary planes — kind-1 walls
-        # are processed before kind-2 boundary, matching the brute path's
-        # lowest-index pick.
+        # columns where every tv is BIG.
         onehot = ((tv <= tile_tmin) & (tile_tmin < BIG)).astype(jnp.float32)
         sel = jnp.dot(props_t, onehot, preferred_element_type=jnp.float32)
         better = tile_tmin < tmin_in                          # [1, B]
@@ -387,11 +391,36 @@ def _tracer_kernel(
         g = jnp.concatenate(
             [ox, oy, oz, one_row, dx, dy, dz, zero_row], axis=0
         )                                                     # [8, B]
-        carry = (
-            jnp.full(shape, BIG, jnp.float32),
-            jnp.zeros((PROP_WIDTH, b), jnp.float32),
-        )
-        multi = any(n_tiles > 1 for _, n_tiles, _ in group_meta)
+        single = [(gi, m) for gi, m in enumerate(group_meta) if m[1] == 1]
+        multi = [(gi, m) for gi, m in enumerate(group_meta) if m[1] > 1]
+
+        # Phase 1 — all single-tile groups JOINTLY: per-group MXU dot +
+        # mode-specialized hit test, ONE shared min across every group's
+        # tv, then per-group one-hot selects SUMMED into one sel (a
+        # non-winning group's one-hot is all zero). This keeps the
+        # closed-world specialization without paying a reduce/select/
+        # merge chain per group. It runs FIRST so the world-closing
+        # planes (floor/ceiling/boundary — which every ray hits) give
+        # each lane a finite tmin before the multi-tile slab skip below,
+        # making the t-bound cull effective from the first tile.
+        tmin = jnp.full(shape, BIG, jnp.float32)
+        sel = jnp.zeros((PROP_WIDTH, b), jnp.float32)
+        tvs = []
+        for gi, (mode, _, pt) in single:
+            _, w_ref, props_ref = refs[3 * gi:3 * gi + 3]
+            tv = tile_tv(mode, pt, w_ref[0], g)
+            tvs.append((props_ref, tv))
+            tmin = jnp.minimum(
+                tmin, jnp.min(tv, axis=0, keepdims=True)
+            )
+        any_hit = tmin < BIG
+        for props_ref, tv in tvs:
+            onehot = ((tv <= tmin) & any_hit).astype(jnp.float32)
+            sel = sel + jnp.dot(
+                props_ref[0], onehot, preferred_element_type=jnp.float32
+            )
+        carry = (tmin, sel)
+
         if multi:
             # Slab-test prereqs (see tile skip below). Reciprocals are
             # CLAMPED to +-BIG so zero direction components give
@@ -401,13 +430,8 @@ def _tracer_kernel(
             idy = clamp(pl.reciprocal(dy, approx=True))
             idz = clamp(pl.reciprocal(dz, approx=True))
 
-        for gi, (mode, n_tiles, pt) in enumerate(group_meta):
+        for gi, (mode, n_tiles, pt) in multi:
             aabb_ref, w_ref, props_ref = refs[3 * gi:3 * gi + 3]
-            if n_tiles == 1:
-                carry = nearest_tile(
-                    mode, pt, w_ref[0], props_ref[0], g, *carry
-                )
-                continue
 
             # Slab-test tile skip: Morton-ordered tiles are spatially
             # compact, and a whole [PT, B] dense test is skipped when NO

@@ -179,16 +179,26 @@ def build_scene(cfg: MazeConfig) -> Scene:
                  [cfg.light_length, 0.0, 0.0], light_u, wall_color,
                  False, light_em)
 
-    # Four outer boundary walls (`main.rs:517-548`).
+    # Four outer boundary walls (`main.rs:517-548`), inset OUTWARD by a
+    # hair. The maze's border wall runs lie exactly on the world edge, so
+    # without the inset a border wall and its backing boundary plane are
+    # the same plane and a ray's nearest hit is an exact tie — which the
+    # kernel's one-hot select resolves by SUMMING the tied planes'
+    # properties (doubled normals, mirror+diffuse mashups). The boundary
+    # is a pure world-closing backstop, fully hidden behind the border
+    # walls, so pushing it 1e-3 behind them makes every such tie strict
+    # (wall wins, matching the reference's first-found pick) with no
+    # visible change.
     bh = cfg.boundary_height
     span = 2.0 * half
-    push([-half, top, -half], [0.0, -bh, 0.0], [span, 0.0, 0.0],
+    eps = 1e-3
+    push([-half, top, -half - eps], [0.0, -bh, 0.0], [span, 0.0, 0.0],
          wall_color, False, no_em_white, kind=2)
-    push([-half, top, half], [span, 0.0, 0.0], [0.0, -bh, 0.0],
+    push([-half, top, half + eps], [span, 0.0, 0.0], [0.0, -bh, 0.0],
          wall_color, False, no_em_white, kind=2)
-    push([-half, top, -half], [0.0, 0.0, span], [0.0, -bh, 0.0],
+    push([-half - eps, top, -half], [0.0, 0.0, span], [0.0, -bh, 0.0],
          wall_color, False, no_em_white, kind=2)
-    push([half, top, -half], [0.0, -bh, 0.0], [0.0, 0.0, span],
+    push([half + eps, top, -half], [0.0, -bh, 0.0], [0.0, 0.0, span],
          wall_color, False, no_em_white, kind=2)
 
     # Floor (`main.rs:549-556`).

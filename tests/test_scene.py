@@ -21,14 +21,18 @@ def test_scene_structure_default():
 
 def test_fixed_planes_match_reference_values():
     """Boundary/floor/light/ceiling geometry for the default 10x10 world
-    must match `main.rs:517-585` exactly."""
+    must match `main.rs:517-585` — except the boundary planes, which sit
+    1e-3 OUTSIDE the reference position by design (backstop inset: the
+    maze's border walls lie exactly on the world edge, and coplanar
+    wall/boundary pairs would tie in the nearest-hit select)."""
     s = build_scene(MazeConfig())
+    eps = 1e-3
     # Last 7 planes in order.
     b1, b2, b3, b4, floor, light, ceil = range(s.num_planes - 7, s.num_planes)
-    np.testing.assert_allclose(s.origin[b1], [-50.0, 2.0, -50.0])
+    np.testing.assert_allclose(s.origin[b1], [-50.0, 2.0, -50.0 - eps])
     np.testing.assert_allclose(s.v[b1], [0.0, -20.0, 0.0])
     np.testing.assert_allclose(s.u[b1], [100.0, 0.0, 0.0])
-    np.testing.assert_allclose(s.origin[b4], [50.0, 2.0, -50.0])
+    np.testing.assert_allclose(s.origin[b4], [50.0 + eps, 2.0, -50.0])
     np.testing.assert_allclose(s.origin[floor], [-50.0, 2.0, 50.0])
     np.testing.assert_allclose(s.color[floor], [0.4, 0.45, 0.3])
     np.testing.assert_allclose(s.origin[light], [-5.0, 2.0, -49.9])
@@ -86,6 +90,6 @@ def test_derived_constants():
 
 def test_world_scales_with_maze_size():
     s = build_scene(MazeConfig(width=4, height=4))
-    # World half extent 20: boundaries at +-20.
-    assert np.isclose(np.abs(s.origin[:, 0]).max(), 20.0)
-    assert np.isclose(np.abs(s.origin[:, 2]).max(), 20.0)
+    # World half extent 20: boundaries at +-(20 + backstop inset).
+    assert np.isclose(np.abs(s.origin[:, 0]).max(), 20.001)
+    assert np.isclose(np.abs(s.origin[:, 2]).max(), 20.001)
