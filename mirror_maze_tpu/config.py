@@ -72,6 +72,12 @@ class TracerConfig:
     # default: the counter-based seeding is already decorrelated; on, the
     # reference's spatially-correlated grain is reproduced (pallas path).
     noise_rng: bool = False
+    # Rays per pallas program in units of 128 lanes (B = block_rows*128).
+    # Measured on v5e (PERF.md): 32 optimal — the kernel's elementwise
+    # stages are instruction-latency-bound, and wider blocks amortize op
+    # latency over more independent vregs; beyond 64 VMEM overflows at
+    # hundreds of planes, and the all-dead early exit loses leverage.
+    block_rows: int = 32
 
     @property
     def max_segments(self) -> int:

@@ -343,13 +343,20 @@ def _tracer_kernel(
         numer = a[0 * pt:1 * pt]
         denom = a[1 * pt:2 * pt]
 
-        # t = numer/denom via approximate reciprocal + one Newton step
-        # (~1 ulp, cheaper than a full-precision divide on the VPU).
-        # denom == 0 (parallel/invalid) => rcp = inf => t = +-inf or NaN,
-        # and every comparison below rejects it.
-        rcp = pl.reciprocal(denom, approx=True)
-        rcp = rcp * (2.0 - denom * rcp)
-        t = numer * rcp
+        # t = numer/denom via the APPROXIMATE reciprocal, no Newton
+        # step: measured on v5e the approx rcp is ~2^-16 relative, so t
+        # (and the hit position advanced with it) is within ~0.5 mm at
+        # the world's largest distances — far below anything visible,
+        # and 2 VPU ops/plane cheaper. Do NOT "fix" this by
+        # reconstructing t from the one-hot-selected plane equation:
+        # sel rides an MXU matmul whose f32 inputs are not carried at
+        # full precision, and positions rebuilt from sel normals land
+        # centimeters off the surface (measured -4% frame luminance).
+        # denom == 0 (parallel/invalid) => t = +-inf or NaN (0*inf), and
+        # every comparison below rejects it (-inf/NaN via t > t_min;
+        # +inf never beats a real hit and equals-BIG columns are
+        # discarded by the thresh < BIG guard).
+        t = numer * pl.reciprocal(denom, approx=True)
         # In-rectangle iff min(s, 1-s) >= 0 for each tested edge.
         if mode == 0:
             s1 = a[2 * pt:3 * pt] + t * a[3 * pt:4 * pt]
@@ -376,10 +383,11 @@ def _tracer_kernel(
         a generated maze coincide."""
         tv = tile_tv(mode, pt, w, g)
         tile_tmin = jnp.min(tv, axis=0, keepdims=True)        # [1, B]
-        # One-hot winner: tv <= tmin picks the (ok) minimum; the
-        # tile_tmin < BIG guard (a [1, B] row broadcast) zeroes no-hit
-        # columns where every tv is BIG.
-        onehot = ((tv <= tile_tmin) & (tile_tmin < BIG)).astype(jnp.float32)
+        # One-hot winner: tv <= threshold picks the (ok) minimum; no-hit
+        # columns (every tv >= BIG) get threshold -1, which nothing
+        # passes — one [1, B] where instead of a [PT, B] mask AND.
+        thresh = jnp.where(tile_tmin < BIG, tile_tmin, -1.0)
+        onehot = (tv <= thresh).astype(jnp.float32)
         sel = jnp.dot(props_t, onehot, preferred_element_type=jnp.float32)
         better = tile_tmin < tmin_in                          # [1, B]
         return (
@@ -413,9 +421,9 @@ def _tracer_kernel(
             tmin = jnp.minimum(
                 tmin, jnp.min(tv, axis=0, keepdims=True)
             )
-        any_hit = tmin < BIG
+        thresh = jnp.where(tmin < BIG, tmin, -1.0)
         for props_ref, tv in tvs:
-            onehot = ((tv <= tmin) & any_hit).astype(jnp.float32)
+            onehot = (tv <= thresh).astype(jnp.float32)
             sel = sel + jnp.dot(
                 props_ref[0], onehot, preferred_element_type=jnp.float32
             )

@@ -71,6 +71,7 @@ def render_pixels(
             seed_row = jnp.repeat(sample_noise(scene.noise, pixels_xy), spp)
         light = trace_paths_pallas(
             scene.plane_table, ori, dirs, seed, cfg.tracer,
+            rows_per_block=cfg.tracer.block_rows,
             seed_row=seed_row,
             tables=scene.mxu_tables,
         )
