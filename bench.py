@@ -56,7 +56,10 @@ def main() -> None:
         cfg = EngineConfig(
             maze=MazeConfig(width=args.maze, height=args.maze),
             tracer=TracerConfig(
-                bounce_limit=args.bounce_limit, mirror_limit=args.mirror_limit
+                bounce_limit=args.bounce_limit, mirror_limit=args.mirror_limit,
+                # Large scenes want chunk-tight blocks for the tile skip
+                # (PERF.md); small scenes want wide blocks for latency.
+                block_rows=8 if args.maze >= 32 else 32,
             ),
             screen=ScreenConfig(
                 width=args.width, height=args.height,

@@ -213,10 +213,14 @@ def config_interactive() -> EngineConfig:
 
 
 def config_scale() -> EngineConfig:
-    """Config 5: 64x64 maze, 4K, 16 bounces, batched multi-camera on a mesh."""
+    """Config 5: 64x64 maze, 4K, 16 bounces, batched multi-camera on a mesh.
+
+    block_rows 8 (not the default 32): at thousands of planes the
+    per-tile AABB skip dominates, and it needs the per-block ray set
+    spatially tight — one chunk's worth of rays per block (PERF.md)."""
     return EngineConfig(
         maze=MazeConfig(width=64, height=64),
-        tracer=TracerConfig(bounce_limit=5, mirror_limit=16),
+        tracer=TracerConfig(bounce_limit=5, mirror_limit=16, block_rows=8),
         screen=ScreenConfig(width=3840, height=2160),
         intersector="pallas",
     )

@@ -396,6 +396,9 @@ def _tracer_kernel(
         )
 
     def nearest(ox, oy, oz, dx, dy, dz, lane_live):
+        """Nearest hit over all groups; returns (tmin, sel, tested)
+        where tested is the number of dense plane tiles actually
+        evaluated (the tile-skip diagnostic, int32 scalar)."""
         g = jnp.concatenate(
             [ox, oy, oz, one_row, dx, dy, dz, zero_row], axis=0
         )                                                     # [8, B]
@@ -427,7 +430,7 @@ def _tracer_kernel(
             sel = sel + jnp.dot(
                 props_ref[0], onehot, preferred_element_type=jnp.float32
             )
-        carry = (tmin, sel)
+        carry = (tmin, sel, jnp.int32(len(single)))
 
         if multi:
             # Slab-test prereqs (see tile skip below). Reciprocals are
@@ -450,7 +453,7 @@ def _tracer_kernel(
             # relative) at any distance — strictly conservative.
             def tile_body(ti, c, aabb_ref=aabb_ref, w_ref=w_ref,
                           props_ref=props_ref, mode=mode, pt=pt):
-                tmin_c, _ = c
+                tmin_c = c[0]
                 t1x = (aabb_ref[ti, 0] - ox) * idx
                 t2x = (aabb_ref[ti, 3] - ox) * idx
                 t1y = (aabb_ref[ti, 1] - oy) * idy
@@ -471,8 +474,8 @@ def _tracer_kernel(
                 return jax.lax.cond(
                     jnp.any(could_hit),
                     lambda cc: nearest_tile(
-                        mode, pt, w_ref[ti], props_ref[ti], g, *cc
-                    ),
+                        mode, pt, w_ref[ti], props_ref[ti], g, cc[0], cc[1]
+                    ) + (cc[2] + 1,),
                     lambda cc: cc,
                     c,
                 )
@@ -481,14 +484,14 @@ def _tracer_kernel(
         return carry
 
     def segment(carry):
-        (seg, rng_i, ox, oy, oz, dx, dy, dz, tr, tg, tb, lr, lg, lb,
+        (seg, tiles, rng_i, ox, oy, oz, dx, dy, dz, tr, tg, tb, lr, lg, lb,
          mh, dc, alive_i) = carry
         # Mosaic's scf.while cannot carry vector i1/ui32 — masks ride as
         # int32 and the RNG state as a bitcast int32.
         rng = pltpu.bitcast(rng_i, jnp.uint32)
         alive = alive_i != 0
 
-        t, sel = nearest(ox, oy, oz, dx, dy, dz, alive)
+        t, sel, tested = nearest(ox, oy, oz, dx, dy, dz, alive)
         nx, ny, nz = sel[0:1], sel[1:2], sel[2:3]
         cr, cg, cb = sel[3:4], sel[4:5], sel[5:6]
         er, eg, eb = sel[6:7], sel[7:8], sel[8:9]
@@ -547,7 +550,7 @@ def _tracer_kernel(
         alive = (
             alive & hit & ~(mirror & ~mirror_live) & (dc_new < bounce_limit)
         )
-        return (seg + 1, pltpu.bitcast(rng, jnp.int32),
+        return (seg + 1, tiles + tested, pltpu.bitcast(rng, jnp.int32),
                 ox, oy, oz, dx, dy, dz, tr, tg, tb,
                 lr, lg, lb, mh_new, dc_new, alive.astype(jnp.int32))
 
@@ -555,8 +558,10 @@ def _tracer_kernel(
         seg, alive_i = carry[0], carry[-1]
         return (seg < max_segments) & (jnp.max(alive_i) > 0)
 
+
     g0 = g_ref[:]
     init = (
+        jnp.int32(0),
         jnp.int32(0),
         pltpu.bitcast(rng0, jnp.int32),
         g0[0:1], g0[1:2], g0[2:3],
@@ -568,11 +573,15 @@ def _tracer_kernel(
         jnp.ones(shape, jnp.int32),
     )
     out = jax.lax.while_loop(cond, segment, init)
-    # Rows 0..2: gathered light. Row 3: segments this block executed
-    # (early-exit diagnostic, surfaced via trace_paths_pallas(return_block_segments=True)). Rows 4..7: zero.
+    # Rows 0..2: gathered light. Row 3: segments this block executed;
+    # row 4: dense plane tiles evaluated across those segments (both
+    # early-exit/tile-skip diagnostics, surfaced via
+    # trace_paths_pallas(return_block_segments=True)). Rows 5..7: zero.
     segs = jnp.broadcast_to(out[0].astype(jnp.float32), (1, b))
+    tiles = jnp.broadcast_to(out[1].astype(jnp.float32), (1, b))
     out_ref[:] = jnp.concatenate(
-        [out[11], out[12], out[13], segs, jnp.zeros((4, b), jnp.float32)],
+        [out[12], out[13], out[14], segs, tiles,
+         jnp.zeros((3, b), jnp.float32)],
         axis=0,
     )
 
@@ -671,9 +680,10 @@ def trace_paths_pallas(
     the per-kind (W, propsT, aabbs) operand groups precomputed at scene
     upload (DeviceScene.mxu_tables); left None they are derived from the
     plane table here, which requires a CONCRETE (non-traced) table. With
-    ``return_block_segments`` the per-block executed-segment counts
-    (the early-exit diagnostic, kernel output row 3) are returned as a
-    second array [R // (rows_per_block*128)].
+    ``return_block_segments`` the per-block executed-segment and
+    evaluated-tile counts (the early-exit and tile-skip diagnostics,
+    kernel output rows 3-4) are returned as a second array
+    [2, R // (rows_per_block*128)].
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -708,5 +718,5 @@ def trace_paths_pallas(
     )
     light = out[0:3, :n].T
     if return_block_segments:
-        return light, out[3, ::block]
+        return light, out[3:5, ::block]
     return light

@@ -89,18 +89,23 @@ def tracer_segment_histogram(
 
     from ..render.pallas_tracer import trace_paths_pallas
 
-    _, segs = trace_paths_pallas(
+    _, diag = trace_paths_pallas(
         scene.plane_table, ori, dirs, jnp.int32(seed), cfg.tracer,
         rows_per_block=rows_per_block, return_block_segments=True,
         tables=scene.mxu_tables,
     )
-    segs = np.asarray(segs).astype(int)
+    diag = np.asarray(diag).astype(int)
+    segs, tiles = diag[0], diag[1]
     return {
         "mean": float(segs.mean()),
         "max_segments": cfg.tracer.max_segments,
         "histogram": np.bincount(
             segs, minlength=cfg.tracer.max_segments + 1
         ).tolist(),
+        # Dense plane tiles evaluated per block over its whole bounce
+        # loop vs the no-skip worst case (segments x total tiles).
+        "mean_tiles": float(tiles.mean()),
+        "tiles_per_segment": float(tiles.sum() / max(segs.sum(), 1)),
     }
 
 

@@ -270,9 +270,13 @@ def test_block_segments_diagnostic(rng):
     dev = upload_scene(scene)
     cfg = TracerConfig(bounce_limit=3, mirror_limit=4)
     o, d = _rays(256, rng)
-    light, segs = trace_paths_pallas(dev.plane_table, o, d, jnp.int32(7), cfg,
+    light, diag = trace_paths_pallas(dev.plane_table, o, d, jnp.int32(7), cfg,
                                      rows_per_block=1,
                                      return_block_segments=True)
-    segs = np.asarray(segs)
-    assert segs.shape == (2,)
+    diag = np.asarray(diag)
+    assert diag.shape == (2, 2)  # [segments; tiles] x 2 blocks
+    segs, tiles = diag[0], diag[1]
     assert (segs >= 1).all() and (segs <= cfg.max_segments).all()
+    # 4x4 maze fits single tiles: every kind group is evaluated every
+    # segment, so tiles = segments * n_groups (3 kinds present).
+    np.testing.assert_array_equal(tiles, segs * 3)
