@@ -333,13 +333,18 @@ def _tracer_kernel(
 
     def tile_tv(mode, pt, w, g):
         """Hit distances for one plane tile: one [q*PT, 8] x [8, B] MXU
-        matmul for all dot products, then [PT, B] elementwise hit tests.
-        Returns tv [PT, B] = t where the tile's plane is hit, else BIG.
-        The edge test is specialized by the tile's closed-world mode
-        (Scene.kind): 0 tests both quad edges, 1 only the along-wall
-        edge (vertical extent guaranteed by floor/ceiling), 2 none
-        (world-closing planes)."""
+        matmul for all dot products, then the elementwise hit tests of
+        tile_tv_from_a."""
         a = jnp.dot(w, g, preferred_element_type=jnp.float32)  # [q*PT, B]
+        return tile_tv_from_a(mode, pt, a)
+
+    def tile_tv_from_a(mode, pt, a):
+        """[PT, B] elementwise hit tests over precomputed dot products
+        a [q*PT, B]. Returns tv [PT, B] = t where the tile's plane is
+        hit, else BIG. The edge test is specialized by the tile's
+        closed-world mode (Scene.kind): 0 tests both quad edges, 1 only
+        the along-wall edge (vertical extent guaranteed by
+        floor/ceiling), 2 none (world-closing planes)."""
         numer = a[0 * pt:1 * pt]
         denom = a[1 * pt:2 * pt]
 
@@ -414,22 +419,34 @@ def _tracer_kernel(
         # planes (floor/ceiling/boundary — which every ray hits) give
         # each lane a finite tmin before the multi-tile slab skip below,
         # making the t-bound cull effective from the first tile.
-        tmin = jnp.full(shape, BIG, jnp.float32)
-        sel = jnp.zeros((PROP_WIDTH, b), jnp.float32)
-        tvs = []
-        for gi, (mode, _, pt) in single:
-            _, w_ref, props_ref = refs[3 * gi:3 * gi + 3]
-            tv = tile_tv(mode, pt, w_ref[0], g)
-            tvs.append((props_ref, tv))
-            tmin = jnp.minimum(
-                tmin, jnp.min(tv, axis=0, keepdims=True)
+        # ONE fused [sum q*PT, 8] x [8, B] dot for every single-tile
+        # group, ONE concatenated min/one-hot, ONE [16, sum PT] select
+        # dot: the W/props concatenations are loop-invariant (hoistable)
+        # and the tv concat is a handful of vreg copies — far cheaper
+        # than paying per-group MXU dot round-trips on the critical path.
+        if single:
+            w_cat = jnp.concatenate(
+                [refs[3 * gi + 1][0] for gi, _ in single], axis=0
             )
-        thresh = jnp.where(tmin < BIG, tmin, -1.0)
-        for props_ref, tv in tvs:
-            onehot = (tv <= thresh).astype(jnp.float32)
-            sel = sel + jnp.dot(
-                props_ref[0], onehot, preferred_element_type=jnp.float32
+            a_cat = jnp.dot(w_cat, g, preferred_element_type=jnp.float32)
+            tvs, off = [], 0
+            for gi, (mode, _, pt) in single:
+                q = MODE_QUANTITIES[mode]
+                tvs.append(tile_tv_from_a(mode, pt, a_cat[off:off + q * pt]))
+                off += q * pt
+            tv_cat = jnp.concatenate(tvs, axis=0)      # [sum PT, B]
+            tmin = jnp.min(tv_cat, axis=0, keepdims=True)
+            thresh = jnp.where(tmin < BIG, tmin, -1.0)
+            onehot = (tv_cat <= thresh).astype(jnp.float32)
+            props_cat = jnp.concatenate(
+                [refs[3 * gi + 2][0] for gi, _ in single], axis=1
+            )                                          # [16, sum PT]
+            sel = jnp.dot(
+                props_cat, onehot, preferred_element_type=jnp.float32
             )
+        else:
+            tmin = jnp.full(shape, BIG, jnp.float32)
+            sel = jnp.zeros((PROP_WIDTH, b), jnp.float32)
         carry = (tmin, sel, jnp.int32(len(single)))
 
         if multi:
