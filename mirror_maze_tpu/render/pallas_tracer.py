@@ -263,6 +263,17 @@ def pack_intersection_tables(plane_table):
     return tuple(groups)
 
 
+def _sinpi(t):
+    """sin(pi*t) for t in [-0.5, 0.5]: odd minimax polynomial, max abs
+    error ~3e-6. The stock jnp.sin/jnp.cos expansions measured 23% of
+    the WHOLE kernel (PERF.md); at this accuracy the scatter direction's
+    angular deviation is invisible and the direction is re-normalized
+    downstream anyway."""
+    t2 = t * t
+    return t * (3.14159099 + t2 * (
+        -5.16747237 + t2 * (2.54484882 + t2 * -0.56204532)))
+
+
 def _pcg_init(seed, shape):
     """Per-lane PCG state from a scalar seed + lane linear index — the TPU
     equivalent of the reference's per-thread seed from pixel coords + time
@@ -530,10 +541,16 @@ def _tracer_kernel(
         rng, u1 = _pcg_uniform(rng)
         rng, u2 = _pcg_uniform(rng)
         z = u1 * 2.0 - 1.0
-        phi = u2 * (2.0 * np.pi)
+        # phi = pi*x with x uniform in [-1, 1); sin/cos by range-reduced
+        # _sinpi (sin via x - round(x) and a quadrant sign, cos via the
+        # even identity cos(pi*x) = sin(pi*(0.5 - |x|))).
+        x = u2 * 2.0 - 1.0
+        k = jnp.round(x)
+        sphi = _sinpi(x - k) * (1.0 - 2.0 * jnp.abs(k))
+        cphi = _sinpi(0.5 - jnp.abs(x))
         r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
-        ux = r * jnp.cos(phi)
-        uy = r * jnp.sin(phi)
+        ux = r * cphi
+        uy = r * sphi
         uz = z
 
         # Diffuse: emission pickup, albedo attenuation, cosine-ish scatter
