@@ -300,16 +300,34 @@ def _pcg_init(seed, shape):
     return state
 
 
-def _pcg_uniform(state):
-    """Advance the per-lane PCG state; returns (new_state, float32 in
-    [0,1)). This is the reference's RNG verbatim (`shaders.metal:181-186`)."""
+def _pcg_word(state):
+    """Advance the per-lane PCG state; returns (new_state, uint32 word).
+    This is the reference's RNG verbatim (`shaders.metal:181-186`)."""
     state = state * jnp.uint32(747796405) + jnp.uint32(291336453)
     word = ((state >> ((state >> 28) + jnp.uint32(4))) ^ state) * jnp.uint32(277803737)
-    word = (word >> 22) ^ word
+    return state, (word >> 22) ^ word
+
+
+def _pcg_uniform(state):
+    """Advance the per-lane PCG state; returns (new_state, float32 in
+    [0,1))."""
+    state, word = _pcg_word(state)
     # Mosaic has no uint32->f32 cast; the top 24 bits fit in a positive
     # int32, so bitcast then convert.
     top24 = pltpu.bitcast(word >> 8, jnp.int32)
     return state, top24.astype(jnp.float32) * (1.0 / (1 << 24))
+
+
+def _pcg_uniform_pair(state):
+    """One PCG advance -> TWO independent float32 uniforms in [0,1) from
+    the word's 16-bit halves. Half the integer work of two full draws;
+    2^-16 quantization is far below anything visible in a scatter
+    direction (the 8-bit display quantization dominates by 8 bits)."""
+    state, word = _pcg_word(state)
+    lo = pltpu.bitcast(word & jnp.uint32(0xFFFF), jnp.int32)
+    hi = pltpu.bitcast(word >> 16, jnp.int32)
+    scale = jnp.float32(1.0 / (1 << 16))
+    return state, lo.astype(jnp.float32) * scale, hi.astype(jnp.float32) * scale
 
 
 def _tracer_kernel(
@@ -530,16 +548,17 @@ def _tracer_kernel(
         side = -jnp.sign(dn)
 
         is_mir = mir > 0.0
-        diffuse = hit & ((~is_mir) | (side == -1.0))
+        # Mirror front faces reflect; everything else that was hit is
+        # diffuse (including mirror BACK faces) — diffuse = hit & ~mirror
+        # is the same set as the reference's (~is_mir | side == -1).
         mirror = hit & is_mir & (side != -1.0)
+        diffuse = hit & ~mirror
         mh_new = mh + mirror.astype(jnp.int32)
         mirror_live = mirror & (mh_new < mirror_limit)
-        advance = diffuse | mirror_live
 
         # Uniform unit vector via (z, phi) (distribution-equivalent to the
         # reference's rejection sampling, `shaders.metal:315-319`).
-        rng, u1 = _pcg_uniform(rng)
-        rng, u2 = _pcg_uniform(rng)
+        rng, u1, u2 = _pcg_uniform_pair(rng)
         z = u1 * 2.0 - 1.0
         # phi = pi*x with x uniform in [-1, 1); sin/cos by range-reduced
         # _sinpi (sin via x - round(x) and a quadrant sign, cos via the
@@ -568,21 +587,27 @@ def _tracer_kernel(
 
         # New direction: diffuse scatter or mirror reflection, selected
         # BEFORE the (shared) normalization — one rsqrt instead of two.
+        # Position and direction update UNCONDITIONALLY: a lane that does
+        # not advance (no hit, or mirror budget exhausted) dies this very
+        # segment (see `alive` below), so its state is don't-care — the
+        # garbage values stay lane-isolated (columns of the G matmul) and
+        # every hit test rejects them.
         vx = jnp.where(diffuse, ux + nx * side, dx - 2.0 * dn * nx)
         vy = jnp.where(diffuse, uy + ny * side, dy - 2.0 * dn * ny)
         vz = jnp.where(diffuse, uz + nz * side, dz - 2.0 * dn * nz)
         v_inv = jax.lax.rsqrt(vx * vx + vy * vy + vz * vz)
 
-        ox = jnp.where(advance, ox + dx * t, ox)
-        oy = jnp.where(advance, oy + dy * t, oy)
-        oz = jnp.where(advance, oz + dz * t, oz)
-        dx = jnp.where(advance, vx * v_inv, dx)
-        dy = jnp.where(advance, vy * v_inv, dy)
-        dz = jnp.where(advance, vz * v_inv, dz)
+        ox = ox + dx * t
+        oy = oy + dy * t
+        oz = oz + dz * t
+        dx = vx * v_inv
+        dy = vy * v_inv
+        dz = vz * v_inv
 
         dc_new = dc + diffuse.astype(jnp.int32)
+        # hit already includes alive; a mirror lane over budget dies.
         alive = (
-            alive & hit & ~(mirror & ~mirror_live) & (dc_new < bounce_limit)
+            hit & ~(mirror & ~mirror_live) & (dc_new < bounce_limit)
         )
         return (seg + 1, tiles + tested, pltpu.bitcast(rng, jnp.int32),
                 ox, oy, oz, dx, dy, dz, tr, tg, tb,

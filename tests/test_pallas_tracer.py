@@ -280,3 +280,16 @@ def test_block_segments_diagnostic(rng):
     # 4x4 maze fits single tiles: every kind group is evaluated every
     # segment, so tiles = segments * n_groups (3 kinds present).
     np.testing.assert_array_equal(tiles, segs * 3)
+
+
+def test_sinpi_polynomial_accuracy():
+    """The kernel's minimax sin(pi*t) and its cos identity must stay
+    within 5e-6 of the true functions over the full reduced domain."""
+    from mirror_maze_tpu.render.pallas_tracer import _sinpi
+
+    x = np.linspace(-1.0, 1.0, 200001)
+    k = np.round(x)
+    s = np.asarray(_sinpi(jnp.asarray(x - k))) * (1.0 - 2.0 * np.abs(k))
+    c = np.asarray(_sinpi(jnp.asarray(0.5 - np.abs(x))))
+    assert np.abs(s - np.sin(np.pi * x)).max() < 5e-6
+    assert np.abs(c - np.cos(np.pi * x)).max() < 5e-6
