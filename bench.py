@@ -58,8 +58,8 @@ def main() -> None:
             tracer=TracerConfig(
                 bounce_limit=args.bounce_limit, mirror_limit=args.mirror_limit,
                 # Large scenes want chunk-tight blocks for the tile skip
-                # (PERF.md); small scenes want wide blocks for latency.
-                block_rows=8 if args.maze >= 32 else 32,
+                # (PERF.md); small scenes use the wide default.
+                **({"block_rows": 8} if args.maze >= 32 else {}),
             ),
             screen=ScreenConfig(
                 width=args.width, height=args.height,

@@ -73,10 +73,12 @@ class TracerConfig:
     # reference's spatially-correlated grain is reproduced (pallas path).
     noise_rng: bool = False
     # Rays per pallas program in units of 128 lanes (B = block_rows*128).
-    # Measured on v5e (PERF.md): 32 optimal — the kernel's elementwise
-    # stages are instruction-latency-bound, and wider blocks amortize op
-    # latency over more independent vregs; beyond 64 VMEM overflows at
-    # hundreds of planes, and the all-dead early exit loses leverage.
+    # Measured on v5e (PERF.md): 32 optimal for real frames — wider
+    # blocks amortize op latency over more independent vregs, but beyond
+    # 32 the all-dead early exit loses more than latency-hiding gains
+    # (64 wins on decorrelated random rays yet loses on camera rays,
+    # whose same-chunk samples die together). Large scenes want 8
+    # (chunk-tight blocks for the tile skip); 128 fails to compile.
     block_rows: int = 32
 
     @property
