@@ -196,9 +196,15 @@ def config_bvh() -> EngineConfig:
 
 
 def config_fuzzy() -> EngineConfig:
-    """Config 3: 16x16 maze, fuzzy accumulation look, 720p."""
+    """Config 3: 16x16 maze, fuzzy accumulation look, 720p.
+
+    noise_rng on: the reference seeds every sample from its 512x512
+    noise texture (`shaders.metal:288-300`), which gives the grain its
+    spatial correlation — part of the signature look this config is
+    about."""
     return EngineConfig(
         maze=MazeConfig(width=16, height=16),
+        tracer=TracerConfig(noise_rng=True),
         screen=ScreenConfig(width=1280, height=720),
         intersector="pallas",
     )
