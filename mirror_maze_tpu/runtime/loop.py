@@ -63,10 +63,26 @@ class InteractiveLoop:
     YAW_STEP = 16.0  # pixels of synthetic mouse delta per keypress
 
     def __init__(self, scene: DeviceScene, cfg: EngineConfig, seed: int = 0):
+        import jax
+        import jax.numpy as jnp
+
         self.cfg = cfg
         self.step = make_step(scene, cfg)
         self.state = init_state(cfg, seed)
         self.frame = None
+
+        # Device-side thumbnail for the terminal display: fetching the
+        # full frame over a remote-dispatch tunnel costs seconds per
+        # transfer (PERF.md rule 4 territory); the terminal needs only
+        # ~display_cols x rows pixels, so stride-sample ON DEVICE and
+        # fetch the ~100x smaller array instead.
+        import functools
+
+        @functools.partial(jax.jit, static_argnums=1)
+        def thumb(frame, step_px: int):
+            return frame[::step_px, ::step_px]
+
+        self._thumb = thumb
 
     def _poll_keys(self) -> FrameInputs:
         import select
@@ -120,7 +136,11 @@ class InteractiveLoop:
                 if display == "ansi" and n % display_every == 0:
                     from ..utils.imageio import ansi_frame
 
-                    art = ansi_frame(np.asarray(self.frame), display_cols)
+                    step_px = max(
+                        1, -(-self.cfg.screen.width // display_cols)
+                    )
+                    small = np.asarray(self._thumb(self.frame, step_px))
+                    art = ansi_frame(small, display_cols)
                     sys.stdout.write("\x1b[H\x1b[2J" + art + "\n")
                     sys.stdout.flush()
                 deadline += spf
