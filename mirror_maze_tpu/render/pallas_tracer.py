@@ -333,7 +333,8 @@ def _pcg_uniform_pair(state):
 def _tracer_kernel(
     seed_ref,     # SMEM [1] int32
     *refs,        # per group: (aabb SMEM [T,8], W VMEM [T,q*PT,8],
-                  #             propsT VMEM [T,16,PT]); then g_ref, out_ref
+                  #             propsT VMEM [T,16,PT], order SMEM [T]);
+                  # then g_ref, out_ref
     group_meta: tuple,   # static ((mode, n_tiles, pt), ...) per group
     max_segments: int,
     bounce_limit: int,
@@ -455,7 +456,7 @@ def _tracer_kernel(
         # than paying per-group MXU dot round-trips on the critical path.
         if single:
             w_cat = jnp.concatenate(
-                [refs[3 * gi + 1][0] for gi, _ in single], axis=0
+                [refs[4 * gi + 1][0] for gi, _ in single], axis=0
             )
             a_cat = jnp.dot(w_cat, g, preferred_element_type=jnp.float32)
             tvs, off = [], 0
@@ -468,7 +469,7 @@ def _tracer_kernel(
             thresh = jnp.where(tmin < BIG, tmin, -1.0)
             onehot = (tv_cat <= thresh).astype(jnp.float32)
             props_cat = jnp.concatenate(
-                [refs[3 * gi + 2][0] for gi, _ in single], axis=1
+                [refs[4 * gi + 2][0] for gi, _ in single], axis=1
             )                                          # [16, sum PT]
             sel = jnp.dot(
                 props_cat, onehot, preferred_element_type=jnp.float32
@@ -488,7 +489,7 @@ def _tracer_kernel(
             idz = clamp(pl.reciprocal(dz, approx=True))
 
         for gi, (mode, n_tiles, pt) in multi:
-            aabb_ref, w_ref, props_ref = refs[3 * gi:3 * gi + 3]
+            aabb_ref, w_ref, props_ref, order_ref = refs[4 * gi:4 * gi + 4]
 
             # Slab-test tile skip: Morton-ordered tiles are spatially
             # compact, and a whole [PT, B] dense test is skipped when NO
@@ -498,8 +499,10 @@ def _tracer_kernel(
             # dominating the approximate-reciprocal error (~2^-12
             # relative) at any distance — strictly conservative.
             def tile_body(ti, c, aabb_ref=aabb_ref, w_ref=w_ref,
-                          props_ref=props_ref, mode=mode, pt=pt):
+                          props_ref=props_ref, order_ref=order_ref,
+                          mode=mode, pt=pt):
                 tmin_c = c[0]
+                ti = order_ref[ti]
                 t1x = (aabb_ref[ti, 0] - ox) * idx
                 t2x = (aabb_ref[ti, 3] - ox) * idx
                 t1y = (aabb_ref[ti, 1] - oy) * idy
@@ -656,6 +659,7 @@ def _trace_padded(
     tables: tuple,              # pack_intersection_tables() 3-tuple
     g_all: jnp.ndarray,         # [8, R] component-major padded rays
     seed: jnp.ndarray,          # [1] int32
+    anchor: jnp.ndarray,        # [3] f32 near-to-far tile-order anchor
     *,
     max_segments: int,
     bounce_limit: int,
@@ -678,11 +682,24 @@ def _trace_padded(
         w, props_t, aabbs = group
         n_tiles, _, pt = props_t.shape
         group_meta.append((mode, n_tiles, pt))
-        args += [aabbs, w, props_t]
+        # Near-to-far tile traversal: multi-tile groups are walked in
+        # order of tile-AABB-center distance from the anchor (the
+        # camera), so near tiles tighten tmin before far tiles reach
+        # their slab test — Morton order alone tests tiles long past
+        # the nearest hit. Order affects efficiency only (and which of
+        # two exactly-tied coplanar planes wins — measure-zero).
+        if n_tiles > 1:
+            center = (aabbs[:, 0:3] + aabbs[:, 3:6]) * 0.5
+            d2 = jnp.sum((center - anchor[None, :]) ** 2, axis=1)
+            order = jnp.argsort(d2).astype(jnp.int32)
+        else:
+            order = jnp.zeros((1,), jnp.int32)
+        args += [aabbs, w, props_t, order]
         specs += [
             pl.BlockSpec(memory_space=pltpu.SMEM),   # tile AABBs
             pl.BlockSpec(memory_space=pltpu.VMEM),   # W (whole)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # propsT (whole)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # tile order
         ]
         total_pw += n_tiles * pt
 
@@ -728,6 +745,7 @@ def trace_paths_pallas(
     seed_row: jnp.ndarray | None = None,  # [R] float32 in [0,1)
     tables: tuple | None = None,  # precomputed pack_intersection_tables()
     return_block_segments: bool = False,
+    anchor: jnp.ndarray | None = None,  # [3] near-to-far tile-order anchor
 ):
     """Trace a ray wavefront with the fused kernel; returns light [R, 3].
 
@@ -742,7 +760,9 @@ def trace_paths_pallas(
     ``return_block_segments`` the per-block executed-segment and
     evaluated-tile counts (the early-exit and tile-skip diagnostics,
     kernel output rows 3-4) are returned as a second array
-    [2, R // (rows_per_block*128)].
+    [2, R // (rows_per_block*128)]. ``anchor`` (e.g. the camera
+    position) orders multi-tile groups near-to-far so the slab-test
+    skip culls far tiles; None falls back to the world origin.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -763,10 +783,13 @@ def trace_paths_pallas(
     g_all = jnp.concatenate([ot, ones, dt, srow], axis=0)  # [8, R]
 
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    if anchor is None:
+        anchor = jnp.zeros((3,), jnp.float32)
     out = _trace_padded(
         tables,
         g_all,
         seed_arr,
+        jnp.asarray(anchor, jnp.float32).reshape(3),
         max_segments=cfg.max_segments,
         bounce_limit=cfg.bounce_limit,
         mirror_limit=cfg.mirror_limit,

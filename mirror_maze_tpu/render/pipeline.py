@@ -74,6 +74,7 @@ def render_pixels(
             rows_per_block=cfg.tracer.block_rows,
             seed_row=seed_row,
             tables=scene.mxu_tables,
+            anchor=cam.center,
         )
     else:
         light = trace_paths(scene, ori, dirs, tkey, cfg.tracer, nearest_fn)
