@@ -9,6 +9,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import time
 
@@ -28,6 +29,12 @@ def main() -> None:
                    help="timed launches of --frames each")
     p.add_argument("--intersector", type=str, default=None,
                    help="override backend: brute | bvh | pallas")
+    p.add_argument("--block-rows", type=int, default=None,
+                   help="override TracerConfig.block_rows (128-lane rows "
+                        "per pallas program)")
+    p.add_argument("--sort-window", type=int, default=None, choices=(0, 1),
+                   help="override ScreenConfig.sort_chunk_window "
+                        "(default: on for mazes >= 32)")
     p.add_argument("--preset", type=str, default=None,
                    help="named config (v0|bvh|fuzzy|interactive|scale|"
                         "reference); overrides the geometry flags")
@@ -64,10 +71,22 @@ def main() -> None:
             screen=ScreenConfig(
                 width=args.width, height=args.height,
                 samples_per_pixel=args.spp,
+                # Coherent ray blocks for the multi-tile AABB skip.
+                sort_chunk_window=args.maze >= 32,
             ),
         )
     if args.intersector:
         cfg = cfg.replace(intersector=args.intersector)
+    if args.block_rows:
+        cfg = cfg.replace(
+            tracer=dataclasses.replace(cfg.tracer, block_rows=args.block_rows)
+        )
+    if args.sort_window is not None:
+        cfg = cfg.replace(
+            screen=dataclasses.replace(
+                cfg.screen, sort_chunk_window=bool(args.sort_window)
+            )
+        )
 
     scene = build_scene(cfg.maze)
     dev_scene = upload_scene(scene)

@@ -127,6 +127,12 @@ class ScreenConfig:
     # Feedback blur (fragment_shader, `shaders.metal:214-225`): out =
     # (c + (l+r)/2 + (u+d)/2) / 3, written back into the screen texture.
     feedback_blur: bool = True
+    # Morton-sort each frame's popped chunk window so tracer blocks see
+    # spatially coherent rays (scheduler.sort_window_morton). Which
+    # chunks refresh is unchanged; only ray layout (and hence each
+    # pixel's RNG lane) differs. Essential for multi-tile scenes with
+    # wide blocks; off by default to keep small-scene goldens stable.
+    sort_chunk_window: bool = False
 
     @property
     def pixels_per_chunk(self) -> int:
@@ -223,13 +229,16 @@ def config_interactive() -> EngineConfig:
 def config_scale() -> EngineConfig:
     """Config 5: 64x64 maze, 4K, 16 bounces, batched multi-camera on a mesh.
 
-    block_rows 8 (not the default 32): at thousands of planes the
-    per-tile AABB skip dominates, and it needs the per-block ray set
-    spatially tight — one chunk's worth of rays per block (PERF.md)."""
+    At thousands of planes the per-tile AABB skip dominates, and it
+    needs each tracer block's ray set spatially tight: the chunk window
+    is Morton-sorted (sort_chunk_window) so consecutive chunks share a
+    screen region, which keeps wide latency-amortizing blocks coherent
+    (PERF.md "large scenes")."""
     return EngineConfig(
         maze=MazeConfig(width=64, height=64),
         tracer=TracerConfig(bounce_limit=5, mirror_limit=16, block_rows=8),
-        screen=ScreenConfig(width=3840, height=2160),
+        screen=ScreenConfig(width=3840, height=2160,
+                            sort_chunk_window=True),
         intersector="pallas",
     )
 

@@ -438,7 +438,16 @@ def _tracer_kernel(
             [ox, oy, oz, one_row, dx, dy, dz, zero_row], axis=0
         )                                                     # [8, B]
         single = [(gi, m) for gi, m in enumerate(group_meta) if m[1] == 1]
-        multi = [(gi, m) for gi, m in enumerate(group_meta) if m[1] > 1]
+        # Multi-tile groups run LARGEST first: the group with the most
+        # tiles (full-height walls in generated mazes) has the tightest
+        # per-tile AABBs and is what rays actually hit, so it tightens
+        # tmin before sparse groups (light panels, whose 5 world-spanning
+        # tiles would otherwise all pass the slab test against the loose
+        # phase-1 tmin) reach their skip check.
+        multi = sorted(
+            ((gi, m) for gi, m in enumerate(group_meta) if m[1] > 1),
+            key=lambda gm: -gm[1][1],
+        )
 
         # Phase 1 — all single-tile groups JOINTLY: per-group MXU dot +
         # mode-specialized hit test, ONE shared min across every group's

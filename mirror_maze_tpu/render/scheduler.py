@@ -38,6 +38,37 @@ def take_chunks(
     return ids, (cursor + n) % total
 
 
+def sort_window_morton(ids: jnp.ndarray, cfg: ScreenConfig) -> jnp.ndarray:
+    """Reorder one popped chunk window along a Morton (Z-order) curve.
+
+    The window's chunk SET is unchanged — which chunks refresh this frame
+    (and hence the reference's 1/64 staggered-repaint look,
+    `main.rs:293-326`) is untouched; only the order rays are laid out in
+    is. Consecutive window entries then sit in compact screen regions, so
+    every tracer block (render/pallas_tracer.py) sees spatially coherent
+    rays and the per-tile AABB skip stays effective even with blocks
+    spanning many chunks — the lever that lets large scenes (config 5)
+    use wide, latency-amortizing blocks instead of one-chunk blocks
+    (PERF.md "large scenes prefer SMALL blocks").
+
+    Cost: one [G] argsort per frame (G = chunks/frame, ~8k at config 5)
+    — noise next to the trace. Enabled by ScreenConfig.sort_chunk_window.
+    """
+    cx = (ids % cfg.chunks_x).astype(jnp.uint32)
+    cy = (ids // cfg.chunks_x).astype(jnp.uint32)
+
+    def spread(v):  # interleave 16 -> 32 bits
+        v = v & jnp.uint32(0xFFFF)
+        v = (v | (v << 8)) & jnp.uint32(0x00FF00FF)
+        v = (v | (v << 4)) & jnp.uint32(0x0F0F0F0F)
+        v = (v | (v << 2)) & jnp.uint32(0x33333333)
+        v = (v | (v << 1)) & jnp.uint32(0x55555555)
+        return v
+
+    code = spread(cx) | (spread(cy) << 1)
+    return ids[jnp.argsort(code)]
+
+
 def chunk_origin_xy(ids: jnp.ndarray, cfg: ScreenConfig) -> jnp.ndarray:
     """Decode chunk ids to pixel-space origins [n, 2] (x, y)."""
     cx = (ids % cfg.chunks_x) * cfg.chunk_width

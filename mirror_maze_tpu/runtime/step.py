@@ -30,7 +30,12 @@ from ..ops import quat as quat_ops
 from ..render.accumulate import feedback_blur, quantize_8bit, scatter_chunks, to_display
 from ..render.pipeline import make_nearest_fn, render_pixels
 from ..render.scenebuf import DeviceScene
-from ..render.scheduler import chunk_origin_xy, chunk_pixels, take_chunks
+from ..render.scheduler import (
+    chunk_origin_xy,
+    chunk_pixels,
+    sort_window_morton,
+    take_chunks,
+)
 from ..scene.collision import collides
 from .state import EngineState, FrameInputs
 
@@ -138,6 +143,8 @@ def make_step_fn(
         # 1. Pop this frame's chunk window (pre-rotation queue, as in the
         # reference where random_pixels runs before the event-driven reset).
         ids, cursor_next = take_chunks(state.perm, state.cursor, n_chunks)
+        if cfg.screen.sort_chunk_window:
+            ids = sort_window_morton(ids, cfg.screen)
 
         # 2. Movement + collision.
         moved = integrate_movement(cfg, state.cam_center, state.quat, inputs.keys)

@@ -75,7 +75,8 @@ def trace(log_dir: str = "/tmp/mmx_trace"):
 
 
 def tracer_segment_histogram(
-    scene, cfg, ori, dirs, seed: int = 7, rows_per_block: int = 8
+    scene, cfg, ori, dirs, seed: int = 7, rows_per_block: int = 8,
+    anchor=None,
 ) -> dict:
     """Per-block executed-segment statistics for the pallas tracer — the
     early-exit diagnostic behind PERF.md's block-utilization numbers.
@@ -92,7 +93,7 @@ def tracer_segment_histogram(
     _, diag = trace_paths_pallas(
         scene.plane_table, ori, dirs, jnp.int32(seed), cfg.tracer,
         rows_per_block=rows_per_block, return_block_segments=True,
-        tables=scene.mxu_tables,
+        tables=scene.mxu_tables, anchor=anchor,
     )
     diag = np.asarray(diag).astype(int)
     segs, tiles = diag[0], diag[1]

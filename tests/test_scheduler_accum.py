@@ -16,6 +16,7 @@ from mirror_maze_tpu.render.scheduler import (
     chunk_origin_xy,
     chunk_pixels,
     init_permutation,
+    sort_window_morton,
     take_chunks,
 )
 
@@ -63,6 +64,31 @@ def test_chunk_decode_and_pixel_expansion():
     assert sorted(map(tuple, pix.tolist())) == [
         (x, y) for x in range(4) for y in range(4)
     ]
+
+
+def test_sort_window_morton_preserves_set_and_coheres():
+    big = ScreenConfig(width=512, height=512, chunk_width=4)
+    perm = init_permutation(jax.random.PRNGKey(3), big)
+    ids, _ = take_chunks(perm, jnp.int32(0), 256)
+    out = sort_window_morton(ids, big)
+    # Same chunk set — only the order changes.
+    assert sorted(np.asarray(out).tolist()) == sorted(np.asarray(ids).tolist())
+
+    def mean_adjacent_dist(v):
+        xy = np.asarray(chunk_origin_xy(v, big), np.float64)
+        return np.abs(np.diff(xy, axis=0)).sum(axis=1).mean()
+
+    # Morton order makes consecutive window entries near-neighbors on
+    # screen (what keeps wide tracer blocks coherent for the tile skip).
+    assert mean_adjacent_dist(out) < 0.25 * mean_adjacent_dist(ids)
+
+
+def test_sort_window_morton_exact_zorder():
+    # On a full 4x4 chunk grid the Morton order is the textbook Z curve.
+    grid = ScreenConfig(width=16, height=16, chunk_width=4)
+    ids = jnp.arange(16, dtype=jnp.int32)  # row-major chunk ids
+    out = np.asarray(sort_window_morton(ids, grid)).tolist()
+    assert out == [0, 1, 4, 5, 2, 3, 6, 7, 8, 9, 12, 13, 10, 11, 14, 15]
 
 
 def test_scatter_chunks_writes_pixels():
