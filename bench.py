@@ -64,9 +64,6 @@ def main() -> None:
             maze=MazeConfig(width=args.maze, height=args.maze),
             tracer=TracerConfig(
                 bounce_limit=args.bounce_limit, mirror_limit=args.mirror_limit,
-                # Large scenes want chunk-tight blocks for the tile skip
-                # (PERF.md); small scenes use the wide default.
-                **({"block_rows": 8} if args.maze >= 32 else {}),
             ),
             screen=ScreenConfig(
                 width=args.width, height=args.height,

@@ -232,11 +232,11 @@ def config_scale() -> EngineConfig:
     At thousands of planes the per-tile AABB skip dominates, and it
     needs each tracer block's ray set spatially tight: the chunk window
     is Morton-sorted (sort_chunk_window) so consecutive chunks share a
-    screen region, which keeps wide latency-amortizing blocks coherent
-    (PERF.md "large scenes")."""
+    screen region, which keeps the wide latency-amortizing default
+    blocks (block_rows 32) coherent (PERF.md "large scenes")."""
     return EngineConfig(
         maze=MazeConfig(width=64, height=64),
-        tracer=TracerConfig(bounce_limit=5, mirror_limit=16, block_rows=8),
+        tracer=TracerConfig(bounce_limit=5, mirror_limit=16),
         screen=ScreenConfig(width=3840, height=2160,
                             sort_chunk_window=True),
         intersector="pallas",

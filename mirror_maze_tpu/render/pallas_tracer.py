@@ -168,10 +168,10 @@ def spatial_plane_order_key(plane_table) -> np.ndarray:
 MODE_QUANTITIES = {0: 6, 1: 4, 2: 2}
 
 
-def _pack_group(t: jnp.ndarray, mode: int):
+def _pack_group(t: jnp.ndarray, mode: int, tile: int = PLANE_TILE):
     """Pack one kind-homogeneous [Pk, 32] sub-table into tiled matmul
     operands: (W [T, q*PT, 8], propsT [T, 16, PT], aabbs [T, 8]) with
-    q = MODE_QUANTITIES[mode] and PT = min(Pk8, PLANE_TILE). Row blocks
+    q = MODE_QUANTITIES[mode] and PT = min(Pk8, tile). Row blocks
     of W within a tile, in units of PT (modes keep a prefix of this):
       0: numerator   = d - O.n        -> coeffs [-n, d | 0]
       1: denominator = D.n            -> coeffs [0    | n, 0]
@@ -184,7 +184,7 @@ def _pack_group(t: jnp.ndarray, mode: int):
     hit test rejects them with zero extra lane work.
     """
     p = t.shape[0]
-    pt = min(_round_up(p, 8), PLANE_TILE)
+    pt = min(_round_up(p, 8), tile)
     n_tiles = -(-_round_up(p, 8) // pt)
     p8 = n_tiles * pt
     t = jnp.pad(t, ((0, p8 - p), (0, 0)))
@@ -234,14 +234,16 @@ def _pack_group(t: jnp.ndarray, mode: int):
     return w, props_t, aabbs
 
 
-def pack_intersection_tables(plane_table):
+def pack_intersection_tables(plane_table, tile_by_mode=None):
     """Derive the kernel's matmul operands from the [P, 32] plane table.
 
     Returns a 3-tuple indexed by closed-world test mode (Scene.kind):
     entry k is None when the scene has no kind-k planes, else the tiled
     (W, propsT, aabbs) operands from _pack_group — tiles of at most
-    PLANE_TILE planes so [planes, rays] intermediates stay VMEM-resident
-    at ANY scene size (config 5's 64x64 maze has thousands of planes).
+    PLANE_TILE planes (overridable per mode via ``tile_by_mode``, a
+    {mode: tile} dict) so [planes, rays] intermediates stay
+    VMEM-resident at ANY scene size (config 5's 64x64 maze has
+    thousands of planes).
     The tuple's None/operand structure is static under jit; the kind
     partition itself requires a CONCRETE table (it is done once at scene
     upload — see DeviceScene.mxu_tables).
@@ -259,7 +261,8 @@ def pack_intersection_tables(plane_table):
         if rows.shape[0] == 0:
             groups.append(None)
         else:
-            groups.append(_pack_group(jnp.asarray(rows), mode))
+            tile = (tile_by_mode or {}).get(mode, PLANE_TILE)
+            groups.append(_pack_group(jnp.asarray(rows), mode, tile))
     return tuple(groups)
 
 
