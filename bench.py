@@ -34,7 +34,7 @@ def main() -> None:
                         "per pallas program)")
     p.add_argument("--sort-window", type=int, default=None, choices=(0, 1),
                    help="override ScreenConfig.sort_chunk_window "
-                        "(default: on for mazes >= 32)")
+                        "(default: on)")
     p.add_argument("--preset", type=str, default=None,
                    help="named config (v0|bvh|fuzzy|interactive|scale|"
                         "reference); overrides the geometry flags")
@@ -68,8 +68,9 @@ def main() -> None:
             screen=ScreenConfig(
                 width=args.width, height=args.height,
                 samples_per_pixel=args.spp,
-                # Coherent ray blocks for the multi-tile AABB skip.
-                sort_chunk_window=args.maze >= 32,
+                # Coherent ray blocks: multi-tile AABB skip on large
+                # scenes, earlier all-dead exit on small ones (PERF.md).
+                sort_chunk_window=True,
             ),
         )
     if args.intersector:

@@ -217,11 +217,15 @@ def config_fuzzy() -> EngineConfig:
 
 
 def config_interactive() -> EngineConfig:
-    """Config 4: interactive 1080p, 8 mirror bounces."""
+    """Config 4: interactive 1080p, 8 mirror bounces.
+
+    sort_chunk_window on: even on single-tile scenes, screen-coherent
+    blocks reach the all-dead early exit sooner (same-region samples die
+    together) — measured +2.4% at this operating point (PERF.md)."""
     return EngineConfig(
         maze=MazeConfig(width=10, height=10),
         tracer=TracerConfig(bounce_limit=5, mirror_limit=8),
-        screen=ScreenConfig(width=1920, height=1080),
+        screen=ScreenConfig(width=1920, height=1080, sort_chunk_window=True),
         intersector="pallas",
     )
 

@@ -186,6 +186,27 @@ def test_pack_tables_tiling_shapes():
         assert aabbs.shape[1] == 8
 
 
+def test_pack_tables_tile_by_mode_override(rng):
+    """Per-mode tile-size overrides re-tile a group without changing
+    traced results (the experiment knob behind PERF.md's rejected
+    smaller-tile variants)."""
+    from mirror_maze_tpu.render.pallas_tracer import pack_intersection_tables
+
+    scene = build_scene(MazeConfig(width=16, height=16))
+    dev = upload_scene(scene)
+    default = pack_intersection_tables(dev.plane_table)
+    small = pack_intersection_tables(dev.plane_table, {1: 32})
+    assert small[1][1].shape[2] == 32
+    assert small[1][0].shape[0] > default[1][0].shape[0]  # more tiles
+    cfg = TracerConfig(bounce_limit=1, mirror_limit=1)
+    o, d = _rays(128, rng, extent=70.0)
+    a = np.asarray(trace_paths_pallas(dev.plane_table, o, d, jnp.int32(7),
+                                      cfg, rows_per_block=1, tables=default))
+    b = np.asarray(trace_paths_pallas(dev.plane_table, o, d, jnp.int32(7),
+                                      cfg, rows_per_block=1, tables=small))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
 def test_pack_tables_kind_groups():
     """A real scene partitions into all three closed-world kinds with the
     right W widths (6/4/2 quantities) and plane counts."""
