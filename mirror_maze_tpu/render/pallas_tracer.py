@@ -278,17 +278,21 @@ def _sinpi(t):
 
 
 def _pcg_init(seed, shape):
-    """Per-lane PCG state from a scalar seed + lane linear index — the TPU
+    """Per-lane PCG state from a scalar seed + ray linear index — the TPU
     equivalent of the reference's per-thread seed from pixel coords + time
     (`shaders.metal:288-300`). Plain integer ops: works identically under
     the Mosaic compiler and the interpreter (whose pltpu.prng_random_bits
-    silently returns zeros), and makes goldens backend-independent."""
+    silently returns zeros), and makes goldens backend-independent.
+
+    The index is the ROW-MAJOR linear position, so a block's per-ray
+    streams are independent of the carry layout (the kernel runs ray
+    state wide, (8, B/8), but seeds exactly as the historical (1, B)
+    row did: ray r -> seed + r*15823)."""
     rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
     cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
     state = (
         seed.astype(jnp.uint32)
-        + rows * jnp.uint32(9737333)
-        + cols * jnp.uint32(15823)
+        + (rows * jnp.uint32(shape[1]) + cols) * jnp.uint32(15823)
     )
     # Full avalanche so adjacent lanes (adjacent pixels/samples) start
     # statistically independent: one LCG round alone leaves low-bit
@@ -350,19 +354,45 @@ def _tracer_kernel(
     pid = pl.program_id(0)
     b = g_ref.shape[1]
     shape = (1, b)
+    # Per-ray state (positions, directions, throughput, light, RNG, masks)
+    # is carried WIDE — (8, B/8) instead of (1, B) — so every elementwise
+    # shading/RNG op runs on fully-populated (8, 128) vregs. A (1, B) f32
+    # row occupies B/128 vregs with ONE of eight sublanes live, so the
+    # whole scatter/shade stage (measured ~40% of the kernel, PERF.md) ran
+    # at 1/8 VPU utilization. Lane layout [*, B] (rays on lanes) is only
+    # materialized where the MXU needs it: the G operand of the hit-test
+    # matmul and the [PT, B] test/select stage. `lane`/`wide` are row-major
+    # relayouts (sublane regroupings — no cross-lane data movement), so
+    # ray r is column r in lane layout and (r // (B/8), r % (B/8)) wide.
+    wshape = (8, b // 8)
+    wb = b // 8
+    # Mosaic's vector layout inference rejects the rank-changing
+    # reshape (1, B) <-> (8, B/8) ("unsupported shape cast"), so the
+    # relayout is spelled out — row-major-equivalent (ray r sits at
+    # column r in lane layout and (r // (B/8), r % (B/8)) wide), all
+    # sublane regroupings, no cross-lane movement. wide: lane-aligned
+    # slices concatenated on sublanes. lane: plain row slices keep their
+    # sublane offset (which tpu.concatenate rejects on the non-concat
+    # dim), so each row is first rotated to sublane 0 with pltpu.roll.
+    wide = lambda x: jnp.concatenate(
+        [x[:, i * wb:(i + 1) * wb] for i in range(8)], axis=0
+    )
+    lane = lambda x: jnp.concatenate(
+        [pltpu.roll(x, (8 - i) % 8, 0)[0:1, :] for i in range(8)], axis=1
+    )
     # Per-lane PCG init; G row 7 optionally carries a per-ray noise-texture
     # sample in [0,1) (the reference's seed source, `shaders.metal:288-300`)
     # — zero when noise_rng is off, leaving the stream unchanged.
-    noise_off = (g_ref[7:8] * jnp.float32(1 << 24)).astype(jnp.int32)
+    noise_off = (wide(g_ref[7:8]) * jnp.float32(1 << 24)).astype(jnp.int32)
     rng0 = _pcg_init(
         seed_ref[0].astype(jnp.uint32)
         + pid.astype(jnp.uint32) * jnp.uint32(2654435761),
-        shape,
+        wshape,
     ) + pltpu.bitcast(noise_off, jnp.uint32)
-    f0 = jnp.zeros(shape, jnp.float32)
-    f1 = jnp.ones(shape, jnp.float32)
-    one_row = f1
-    zero_row = f0
+    f0 = jnp.zeros(wshape, jnp.float32)
+    f1 = jnp.ones(wshape, jnp.float32)
+    one_row = jnp.ones(shape, jnp.float32)
+    zero_row = jnp.zeros(shape, jnp.float32)
 
     def tile_tv(mode, pt, w, g):
         """Hit distances for one plane tile: one [q*PT, 8] x [8, B] MXU
@@ -552,11 +582,15 @@ def _tracer_kernel(
         rng = pltpu.bitcast(rng_i, jnp.uint32)
         alive = alive_i != 0
 
-        t, sel, tested = nearest(ox, oy, oz, dx, dy, dz, alive)
-        nx, ny, nz = sel[0:1], sel[1:2], sel[2:3]
-        cr, cg, cb = sel[3:4], sel[4:5], sel[5:6]
-        er, eg, eb = sel[6:7], sel[7:8], sel[8:9]
-        mir = sel[9:10]
+        tl, sel, tested = nearest(
+            lane(ox), lane(oy), lane(oz), lane(dx), lane(dy), lane(dz),
+            lane(alive_i) != 0,
+        )
+        t = wide(tl)
+        nx, ny, nz = wide(sel[0:1]), wide(sel[1:2]), wide(sel[2:3])
+        cr, cg, cb = wide(sel[3:4]), wide(sel[4:5]), wide(sel[5:6])
+        er, eg, eb = wide(sel[6:7]), wide(sel[7:8]), wide(sel[8:9])
+        mir = wide(sel[9:10])
 
         hit = alive & (t < BIG)
         dn = dx * nx + dy * ny + dz * nz
@@ -638,13 +672,13 @@ def _tracer_kernel(
         jnp.int32(0),
         jnp.int32(0),
         pltpu.bitcast(rng0, jnp.int32),
-        g0[0:1], g0[1:2], g0[2:3],
-        g0[4:5], g0[5:6], g0[6:7],
+        wide(g0[0:1]), wide(g0[1:2]), wide(g0[2:3]),
+        wide(g0[4:5]), wide(g0[5:6]), wide(g0[6:7]),
         f1, f1, f1,
         f0, f0, f0,
-        jnp.zeros(shape, jnp.int32),
-        jnp.zeros(shape, jnp.int32),
-        jnp.ones(shape, jnp.int32),
+        jnp.zeros(wshape, jnp.int32),
+        jnp.zeros(wshape, jnp.int32),
+        jnp.ones(wshape, jnp.int32),
     )
     out = jax.lax.while_loop(cond, segment, init)
     # Rows 0..2: gathered light. Row 3: segments this block executed;
@@ -654,7 +688,7 @@ def _tracer_kernel(
     segs = jnp.broadcast_to(out[0].astype(jnp.float32), (1, b))
     tiles = jnp.broadcast_to(out[1].astype(jnp.float32), (1, b))
     out_ref[:] = jnp.concatenate(
-        [out[12], out[13], out[14], segs, tiles,
+        [lane(out[12]), lane(out[13]), lane(out[14]), segs, tiles,
          jnp.zeros((3, b), jnp.float32)],
         axis=0,
     )
