@@ -87,6 +87,15 @@ def main() -> None:
         )
 
     scene = build_scene(cfg.maze)
+    if args.block_rows is None and args.preset is None:
+        # Measured-optimal block size by scene class (PERF.md): 128 for
+        # single-tile scenes, 16 for multi-tile (tile-skip coherence).
+        from mirror_maze_tpu.render.pallas_tracer import PLANE_TILE
+
+        rows = 128 if scene.origin.shape[0] <= PLANE_TILE else 16
+        cfg = cfg.replace(
+            tracer=dataclasses.replace(cfg.tracer, block_rows=rows)
+        )
     dev_scene = upload_scene(scene)
     # The whole --frames loop runs device-resident in ONE launch
     # (lax.scan), like the engine's scripted mode: per-launch dispatch

@@ -73,12 +73,13 @@ class TracerConfig:
     # reference's spatially-correlated grain is reproduced (pallas path).
     noise_rng: bool = False
     # Rays per pallas program in units of 128 lanes (B = block_rows*128).
-    # Measured on v5e (PERF.md): 32 optimal for real frames — wider
-    # blocks amortize op latency over more independent vregs, but beyond
-    # 32 the all-dead early exit loses more than latency-hiding gains
-    # (64 wins on decorrelated random rays yet loses on camera rays,
-    # whose same-chunk samples die together). Large scenes want 8
-    # (chunk-tight blocks for the tile skip); 128 fails to compile.
+    # Measured on v5e with the wide (8, B/8) ray-state layout (PERF.md):
+    # on Morton-sorted chunk windows wider is better — 128 wins single-
+    # tile scenes (156.6 vs 153.4 Mrays/s at 32) and 16 wins multi-tile
+    # scenes (where blocks must stay screen-coherent for the tile skip).
+    # The perf presets (config_interactive/config_scale) set those; this
+    # default stays 32 for golden/test stability. Block size changes the
+    # per-block RNG stream grouping, so it is image-affecting.
     block_rows: int = 32
 
     @property
@@ -224,7 +225,7 @@ def config_interactive() -> EngineConfig:
     together) — measured +2.4% at this operating point (PERF.md)."""
     return EngineConfig(
         maze=MazeConfig(width=10, height=10),
-        tracer=TracerConfig(bounce_limit=5, mirror_limit=8),
+        tracer=TracerConfig(bounce_limit=5, mirror_limit=8, block_rows=128),
         screen=ScreenConfig(width=1920, height=1080, sort_chunk_window=True),
         intersector="pallas",
     )
@@ -236,11 +237,11 @@ def config_scale() -> EngineConfig:
     At thousands of planes the per-tile AABB skip dominates, and it
     needs each tracer block's ray set spatially tight: the chunk window
     is Morton-sorted (sort_chunk_window) so consecutive chunks share a
-    screen region, which keeps the wide latency-amortizing default
-    blocks (block_rows 32) coherent (PERF.md "large scenes")."""
+    screen region, which keeps the wide latency-amortizing blocks
+    coherent (PERF.md "large scenes"; block_rows 16 measured best)."""
     return EngineConfig(
         maze=MazeConfig(width=64, height=64),
-        tracer=TracerConfig(bounce_limit=5, mirror_limit=16),
+        tracer=TracerConfig(bounce_limit=5, mirror_limit=16, block_rows=16),
         screen=ScreenConfig(width=3840, height=2160,
                             sort_chunk_window=True),
         intersector="pallas",
