@@ -463,10 +463,16 @@ def _tracer_kernel(
             jnp.where(better, sel, sel_in),
         )
 
-    def nearest(ox, oy, oz, dx, dy, dz, lane_live):
+    def nearest(ox, oy, oz, dx, dy, dz, wide_state):
         """Nearest hit over all groups; returns (tmin, sel, tested)
         where tested is the number of dense plane tiles actually
-        evaluated (the tile-skip diagnostic, int32 scalar)."""
+        evaluated (the tile-skip diagnostic, int32 scalar).
+
+        ``ox..dz`` are LANE-layout [1, B] rows (they feed the MXU G
+        operand); ``wide_state`` = (oxw, oyw, ozw, dxw, dyw, dzw,
+        alive_w) carries the same components (plus liveness) in the
+        WIDE (8, B/8) layout for the per-tile slab test, whose ~20
+        per-ray ops per tile otherwise run at 1/8 sublane utilization."""
         g = jnp.concatenate(
             [ox, oy, oz, one_row, dx, dy, dz, zero_row], axis=0
         )                                                     # [8, B]
@@ -519,16 +525,23 @@ def _tracer_kernel(
         else:
             tmin = jnp.full(shape, BIG, jnp.float32)
             sel = jnp.zeros((PROP_WIDTH, b), jnp.float32)
-        carry = (tmin, sel, jnp.int32(len(single)))
+        if not multi:
+            return (tmin, sel, jnp.int32(len(single)))
 
-        if multi:
-            # Slab-test prereqs (see tile skip below). Reciprocals are
-            # CLAMPED to +-BIG so zero direction components give
-            # huge-but-finite slab distances (never 0*inf=NaN).
-            clamp = lambda r: jnp.clip(r, -BIG, BIG)
-            idx = clamp(pl.reciprocal(dx, approx=True))
-            idy = clamp(pl.reciprocal(dy, approx=True))
-            idz = clamp(pl.reciprocal(dz, approx=True))
+        # Slab-test prereqs, all in the WIDE layout. Reciprocals are
+        # CLAMPED to +-BIG so zero direction components give
+        # huge-but-finite slab distances (never 0*inf=NaN).
+        oxw, oyw, ozw, dxw, dyw, dzw, alive_w = wide_state
+        clamp = lambda r: jnp.clip(r, -BIG, BIG)
+        idx = clamp(pl.reciprocal(dxw, approx=True))
+        idy = clamp(pl.reciprocal(dyw, approx=True))
+        idz = clamp(pl.reciprocal(dzw, approx=True))
+        # The skip compares tn against the running best hit, which the
+        # dense passes produce in LANE layout; a WIDE copy rides along
+        # in the carry and is refreshed only when a tile actually runs
+        # (one relayout amortized against a whole dense pass). Skip
+        # decisions are bit-identical to the lane-layout formulation.
+        carry = (tmin, sel, jnp.int32(len(single)), wide(tmin))
 
         for gi, (mode, n_tiles, pt) in multi:
             aabb_ref, w_ref, props_ref, order_ref = refs[4 * gi:4 * gi + 4]
@@ -543,14 +556,14 @@ def _tracer_kernel(
             def tile_body(ti, c, aabb_ref=aabb_ref, w_ref=w_ref,
                           props_ref=props_ref, order_ref=order_ref,
                           mode=mode, pt=pt):
-                tmin_c = c[0]
+                tmin_w = c[3]
                 ti = order_ref[ti]
-                t1x = (aabb_ref[ti, 0] - ox) * idx
-                t2x = (aabb_ref[ti, 3] - ox) * idx
-                t1y = (aabb_ref[ti, 1] - oy) * idy
-                t2y = (aabb_ref[ti, 4] - oy) * idy
-                t1z = (aabb_ref[ti, 2] - oz) * idz
-                t2z = (aabb_ref[ti, 5] - oz) * idz
+                t1x = (aabb_ref[ti, 0] - oxw) * idx
+                t2x = (aabb_ref[ti, 3] - oxw) * idx
+                t1y = (aabb_ref[ti, 1] - oyw) * idy
+                t2y = (aabb_ref[ti, 4] - oyw) * idy
+                t1z = (aabb_ref[ti, 2] - ozw) * idz
+                t2z = (aabb_ref[ti, 5] - ozw) * idz
                 tn = jnp.maximum(
                     jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
                     jnp.minimum(t1z, t2z),
@@ -561,18 +574,18 @@ def _tracer_kernel(
                 )
                 tn = tn - jnp.abs(tn) * 1e-3
                 tf = tf + jnp.abs(tf) * 1e-3
-                could_hit = (tf >= tn) & (tf > 0.0) & (tn < tmin_c) & lane_live
-                return jax.lax.cond(
-                    jnp.any(could_hit),
-                    lambda cc: nearest_tile(
+                could_hit = (tf >= tn) & (tf > 0.0) & (tn < tmin_w) & alive_w
+
+                def run(cc):
+                    new_tmin, new_sel = nearest_tile(
                         mode, pt, w_ref[ti], props_ref[ti], g, cc[0], cc[1]
-                    ) + (cc[2] + 1,),
-                    lambda cc: cc,
-                    c,
-                )
+                    )
+                    return (new_tmin, new_sel, cc[2] + 1, wide(new_tmin))
+
+                return jax.lax.cond(jnp.any(could_hit), run, lambda cc: cc, c)
 
             carry = jax.lax.fori_loop(0, n_tiles, tile_body, carry)
-        return carry
+        return carry[:3]
 
     def segment(carry):
         (seg, tiles, rng_i, ox, oy, oz, dx, dy, dz, tr, tg, tb, lr, lg, lb,
@@ -584,7 +597,7 @@ def _tracer_kernel(
 
         tl, sel, tested = nearest(
             lane(ox), lane(oy), lane(oz), lane(dx), lane(dy), lane(dz),
-            lane(alive_i) != 0,
+            (ox, oy, oz, dx, dy, dz, alive),
         )
         t = wide(tl)
         nx, ny, nz = wide(sel[0:1]), wide(sel[1:2]), wide(sel[2:3])
