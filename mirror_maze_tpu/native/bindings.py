@@ -20,7 +20,10 @@ import threading
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "bvh_builder.cpp")
+_SRCS = [
+    os.path.join(_HERE, "bvh_builder.cpp"),
+    os.path.join(_HERE, "term_present.cpp"),
+]
 _SO = os.path.join(_HERE, "libmmx_native.so")
 
 _lock = threading.Lock()
@@ -29,12 +32,14 @@ _tried = False
 
 
 def _build_library() -> str | None:
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+    if os.path.exists(_SO) and all(
+        os.path.getmtime(_SO) >= os.path.getmtime(s) for s in _SRCS
+    ):
         return _SO
     try:
         subprocess.run(
             ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-             "-o", _SO + ".tmp", _SRC],
+             "-o", _SO + ".tmp"] + _SRCS,
             check=True, capture_output=True, timeout=120,
         )
         os.replace(_SO + ".tmp", _SO)
@@ -77,6 +82,17 @@ def get_library():
         ]
         lib.mmx_bvh_free.restype = None
         lib.mmx_bvh_free.argtypes = [ctypes.c_void_p]
+        lib.mmx_ansi_halfblocks.restype = ctypes.c_int64
+        lib.mmx_ansi_halfblocks.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64,
+        ]
+        lib.mmx_term_poll.restype = ctypes.c_int64
+        lib.mmx_term_poll.argtypes = [
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_int64,
+        ]
         _lib = lib
         return _lib
 
@@ -125,3 +141,36 @@ def build_bvh_native(origin: np.ndarray, u: np.ndarray, v: np.ndarray):
         count=count,
         prim_index=prim_index,
     )
+
+
+def ansi_halfblocks_native(top: np.ndarray, bot: np.ndarray) -> str | None:
+    """C++ half-block ANSI presenter (see term_present.cpp); byte-identical
+    to utils/imageio.py ansi_frame's cell loop. Returns None if the native
+    library is unavailable."""
+    lib = get_library()
+    if lib is None:
+        return None
+    rows, cols = top.shape[0], top.shape[1]
+    t = np.ascontiguousarray(top, np.uint8)
+    b = np.ascontiguousarray(bot, np.uint8)
+    cap = rows * (cols * 43 + 5) + 1
+    buf = ctypes.create_string_buffer(cap)
+    up = ctypes.POINTER(ctypes.c_uint8)
+    n = lib.mmx_ansi_halfblocks(
+        t.ctypes.data_as(up), b.ctypes.data_as(up), rows, cols, buf, cap
+    )
+    if n < 0:
+        return None
+    return buf.raw[:n].decode("utf-8")
+
+
+def term_poll_native(fd: int, cap: int = 256) -> bytes | None:
+    """Drain pending bytes on fd without blocking (the reference's event
+    pump, `main.rs:896-904`). Returns None if the native library is
+    unavailable."""
+    lib = get_library()
+    if lib is None:
+        return None
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.mmx_term_poll(fd, buf, cap)
+    return buf.raw[: max(0, n)]

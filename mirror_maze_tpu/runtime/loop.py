@@ -88,10 +88,22 @@ class InteractiveLoop:
         import select
         import sys
 
+        # Native event pump (native/term_present.cpp mmx_term_poll): one
+        # call drains every pending byte, like the reference's
+        # drain-until-None loop (`main.rs:896-904`); Python select loop
+        # as fallback.
+        from ..native.bindings import term_poll_native
+
+        pending = term_poll_native(sys.stdin.fileno())
+        if pending is None:
+            chars = []
+            while select.select([sys.stdin], [], [], 0.0)[0]:
+                chars.append(sys.stdin.read(1))
+            pending = "".join(chars).encode()
+
         a = s = d = w = False
         dx = 0.0
-        while select.select([sys.stdin], [], [], 0.0)[0]:
-            ch = sys.stdin.read(1)
+        for ch in pending.decode(errors="ignore"):
             if ch == "q":
                 raise KeyboardInterrupt
             a |= ch == "a"

@@ -63,6 +63,15 @@ def ansi_frame(img: np.ndarray, max_cols: int = 100) -> str:
     if small.shape[0] % 2:
         small = small[:-1]
     top, bot = small[0::2], small[1::2]
+    if top.shape[0]:
+        # Native presenter (native/term_present.cpp) — the per-frame host
+        # hot loop of interactive play; byte-identical Python fallback
+        # below (tested in tests/test_native.py).
+        from ..native.bindings import ansi_halfblocks_native
+
+        art = ansi_halfblocks_native(top, bot)
+        if art is not None:
+            return art
     rows = []
     for tr, br in zip(top, bot):
         cells = [

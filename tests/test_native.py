@@ -37,6 +37,64 @@ def test_auto_backend_prefers_native():
     np.testing.assert_array_equal(bvh.prim_index, ref.prim_index)
 
 
+def test_ansi_presenter_matches_python_exactly():
+    """The C++ half-block presenter (term_present.cpp) must emit the
+    exact byte sequence of the Python cell loop in utils/imageio.py."""
+    from mirror_maze_tpu.native.bindings import ansi_halfblocks_native
+
+    rng = np.random.default_rng(7)
+    for rows, cols in [(1, 1), (3, 5), (24, 100)]:
+        top = rng.integers(0, 256, (rows, cols, 3), dtype=np.uint8)
+        bot = rng.integers(0, 256, (rows, cols, 3), dtype=np.uint8)
+        native = ansi_halfblocks_native(top, bot)
+        assert native is not None
+        py_rows = []
+        for tr, br in zip(top, bot):
+            cells = [
+                f"\x1b[38;2;{t[0]};{t[1]};{t[2]}m"
+                f"\x1b[48;2;{b[0]};{b[1]};{b[2]}m▀"
+                for t, b in zip(tr, br)
+            ]
+            py_rows.append("".join(cells) + "\x1b[0m")
+        assert native == "\n".join(py_rows)
+
+
+def test_ansi_frame_uses_native_and_agrees():
+    """ansi_frame (the public presenter entry) must give identical output
+    whether or not the native library is loaded."""
+    import mirror_maze_tpu.native.bindings as nb
+    from mirror_maze_tpu.utils.imageio import ansi_frame
+
+    img = np.random.default_rng(3).integers(
+        0, 256, (32, 40, 3), dtype=np.uint8
+    )
+    with_native = ansi_frame(img, max_cols=20)
+    saved = nb._lib, nb._tried
+    try:
+        nb._lib, nb._tried = None, True  # force the Python fallback
+        pure_py = ansi_frame(img, max_cols=20)
+    finally:
+        nb._lib, nb._tried = saved
+    assert with_native == pure_py
+
+
+def test_term_poll_drains_pipe():
+    """mmx_term_poll must drain exactly the pending bytes, nonblocking."""
+    import os
+
+    from mirror_maze_tpu.native.bindings import term_poll_native
+
+    r, w = os.pipe()
+    try:
+        assert term_poll_native(r) == b""       # nothing pending: no block
+        os.write(w, b"wasdjlq")
+        assert term_poll_native(r) == b"wasdjlq"
+        assert term_poll_native(r) == b""
+    finally:
+        os.close(r)
+        os.close(w)
+
+
 def test_native_large_scene_fast():
     """64x64 maze (config-5 scale): the native build must finish quickly
     and satisfy the BVH invariants."""
