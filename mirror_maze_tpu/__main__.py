@@ -111,7 +111,9 @@ def cmd_play(args) -> int:
     cfg, scene, dev = _build(args)
     print("WASD move, j/l turn, q quits. Frames render headless; "
           "final view saved on exit.")
-    loop = InteractiveLoop(dev, cfg, seed=args.seed or 0)
+    loop = InteractiveLoop(
+        dev, cfg, seed=args.seed or 0, batch_frames=args.batch_frames
+    )
     loop.run(max_frames=args.frames, out_png=args.out)
     return 0
 
@@ -130,6 +132,11 @@ def main(argv=None) -> int:
         sp.add_argument("--seed", type=int, default=None)
         sp.add_argument("--intersector", default=None)
         sp.add_argument("--frames", type=int, default=None)
+        sp.add_argument("--batch-frames", type=int, default=1,
+                        help="engine frames per device launch in play "
+                             "mode (amortizes dispatch latency over "
+                             "remote-dispatch links; input is sampled "
+                             "once per batch)")
         sp.add_argument("--out", default="frame.png" if name == "render"
                         else ("demo_out" if name == "demo" else None))
     args = p.parse_args(argv)

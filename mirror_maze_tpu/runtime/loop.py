@@ -62,12 +62,37 @@ class InteractiveLoop:
 
     YAW_STEP = 16.0  # pixels of synthetic mouse delta per keypress
 
-    def __init__(self, scene: DeviceScene, cfg: EngineConfig, seed: int = 0):
+    def __init__(
+        self,
+        scene: DeviceScene,
+        cfg: EngineConfig,
+        seed: int = 0,
+        batch_frames: int = 1,
+    ):
+        """``batch_frames`` > 1 runs that many engine frames per device
+        launch (one lax.scan dispatch, runtime/step.py make_scan_step),
+        amortizing dispatch latency — essential over remote-dispatch
+        links where each launch costs tens of ms (PERF.md rule 2/4). The
+        pending keys are applied on the batch's FIRST frame and held
+        released for the rest, so input latency grows to batch_frames
+        frame-times; 1 keeps the reference's per-frame input sampling."""
         import jax
         import jax.numpy as jnp
 
         self.cfg = cfg
-        self.step = make_step(scene, cfg)
+        self.batch_frames = max(1, int(batch_frames))
+        if self.batch_frames > 1:
+            from .step import make_scan_step, repeat_input, stack_inputs
+
+            scan = make_scan_step(scene, cfg, self.batch_frames)
+            idle_tail = [FrameInputs.idle()] * (self.batch_frames - 1)
+
+            def step(state, inp):
+                return scan(state, stack_inputs([inp] + idle_tail))
+
+            self.step = step
+        else:
+            self.step = make_step(scene, cfg)
         self.state = init_state(cfg, seed)
         self.frame = None
 
@@ -140,12 +165,14 @@ class InteractiveLoop:
         try:
             tty.setcbreak(fd)
             n = 0
+            shown = 0
             deadline = time.monotonic()
             while max_frames is None or n < max_frames:
                 inp = self._poll_keys()
                 self.state, self.frame = self.step(self.state, inp)
-                n += 1
-                if display == "ansi" and n % display_every == 0:
+                n += self.batch_frames
+                if display == "ansi" and n >= shown + display_every:
+                    shown = n
                     from ..utils.imageio import ansi_frame
 
                     step_px = max(
@@ -155,7 +182,7 @@ class InteractiveLoop:
                     art = ansi_frame(small, display_cols)
                     sys.stdout.write("\x1b[H\x1b[2J" + art + "\n")
                     sys.stdout.flush()
-                deadline += spf
+                deadline += spf * self.batch_frames
                 delay = deadline - time.monotonic()
                 if delay > 0:
                     time.sleep(delay)

@@ -184,6 +184,30 @@ def test_scan_step_matches_sequential_steps(tiny_cfg, tiny_device_scene):
         assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_interactive_batch_frames_matches_sequential(
+    tiny_cfg, tiny_device_scene
+):
+    """InteractiveLoop(batch_frames=k).step must equal k sequential
+    steps: the polled input on frame 1, idle for the rest (the batched
+    play mode for remote-dispatch links)."""
+    from mirror_maze_tpu.runtime.loop import InteractiveLoop
+    from mirror_maze_tpu.runtime.step import make_step
+
+    loop = InteractiveLoop(tiny_device_scene, tiny_cfg, seed=5,
+                           batch_frames=3)
+    inp = FrameInputs.make(w=True, mouse_dx=4.0)
+    st_batch, frame_batch = loop.step(init_state(tiny_cfg, seed=5), inp)
+
+    step = make_step(tiny_device_scene, tiny_cfg)
+    st = init_state(tiny_cfg, seed=5)
+    for i, one in enumerate([inp, FrameInputs.idle(), FrameInputs.idle()]):
+        st, frame = step(st, one)
+
+    assert np.array_equal(np.asarray(frame), np.asarray(frame_batch))
+    for a, b in zip(st, st_batch):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_repeat_input_shapes(tiny_cfg):
     from mirror_maze_tpu.runtime.step import repeat_input
 
