@@ -87,16 +87,19 @@ def main() -> None:
         )
 
     scene = build_scene(cfg.maze)
+    dev_scene = upload_scene(scene)
     if args.block_rows is None and args.preset is None:
-        # Measured-optimal block size by scene class (PERF.md): 128 for
-        # single-tile scenes, 16 for multi-tile (tile-skip coherence).
-        from mirror_maze_tpu.render.pallas_tracer import PLANE_TILE
-
-        rows = 128 if scene.origin.shape[0] <= PLANE_TILE else 16
+        # Measured-optimal block size by the PACKED tile-group shape
+        # (PERF.md): every group single-tile -> 128; a few tiles ->
+        # 32 (config 3 measured 66.8 at 32 vs 61.9 at 16); many tiles
+        # -> 16 (tile-skip coherence dominates, config 5).
+        n_tiles = max(
+            g[2].shape[0] for g in dev_scene.mxu_tables if g is not None
+        )
+        rows = 128 if n_tiles == 1 else (32 if n_tiles <= 4 else 16)
         cfg = cfg.replace(
             tracer=dataclasses.replace(cfg.tracer, block_rows=rows)
         )
-    dev_scene = upload_scene(scene)
     # The whole --frames loop runs device-resident in ONE launch
     # (lax.scan), like the engine's scripted mode: per-launch dispatch
     # latency (tens of ms over a remote-dispatch tunnel) is amortized

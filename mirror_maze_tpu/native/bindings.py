@@ -55,46 +55,57 @@ def get_library():
         if _tried:
             return _lib
         _tried = True
-        path = _build_library()
-        if path is None:
-            return None
-        try:
-            lib = ctypes.CDLL(path)
-        except OSError:
-            return None
-        lib.mmx_bvh_build.restype = ctypes.c_void_p
-        lib.mmx_bvh_build.argtypes = [
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.c_int64,
-        ]
-        lib.mmx_bvh_num_nodes.restype = ctypes.c_int64
-        lib.mmx_bvh_num_nodes.argtypes = [ctypes.c_void_p]
-        lib.mmx_bvh_export.restype = None
-        lib.mmx_bvh_export.argtypes = [
-            ctypes.c_void_p,
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32),
-        ]
-        lib.mmx_bvh_free.restype = None
-        lib.mmx_bvh_free.argtypes = [ctypes.c_void_p]
-        lib.mmx_ansi_halfblocks.restype = ctypes.c_int64
-        lib.mmx_ansi_halfblocks.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_char_p, ctypes.c_int64,
-        ]
-        lib.mmx_term_poll.restype = ctypes.c_int64
-        lib.mmx_term_poll.argtypes = [
-            ctypes.c_int, ctypes.c_char_p, ctypes.c_int64,
-        ]
-        _lib = lib
-        return _lib
+        for attempt in range(2):
+            try:
+                _lib = _load_and_bind()
+                return _lib
+            except (OSError, AttributeError):
+                # AttributeError = a stale .so whose mtime passed the
+                # check but which predates newer exports; rebuild once.
+                try:
+                    os.remove(_SO)
+                except OSError:
+                    return None
+        return None
+
+
+def _load_and_bind():
+    path = _build_library()
+    if path is None:
+        raise OSError("native build unavailable")
+    lib = ctypes.CDLL(path)
+    lib.mmx_bvh_build.restype = ctypes.c_void_p
+    lib.mmx_bvh_build.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+    ]
+    lib.mmx_bvh_num_nodes.restype = ctypes.c_int64
+    lib.mmx_bvh_num_nodes.argtypes = [ctypes.c_void_p]
+    lib.mmx_bvh_export.restype = None
+    lib.mmx_bvh_export.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.mmx_bvh_free.restype = None
+    lib.mmx_bvh_free.argtypes = [ctypes.c_void_p]
+    lib.mmx_ansi_halfblocks.restype = ctypes.c_int64
+    lib.mmx_ansi_halfblocks.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_int64,
+    ]
+    lib.mmx_term_poll.restype = ctypes.c_int64
+    lib.mmx_term_poll.argtypes = [
+        ctypes.c_int, ctypes.c_char_p, ctypes.c_int64,
+    ]
+    return lib
 
 
 def native_available() -> bool:
@@ -165,12 +176,18 @@ def ansi_halfblocks_native(top: np.ndarray, bot: np.ndarray) -> str | None:
 
 
 def term_poll_native(fd: int, cap: int = 256) -> bytes | None:
-    """Drain pending bytes on fd without blocking (the reference's event
-    pump, `main.rs:896-904`). Returns None if the native library is
+    """Drain EVERY pending byte on fd without blocking (the reference's
+    drain-until-None event pump, `main.rs:896-904`); loops in chunks of
+    ``cap`` so a deep backlog (key autorepeat across a stall) cannot
+    leave stale input queued. Returns None if the native library is
     unavailable."""
     lib = get_library()
     if lib is None:
         return None
+    out = b""
     buf = ctypes.create_string_buffer(cap)
-    n = lib.mmx_term_poll(fd, buf, cap)
-    return buf.raw[: max(0, n)]
+    while True:
+        n = lib.mmx_term_poll(fd, buf, cap)
+        out += buf.raw[: max(0, n)]
+        if n < cap:
+            return out

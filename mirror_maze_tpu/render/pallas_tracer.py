@@ -825,6 +825,15 @@ def trace_paths_pallas(
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if not interpret and rows_per_block % 8 != 0:
+        # The kernel's wide (8, B/8) ray-state layout slices the [1, B]
+        # lane rows into 8 lane-ALIGNED chunks, which needs B/8 to be a
+        # multiple of the 128-lane vreg width. The TPU-semantics
+        # interpreter (tests) has no such constraint.
+        raise ValueError(
+            "pallas tracer on hardware requires rows_per_block to be a "
+            f"multiple of 8 (got {rows_per_block}); use 8/16/32/64/128"
+        )
     if tables is None:
         tables = pack_intersection_tables(plane_table)
     n = ori.shape[0]

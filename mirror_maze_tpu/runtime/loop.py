@@ -77,20 +77,33 @@ class InteractiveLoop:
         released for the rest, so input latency grows to batch_frames
         frame-times; 1 keeps the reference's per-frame input sampling."""
         import jax
-        import jax.numpy as jnp
 
         self.cfg = cfg
         self.batch_frames = max(1, int(batch_frames))
         if self.batch_frames > 1:
-            from .step import make_scan_step, repeat_input, stack_inputs
+            from .step import make_scan_step_fn
 
-            scan = make_scan_step(scene, cfg, self.batch_frames)
-            idle_tail = [FrameInputs.idle()] * (self.batch_frames - 1)
+            scan_fn = make_scan_step_fn(cfg, self.batch_frames)
+            k = self.batch_frames
 
-            def step(state, inp):
-                return scan(state, stack_inputs([inp] + idle_tail))
+            # The [k]-leading input pytree is built INSIDE the jitted
+            # program (first frame = the polled input, idle tail = the
+            # broadcast zeroed after frame 0): one launch per batch, no
+            # eager per-leaf device ops on the latency-bound loop.
+            def batched(scene_, state, inp):
+                import jax.numpy as jnp
 
-            self.step = step
+                first = jnp.arange(k) == 0
+
+                def lead(x):
+                    rep = jnp.broadcast_to(x, (k,) + jnp.shape(x))
+                    mask = first.reshape((k,) + (1,) * jnp.ndim(x))
+                    return jnp.where(mask, rep, jnp.zeros_like(rep))
+
+                return scan_fn(scene_, state, jax.tree.map(lead, inp))
+
+            scan = jax.jit(batched, donate_argnums=(1,))
+            self.step = lambda state, inp: scan(scene, state, inp)
         else:
             self.step = make_step(scene, cfg)
         self.state = init_state(cfg, seed)
@@ -154,6 +167,8 @@ class InteractiveLoop:
         display="ansi" paints the view into the terminal as 24-bit
         half-block art every display_every frames (the headless stand-in
         for the reference's CAMetalLayer window); None disables it.
+        With batch_frames > 1, ``max_frames`` rounds UP to whole batches
+        (each launch is a fixed-length compiled scan).
         """
         import sys
         import termios
