@@ -106,6 +106,8 @@ def cmd_demo(args) -> int:
 
 
 def cmd_play(args) -> int:
+    import time
+
     from .runtime.loop import InteractiveLoop
 
     cfg, scene, dev = _build(args)
@@ -114,7 +116,25 @@ def cmd_play(args) -> int:
     loop = InteractiveLoop(
         dev, cfg, seed=args.seed or 0, batch_frames=args.batch_frames
     )
+    if args.load_state:
+        from .runtime.state import load_state
+
+        loop.state = load_state(args.load_state)
+        print(f"resumed from {args.load_state} "
+              f"(frame {int(loop.state.frame)})")
+    t0 = time.perf_counter()
     loop.run(max_frames=args.frames, out_png=args.out)
+    frames = int(loop.state.frame)
+    dt = time.perf_counter() - t0
+    if dt > 0 and frames:
+        print(f"session: {frames} frames, wall {dt:.1f}s "
+              f"(~{frames / dt:.1f} fps incl. input pacing)")
+    if args.save_state:
+        from .runtime.state import save_state
+
+        save_state(args.save_state, loop.state)
+        print(f"state saved to {args.save_state} (resume with "
+              f"--load-state)")
     return 0
 
 
@@ -132,6 +152,11 @@ def main(argv=None) -> int:
         sp.add_argument("--seed", type=int, default=None)
         sp.add_argument("--intersector", default=None)
         sp.add_argument("--frames", type=int, default=None)
+        sp.add_argument("--save-state", default=None,
+                        help="write the full engine state (.npz) on exit "
+                             "— bit-exact resume via --load-state")
+        sp.add_argument("--load-state", default=None,
+                        help="resume play from a saved state checkpoint")
         sp.add_argument("--batch-frames", type=int, default=1,
                         help="engine frames per device launch in play "
                              "mode (amortizes dispatch latency over "
