@@ -138,11 +138,65 @@ def cmd_play(args) -> int:
     return 0
 
 
+def cmd_multicam(args) -> int:
+    """Batched multi-camera render over a (cam, tile) device mesh —
+    SURVEY.md config-5 scale-out surface (parallel/shard.py). On one
+    chip the mesh is (1, 1) and cameras batch via vmap; with more
+    devices (e.g. XLA_FLAGS=--xla_force_host_platform_device_count=8 on
+    CPU, or a real v5e-8) cameras and image row-bands shard across it."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .ops import quat as quat_ops
+    from .parallel import batch_cameras, make_mesh, make_sharded_renderer
+    from .render import make_camera
+    from .utils.imageio import write_png
+
+    cfg, scene, dev = _build(args)
+    b = args.cameras
+    devs = len(jax.devices())
+    n_cam = math.gcd(b, devs)
+    n_tile = 1
+    for t in range(devs // n_cam, 0, -1):
+        if cfg.screen.height % (t * cfg.screen.chunk_width) == 0:
+            n_tile = t
+            break
+    mesh = make_mesh(n_cam, n_tile)
+
+    base = make_camera(cfg.camera, cfg.screen.width / cfg.screen.height)
+    cams = []
+    for i in range(b):
+        # Fan the batch around the spawn: one yaw step per camera.
+        half = quat_ops.half_theta_of(base.rotation) + i * (jnp.pi / b)
+        cams.append(base._replace(
+            rotation=quat_ops.update_angle(base.rotation, half)
+        ))
+    render = make_sharded_renderer(cfg, mesh)
+    frames, mean_lum = render(dev, batch_cameras(cams),
+                              jax.random.PRNGKey(args.seed or 0))
+    frames = np.asarray(jax.device_get(frames))
+    cols = int(math.ceil(math.sqrt(b)))
+    rows = int(math.ceil(b / cols))
+    h, w = frames.shape[1], frames.shape[2]
+    grid = np.zeros((rows * h, cols * w, 3), np.float32)
+    for i in range(b):
+        r, c = divmod(i, cols)
+        grid[r * h:(r + 1) * h, c * w:(c + 1) * w] = frames[i]
+    write_png(args.out, grid)
+    print(f"{b} cameras on mesh (cam={n_cam}, tile={n_tile}) over "
+          f"{devs} device(s); mean luminance {float(mean_lum):.4f} "
+          f"-> {args.out}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="mirror_maze_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
     for name, fn in (("render", cmd_render), ("demo", cmd_demo),
-                     ("play", cmd_play)):
+                     ("play", cmd_play), ("multicam", cmd_multicam)):
         sp = sub.add_parser(name)
         sp.set_defaults(fn=fn)
         sp.add_argument("--config", default="reference")
@@ -152,6 +206,9 @@ def main(argv=None) -> int:
         sp.add_argument("--seed", type=int, default=None)
         sp.add_argument("--intersector", default=None)
         sp.add_argument("--frames", type=int, default=None)
+        sp.add_argument("--cameras", type=int, default=4,
+                        help="multicam: batch size (cameras fanned "
+                             "around the spawn yaw)")
         sp.add_argument("--save-state", default=None,
                         help="write the full engine state (.npz) on exit "
                              "— bit-exact resume via --load-state")
@@ -162,8 +219,9 @@ def main(argv=None) -> int:
                              "mode (amortizes dispatch latency over "
                              "remote-dispatch links; input is sampled "
                              "once per batch)")
-        sp.add_argument("--out", default="frame.png" if name == "render"
-                        else ("demo_out" if name == "demo" else None))
+        sp.add_argument("--out", default={
+            "render": "frame.png", "demo": "demo_out",
+            "multicam": "multicam.png"}.get(name))
     args = p.parse_args(argv)
     return args.fn(args)
 
