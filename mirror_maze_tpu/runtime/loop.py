@@ -161,6 +161,7 @@ class InteractiveLoop:
         display: str | None = "ansi",
         display_every: int = 6,
         display_cols: int = 100,
+        watchdog_interval: int | None = 128,
     ):
         """Run the interactive loop.
 
@@ -169,11 +170,18 @@ class InteractiveLoop:
         for the reference's CAMetalLayer window); None disables it.
         With batch_frames > 1, ``max_frames`` rounds UP to whole batches
         (each launch is a fixed-length compiled scan).
+        ``watchdog_interval`` enables runtime/watchdog.py periodic state
+        validation with rollback to the last good snapshot (None
+        disables; the reference's whole failure story is a "Help!"
+        print, `main.rs:828-844`).
         """
         import sys
         import termios
         import tty
 
+        from .watchdog import Watchdog
+
+        wd = Watchdog(watchdog_interval) if watchdog_interval else None
         fd = sys.stdin.fileno()
         old = termios.tcgetattr(fd)
         spf = 1.0 / self.cfg.screen.fps
@@ -185,6 +193,8 @@ class InteractiveLoop:
             while max_frames is None or n < max_frames:
                 inp = self._poll_keys()
                 self.state, self.frame = self.step(self.state, inp)
+                if wd is not None:
+                    self.state = wd.check(self.state)
                 n += self.batch_frames
                 if display == "ansi" and n >= shown + display_every:
                     shown = n
