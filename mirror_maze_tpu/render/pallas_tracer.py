@@ -10,9 +10,11 @@ The nearest-hit search is structured around the MXU (v2 design; the v1
 kernel swept the plane table with a scalar fori_loop at ~45 VPU ops per
 (ray, plane) pair and was VPU-bound at ~30 Mrays/s):
 
-- Ray state rides component-major as eight [1, B] row vectors (rays on
-  the 128-wide lane axis — the VPU's vector axis replaces the
-  reference's SIMD threads).
+- Per-ray state (positions, directions, throughput, light, RNG, masks)
+  rides WIDE — (8, B/8) blocks filling whole (8, 128) vregs — so the
+  shading/scatter/RNG stage runs at full VPU utilization (as [1, B]
+  rows it ran at 1/8 and was ~40% of the kernel; PERF.md "layout
+  lesson"). Rays-on-lanes layout is materialized only around the MXU.
 - All six per-(ray, plane) dot products that a ray-rect test needs
   (`shaders.metal:51-67`: plane-equation numerator/denominator and the
   two edge projections of the hit point, each split into its origin- and

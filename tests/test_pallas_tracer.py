@@ -60,6 +60,49 @@ def test_mirror_chain_matches_exactly(rng):
         np.testing.assert_allclose(lj, lp, rtol=1e-4, atol=1e-6)
 
 
+def test_random_skewed_scenes_match_exactly():
+    """Fuzz: arbitrary (non-axis-aligned, partly degenerate) quad soups
+    must agree with the jnp tracer on the deterministic segment — the
+    generated maze is axis-aligned everywhere, so this is the only
+    coverage of skewed normals/edges in the MXU W packing."""
+    from mirror_maze_tpu.scene.builder import Scene
+
+    for seed in (0, 1, 2):
+        r = np.random.default_rng(seed)
+        n = 37
+        origin = r.uniform(-10, 10, (n, 3))
+        v = r.normal(size=(n, 3)) * 3.0
+        u = r.normal(size=(n, 3)) * 3.0
+        v[::9] = 0.0                      # degenerate planes
+        u[5] = v[5] * 2.0                 # parallel edges (zero normal)
+        em = np.concatenate(
+            [r.uniform(0, 1, (n, 3)),
+             (r.random((n, 1)) < 0.4) * r.uniform(0, 3, (n, 1))], axis=1
+        )
+        scene = Scene(
+            origin=origin.astype(np.float32),
+            v=v.astype(np.float32),
+            u=u.astype(np.float32),
+            color=r.uniform(0, 1, (n, 3)).astype(np.float32),
+            is_mirror=r.random(n) < 0.3,
+            emission=em.astype(np.float32),
+            grid=np.zeros((1, 1), np.uint8),
+        )
+        dev = upload_scene(scene)
+        cfg = TracerConfig(bounce_limit=1, mirror_limit=2)
+        rr = np.random.default_rng(100 + seed)
+        o = jnp.asarray(rr.uniform(-12, 12, (130, 3)).astype(np.float32))
+        d = rr.normal(size=(130, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        d = jnp.asarray(d)
+        lj = np.asarray(trace_paths(dev, o, d, KEY, cfg))
+        lp = np.asarray(trace_paths_pallas(
+            dev.plane_table, o, d, jnp.int32(5), cfg, rows_per_block=2,
+            tables=dev.mxu_tables,
+        ))
+        np.testing.assert_allclose(lj, lp, rtol=1e-4, atol=1e-5)
+
+
 def test_multibounce_statistical_agreement(rng):
     dev, table = _setup()
     cfg = TracerConfig(bounce_limit=3, mirror_limit=4)
