@@ -350,6 +350,7 @@ def _tracer_kernel(
     mirror_limit: int,
     mirror_tint: float,
     t_min: float,
+    sky: tuple,          # static (r, g, b, strength, lighting_factor)
 ):
     g_ref = refs[-2]     # VMEM [8, B] ray block: ox,oy,oz,1,dx,dy,dz,seed
     out_ref = refs[-1]   # VMEM out [8, B] rows 0..2 = gathered light
@@ -608,6 +609,19 @@ def _tracer_kernel(
         mir = wide(sel[9:10])
 
         hit = alive & (t < BIG)
+        if sky[3] != 0.0:
+            # Miss: sky term (`shaders.metal:336-339`; the reference
+            # multiplies it by 0.0 — dead code there, exposed here as
+            # TracerConfig.sky_strength, default 0 so this block is
+            # statically absent). Matches render/tracer.py: light +=
+            # sky_color * lighting_factor^(segment - mirror_hits) *
+            # strength, not attenuated by throughput.
+            miss = alive & ~hit
+            expo = (jnp.broadcast_to(seg, wshape) - mh).astype(jnp.float32)
+            fac = jnp.exp(expo * jnp.float32(np.log(sky[4]))) * sky[3]
+            lr = jnp.where(miss, lr + sky[0] * fac, lr)
+            lg = jnp.where(miss, lg + sky[1] * fac, lg)
+            lb = jnp.where(miss, lb + sky[2] * fac, lb)
         dn = dx * nx + dy * ny + dz * nz
         side = -jnp.sign(dn)
 
@@ -713,7 +727,7 @@ def _tracer_kernel(
     jax.jit,
     static_argnames=(
         "max_segments", "bounce_limit", "mirror_limit",
-        "mirror_tint", "t_min", "block_rays", "interpret",
+        "mirror_tint", "t_min", "sky", "block_rays", "interpret",
     ),
 )
 def _trace_padded(
@@ -727,6 +741,7 @@ def _trace_padded(
     mirror_limit: int,
     mirror_tint: float,
     t_min: float,
+    sky: tuple,
     block_rays: int,
     interpret: bool,
 ):
@@ -772,6 +787,7 @@ def _trace_padded(
         mirror_limit=mirror_limit,
         mirror_tint=mirror_tint,
         t_min=t_min,
+        sky=sky,
     )
     ray_spec = pl.BlockSpec(
         (8, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -865,6 +881,7 @@ def trace_paths_pallas(
         mirror_limit=cfg.mirror_limit,
         mirror_tint=cfg.mirror_tint,
         t_min=cfg.t_min,
+        sky=tuple(cfg.sky_color) + (cfg.sky_strength, cfg.lighting_factor),
         block_rays=block,
         interpret=interpret,
     )

@@ -103,6 +103,52 @@ def test_random_skewed_scenes_match_exactly():
         np.testing.assert_allclose(lj, lp, rtol=1e-4, atol=1e-5)
 
 
+def test_sky_term_matches_jnp_tracer(rng):
+    """sky_strength > 0 (the reference's dead sky code, exposed as
+    config) must agree across backends: miss lanes gain
+    sky * lighting_factor^(segment - mirror_hits) * strength, which is
+    deterministic for bounce_limit=1 (all surviving segments are mirror
+    chains)."""
+    # An OPEN scene (a generated maze is closed-world, so no ray ever
+    # misses — which is exactly why the reference's sky code is dead):
+    # a couple of free-floating quads, rays scattered around them.
+    from mirror_maze_tpu.scene.builder import Scene
+
+    r = np.random.default_rng(4)
+    n = 9
+    scene = Scene(
+        origin=r.uniform(-8, 8, (n, 3)).astype(np.float32),
+        v=(r.normal(size=(n, 3)) * 4).astype(np.float32),
+        u=(r.normal(size=(n, 3)) * 4).astype(np.float32),
+        color=r.uniform(0, 1, (n, 3)).astype(np.float32),
+        # Mirror-free: a reflected direction differs between backends by
+        # float ulps (different normalize formulations), which a grazing
+        # second segment amplifies into a binary hit-vs-sky divergence —
+        # measure-zero, but this test needs exactness.
+        is_mirror=np.zeros(n, bool),
+        emission=np.zeros((n, 4), np.float32),
+        grid=np.zeros((1, 1), np.uint8),
+    )
+    dev = upload_scene(scene)
+    cfg = TracerConfig(bounce_limit=1, mirror_limit=2,
+                       sky_strength=0.7, lighting_factor=0.25)
+    o, d = _rays(192, rng)
+    lj = np.asarray(trace_paths(dev, o, d, KEY, cfg))
+    lp = np.asarray(trace_paths_pallas(dev.plane_table, o, d, jnp.int32(2),
+                                       cfg, rows_per_block=2,
+                                       tables=dev.mxu_tables))
+    assert lp.max() > 0.0  # the sky actually contributed
+    # Rays grazing a quad edge within a float ulp can land on different
+    # sides of the inclusive in-rectangle bound in the two formulations
+    # (brute tests the advanced hit point; the kernel tests the
+    # factored o1 + t*d1), flipping hit<->sky — measure-zero. Demand
+    # agreement everywhere else.
+    per_ray = np.abs(lj - lp).max(axis=1)
+    agree = per_ray < 1e-5
+    assert agree.mean() >= 0.99, (np.where(~agree)[0], per_ray.max())
+    np.testing.assert_allclose(lj[agree], lp[agree], rtol=1e-4, atol=1e-6)
+
+
 def test_multibounce_statistical_agreement(rng):
     dev, table = _setup()
     cfg = TracerConfig(bounce_limit=3, mirror_limit=4)
