@@ -19,30 +19,31 @@ import time
 
 
 def _build(args):
+    import dataclasses
+
     from .config import NAMED_CONFIGS
     from .render import upload_scene
     from .scene import build_scene
 
     cfg = NAMED_CONFIGS[args.config]()
+    # Overrides REPLACE individual fields, preserving everything else the
+    # named config set (sort_chunk_window, fps, blur flags, ...).
     overrides = {}
-    if args.width or args.height:
-        overrides["screen"] = cfg.screen.__class__(
-            width=args.width or cfg.screen.width,
-            height=args.height or cfg.screen.height,
-            samples_per_pixel=args.spp or cfg.screen.samples_per_pixel,
-        )
-    elif args.spp:
-        overrides["screen"] = cfg.screen.__class__(
-            width=cfg.screen.width,
-            height=cfg.screen.height,
-            samples_per_pixel=args.spp,
+    screen_overrides = {}
+    if args.width:
+        screen_overrides["width"] = args.width
+    if args.height:
+        screen_overrides["height"] = args.height
+    if args.spp:
+        screen_overrides["samples_per_pixel"] = args.spp
+    if screen_overrides:
+        overrides["screen"] = dataclasses.replace(
+            cfg.screen, **screen_overrides
         )
     if args.intersector:
         overrides["intersector"] = args.intersector
     if args.seed is not None:
-        overrides["maze"] = cfg.maze.__class__(
-            width=cfg.maze.width, height=cfg.maze.height, seed=args.seed
-        )
+        overrides["maze"] = dataclasses.replace(cfg.maze, seed=args.seed)
     if overrides:
         cfg = cfg.replace(**overrides)
     scene = build_scene(cfg.maze)
@@ -94,9 +95,11 @@ def cmd_demo(args) -> int:
     frame = None
     last_phase = None
     for i, (phase, inp) in enumerate(script):
-        st, frame = step(st, inp)
+        # Snapshot the LAST frame of the finishing phase before stepping
+        # into the new one.
         if phase != last_phase and last_phase is not None:
             write_png(f"{args.out}/{i:04d}_{last_phase}.png", np.asarray(frame))
+        st, frame = step(st, inp)
         last_phase = phase
     write_png(f"{args.out}/{len(script):04d}_final.png", np.asarray(frame))
     dt = time.time() - t0
@@ -122,9 +125,10 @@ def cmd_play(args) -> int:
         loop.state = load_state(args.load_state)
         print(f"resumed from {args.load_state} "
               f"(frame {int(loop.state.frame)})")
+    frame0 = int(loop.state.frame)
     t0 = time.perf_counter()
     loop.run(max_frames=args.frames, out_png=args.out)
-    frames = int(loop.state.frame)
+    frames = int(loop.state.frame) - frame0
     dt = time.perf_counter() - t0
     if dt > 0 and frames:
         print(f"session: {frames} frames, wall {dt:.1f}s "

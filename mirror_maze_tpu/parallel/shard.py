@@ -123,7 +123,12 @@ from typing import NamedTuple
 from ..config import ScreenConfig
 from ..render.accumulate import quantize_8bit, scatter_chunks, to_display
 from ..render.pipeline import make_nearest_fn, render_pixels
-from ..render.scheduler import chunk_origin_xy, chunk_pixels, take_chunks
+from ..render.scheduler import (
+    chunk_origin_xy,
+    chunk_pixels,
+    sort_window_morton,
+    take_chunks,
+)
 from ..runtime.state import FrameInputs
 from ..runtime import step as step_mod
 
@@ -184,7 +189,8 @@ def _blur_with_halo(local: jnp.ndarray, axis: str = "tile") -> jnp.ndarray:
     return (c + (l + r) / 2.0 + (u + d) / 2.0) / 3.0
 
 
-def make_sharded_engine(cfg: EngineConfig, mesh: Mesh):
+def make_sharded_engine(cfg: EngineConfig, mesh: Mesh,
+                        max_depth: int = 32, max_leaf: int = 4):
     """Build (init_fn, step_fn) for the tile-sharded interactive engine.
 
     init_fn(seed) -> ShardedEngineState; step_fn(state, FrameInputs) ->
@@ -192,6 +198,11 @@ def make_sharded_engine(cfg: EngineConfig, mesh: Mesh):
     are identical to the single-chip step (runtime/step.py); the
     progressive refresh runs one independent chunk queue per band, and
     the feedback blur exchanges halos so output has no band seams.
+
+    With ``intersector == "bvh"``, pass exact traversal bounds from
+    ``scene.bvh.traversal_bounds`` (the scene is a step-time argument
+    here, so they cannot be derived automatically as runtime/step.py
+    does).
     """
     n_tile = mesh.shape["tile"]
     band = _band_screen_cfg(cfg, n_tile)
@@ -244,11 +255,15 @@ def make_sharded_engine(cfg: EngineConfig, mesh: Mesh):
         nearest_fn = (
             None
             if cfg.intersector == "pallas"
-            else make_nearest_fn(scene, cfg, 32, 4)
+            else make_nearest_fn(scene, cfg, max_depth, max_leaf)
         )
 
-        # 1. Pop this band's chunk window.
+        # 1. Pop this band's chunk window — Morton-sorted when configured,
+        # exactly like the single-chip step (the coherence the tile skip
+        # needs; ids are band-local so the BAND chunk grid sorts them).
         ids, cursor_next = take_chunks(state.perm, cursor, n_chunks)
+        if cfg.screen.sort_chunk_window:
+            ids = sort_window_morton(ids, band)
 
         # 2-3. Camera: movement, collision, rotation — replicated math,
         # reusing the single-chip step's functions verbatim.

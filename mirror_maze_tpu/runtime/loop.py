@@ -81,9 +81,12 @@ class InteractiveLoop:
         self.cfg = cfg
         self.batch_frames = max(1, int(batch_frames))
         if self.batch_frames > 1:
-            from .step import make_scan_step_fn
+            from .step import derive_traversal_bounds, make_scan_step_fn
 
-            scan_fn = make_scan_step_fn(cfg, self.batch_frames)
+            scan_fn = make_scan_step_fn(
+                cfg, self.batch_frames,
+                *derive_traversal_bounds(scene, cfg, None, None),
+            )
             k = self.batch_frames
 
             # The [k]-leading input pytree is built INSIDE the jitted

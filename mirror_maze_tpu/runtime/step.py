@@ -105,8 +105,17 @@ def rotation_update(
     half_out = jnp.where(inputs.rot_updated, new_half, half_theta)
 
     rkey, key = jax.random.split(key)
-    fresh = jax.random.permutation(rkey, perm.shape[0]).astype(jnp.int32)
-    perm_out = jnp.where(rotated, fresh, perm)
+    # Regenerate ONLY on rotation frames: the permutation is a
+    # random-bits + full sort over every screen chunk (519k ids at 4K),
+    # far too expensive to compute-and-discard every idle/walking frame.
+    # The key split stays unconditional, so streams (and goldens) are
+    # identical to the old compute-always/select formulation.
+    perm_out = jax.lax.cond(
+        rotated,
+        lambda p: jax.random.permutation(rkey, p.shape[0]).astype(jnp.int32),
+        lambda p: p,
+        perm,
+    )
     cursor_out = jnp.where(rotated, jnp.int32(0), cursor)
     return quat_out, half_out, perm_out, cursor_out, key
 
@@ -214,14 +223,36 @@ def make_scan_step_fn(
     return run
 
 
+def derive_traversal_bounds(
+    scene: DeviceScene, cfg: EngineConfig,
+    max_depth: int | None, max_leaf: int | None,
+) -> tuple[int, int]:
+    """Fill None traversal bounds from the CONCRETE scene's built BVH
+    (scene/bvh.py traversal_bounds) — a fixed max_leaf drops primitives
+    in large SAH leaves and a fixed max_depth corrupts the stack. Only
+    the "bvh" intersector traverses, so other backends keep cheap
+    defaults without fetching the arrays."""
+    if max_depth is not None and max_leaf is not None:
+        return max_depth, max_leaf
+    if cfg.intersector != "bvh":
+        return max_depth or 32, max_leaf or 4
+    from ..scene.bvh import traversal_bounds
+
+    d, l = traversal_bounds(scene.bvh_left_first, scene.bvh_count)
+    return (max_depth or d), (max_leaf or l)
+
+
 def make_scan_step(
     scene: DeviceScene,
     cfg: EngineConfig,
     n_frames: int,
-    max_depth: int = 32,
-    max_leaf: int = 4,
+    max_depth: int | None = None,
+    max_leaf: int | None = None,
 ) -> Callable[[EngineState, FrameInputs], tuple[EngineState, jnp.ndarray]]:
     """Jitted multi-frame step bound to a scene (state donated)."""
+    max_depth, max_leaf = derive_traversal_bounds(
+        scene, cfg, max_depth, max_leaf
+    )
     fn = jax.jit(
         make_scan_step_fn(cfg, n_frames, max_depth, max_leaf),
         donate_argnums=(1,),
@@ -244,8 +275,8 @@ def repeat_input(inp: FrameInputs, n: int) -> FrameInputs:
 def make_step(
     scene: DeviceScene,
     cfg: EngineConfig,
-    max_depth: int = 32,
-    max_leaf: int = 4,
+    max_depth: int | None = None,
+    max_leaf: int | None = None,
 ) -> Callable[[EngineState, FrameInputs], tuple[EngineState, jnp.ndarray]]:
     """Jitted frame step bound to a scene. The state buffers are donated
     (screen/perm updated in place — no HBM copies per frame).
@@ -253,8 +284,12 @@ def make_step(
     The scene is passed as a jit ARGUMENT, not closed over: closed-over
     device arrays are embedded as HLO constants, which forces a
     device->host fetch per array at lowering time (pathological over the
-    axon TPU tunnel) and bloats the executable.
+    axon TPU tunnel) and bloats the executable. Traversal bounds default
+    to exact values derived from the scene's BVH (derive_traversal_bounds).
     """
+    max_depth, max_leaf = derive_traversal_bounds(
+        scene, cfg, max_depth, max_leaf
+    )
     step_jit = jax.jit(
         make_step_fn(cfg, max_depth, max_leaf), donate_argnums=(1,)
     )

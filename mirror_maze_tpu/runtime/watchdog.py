@@ -72,4 +72,12 @@ class Watchdog:
             raise FloatingPointError(
                 "engine state non-finite and no snapshot to roll back to"
             )
-        return self._snapshot
+        # Hand out a COPY and keep our own: the caller feeds the returned
+        # state into the donated step, which deletes its buffers — if the
+        # state goes non-finite again before the next good snapshot (the
+        # persistent-corruption case), the retained snapshot must still
+        # be alive to roll back to a second time.
+        import jax
+        import jax.numpy as jnp
+
+        return jax.tree.map(jnp.copy, self._snapshot)

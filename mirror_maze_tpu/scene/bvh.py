@@ -70,6 +70,28 @@ class BVH:
         return int(depths.max(initial=1))
 
 
+def traversal_bounds(left_first, count) -> tuple[int, int]:
+    """(max_depth, max_leaf) that make the masked traversal
+    (render/intersect.py nearest_hit_bvh) exact for this tree.
+
+    The SAH builder legitimately emits leaves of ANY size (subdivision
+    aborts when the best split costs more than the parent, and coincident
+    centroids force one-sided partitions), so traversal bounds must come
+    from the BUILT tree — a fixed max_leaf silently drops primitives and
+    a fixed max_depth silently corrupts the stack. Host-side numpy walk,
+    run once at step build."""
+    lf = np.asarray(left_first)
+    ct = np.asarray(count)
+    m = lf.shape[0]
+    depths = np.zeros(m, dtype=np.int64)
+    depths[0] = 1
+    for i in range(m):
+        if ct[i] == 0:
+            c = lf[i]
+            depths[c] = depths[c + 1] = depths[i] + 1
+    return int(depths.max(initial=1)), int(ct.max(initial=1))
+
+
 def _half_area(bmin: np.ndarray, bmax: np.ndarray) -> np.ndarray:
     e = bmax - bmin
     return e[..., 0] * e[..., 1] + e[..., 1] * e[..., 2] + e[..., 2] * e[..., 0]
@@ -96,9 +118,15 @@ def build_bvh(
 
     n = origin.shape[0]
     # Three growth corners per quad (`main.rs:95-97`) and centroids
-    # (`main.rs:69-71`: origin + (u + v) / 2).
-    pts = np.stack([origin, origin + u, origin + v], axis=1).astype(np.float64)
-    centers = (origin + 0.5 * (u + v)).astype(np.float64)
+    # (`main.rs:69-71`: origin + (u + v) / 2). Promote to float64 BEFORE
+    # the adds — the C++ twin (bvh_builder.cpp) sums in double, and a
+    # float32 rounding on e.g. -49.9 + 9.9 can flip the strict-< SAH
+    # partition, diverging the two builders' topology.
+    origin64 = np.asarray(origin, np.float64)
+    u64 = np.asarray(u, np.float64)
+    v64 = np.asarray(v, np.float64)
+    pts = np.stack([origin64, origin64 + u64, origin64 + v64], axis=1)
+    centers = origin64 + 0.5 * (u64 + v64)
 
     prim_index = np.arange(n, dtype=np.int64)
     nodes_min: List[np.ndarray] = []

@@ -98,6 +98,41 @@ def test_slab_against_bruteforce(rng):
     assert agree.mean() > 0.99  # allow grazing-edge disagreement
 
 
+def test_bvh_traversal_exact_on_giant_leaf(rng):
+    """Coincident centroids force the SAH builder into one big leaf
+    (every split is one-sided -> abort): the traversal must still test
+    every primitive. Guards the derive-bounds path — a fixed max_leaf=4
+    silently dropped primitives 5..n here (rays passed through)."""
+    from mirror_maze_tpu.scene.builder import Scene
+    from mirror_maze_tpu.scene.bvh import traversal_bounds
+
+    n = 7
+    # Parallel unit quads stacked along z, all sharing one centroid x/y
+    # and z-extent midpoint arrangement that degenerates the partition:
+    # same centroid for every quad -> single leaf of 7.
+    origin = np.tile(np.array([[-0.5, -0.5, 0.0]], np.float32), (n, 1))
+    origin[:, 2] = np.arange(n, dtype=np.float32) * 0.0  # all at z=0 plane
+    v = np.tile(np.array([[1.0, 0.0, 0.0]], np.float32), (n, 1))
+    u = np.tile(np.array([[0.0, 1.0, 0.0]], np.float32), (n, 1))
+    scene = Scene(
+        origin=origin, v=v, u=u,
+        color=np.ones((n, 3), np.float32),
+        is_mirror=np.zeros(n, bool),
+        emission=np.zeros((n, 4), np.float32),
+        grid=np.zeros((1, 1), np.uint8),
+    )
+    bvh = build_bvh(scene.origin, scene.u, scene.v, backend="numpy")
+    assert int(bvh.count.max()) == n  # the degenerate single leaf
+    dev = upload_scene(scene, bvh)
+    d, l = traversal_bounds(bvh.left_first, bvh.count)
+    o = jnp.asarray([[0.0, 0.0, -3.0]], dtype=jnp.float32)
+    dr = jnp.asarray([[0.0, 0.0, 1.0]], dtype=jnp.float32)
+    t_v, _ = nearest_hit_bvh(dev, o, dr, 0.1, max_depth=d, max_leaf=l)
+    assert float(t_v[0]) < BIG  # the ray must NOT pass through
+    t_b, _ = nearest_hit_brute(dev, o, dr, 0.1)
+    np.testing.assert_allclose(np.asarray(t_v), np.asarray(t_b), rtol=1e-5)
+
+
 def test_brute_matches_bvh_on_real_scene(rng):
     cfg = MazeConfig(width=6, height=6)
     scene = build_scene(cfg)
