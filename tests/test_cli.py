@@ -1,0 +1,73 @@
+"""CLI surface tests (__main__.py): config override semantics and the
+offline entry points, on tiny CPU configs."""
+
+import numpy as np
+import pytest
+
+
+def _args(**kw):
+    import argparse
+
+    defaults = dict(
+        config="interactive", width=0, height=0, spp=0, seed=None,
+        intersector=None, frames=None, batch_frames=1, cameras=4,
+        save_state=None, load_state=None, out=None,
+    )
+    defaults.update(kw)
+    return argparse.Namespace(**defaults)
+
+
+def test_overrides_preserve_named_config_fields():
+    """--width/--spp/--seed must REPLACE single fields: config_interactive
+    sets sort_chunk_window=True and block_rows=128, which a from-scratch
+    ScreenConfig/MazeConfig rebuild silently reset (past bug)."""
+    from mirror_maze_tpu.__main__ import _build
+
+    cfg, scene, dev = _build(
+        _args(width=64, height=48, spp=2, seed=3)
+    )
+    assert cfg.screen.width == 64 and cfg.screen.height == 48
+    assert cfg.screen.samples_per_pixel == 2
+    assert cfg.screen.sort_chunk_window is True      # preserved
+    assert cfg.tracer.block_rows == 128              # preserved
+    assert cfg.maze.seed == 3
+    assert cfg.maze.width == 10                      # preserved
+
+
+def test_render_cli_writes_png(tmp_path):
+    from mirror_maze_tpu.__main__ import main
+    from mirror_maze_tpu.utils.imageio import read_png
+
+    out = str(tmp_path / "f.png")
+    rc = main(["render", "--config", "v0", "--width", "64", "--height",
+               "48", "--spp", "1", "--out", out])
+    assert rc == 0
+    img = np.asarray(read_png(out))
+    assert img.shape[:2] == (48, 64)
+
+
+def test_multicam_cli_grid(tmp_path):
+    from mirror_maze_tpu.__main__ import main
+    from mirror_maze_tpu.utils.imageio import read_png
+
+    out = str(tmp_path / "mc.png")
+    rc = main(["multicam", "--config", "v0", "--cameras", "3", "--width",
+               "64", "--height", "48", "--spp", "1", "--out", out])
+    assert rc == 0
+    img = np.asarray(read_png(out))
+    # 3 cameras -> 2x2 grid of 48x64 views (one slot black).
+    assert img.shape[:2] == (96, 128)
+
+
+def test_frame_stats_math():
+    import time
+
+    from mirror_maze_tpu.utils.profiling import FrameStats
+
+    st = FrameStats(rays_per_frame=1000)
+    st.tick()
+    time.sleep(0.01)
+    st.tick()
+    assert st.frames == 2
+    assert 1.0 < st.fps < 1000.0
+    assert st.mrays_per_s == pytest.approx(st.fps * 1000 / 1e6)
