@@ -31,9 +31,17 @@ def scatter_chunks(
     colors: jnp.ndarray,       # [K, 3] float32
 ) -> jnp.ndarray:
     """Write traced pixels into the screen (the kernel's texout.write,
-    `shaders.metal:366`). Last write wins on duplicates, as on the GPU."""
+    `shaders.metal:366`).
+
+    unique_indices: every engine window's pixels are distinct by
+    construction (chunk ids come from a permutation slice; the doubled-
+    permutation wrap never overlaps itself within one window), freeing
+    XLA from ordered-write semantics. A chunk-BLOCKED scatter (16x fewer
+    indices, 48-float windows) was measured at 22 ms/frame vs this
+    formulation's 12.7 at 1080p — XLA lowers windowed scatters far worse
+    than flat ones; do not "optimize" this back."""
     return screen.at[pixel_xy[:, 1], pixel_xy[:, 0]].set(
-        colors, mode="drop", unique_indices=False
+        colors, mode="drop", unique_indices=True
     )
 
 
