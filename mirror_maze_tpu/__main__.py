@@ -119,6 +119,7 @@ def cmd_play(args) -> int:
     loop = InteractiveLoop(
         dev, cfg, seed=args.seed or 0, batch_frames=args.batch_frames
     )
+    display = None if args.display == "none" else args.display
     if args.load_state:
         from .runtime.state import load_state
 
@@ -127,7 +128,7 @@ def cmd_play(args) -> int:
               f"(frame {int(loop.state.frame)})")
     frame0 = int(loop.state.frame)
     t0 = time.perf_counter()
-    loop.run(max_frames=args.frames, out_png=args.out)
+    loop.run(max_frames=args.frames, out_png=args.out, display=display)
     frames = int(loop.state.frame) - frame0
     dt = time.perf_counter() - t0
     if dt > 0 and frames:
@@ -210,6 +211,11 @@ def main(argv=None) -> int:
         sp.add_argument("--seed", type=int, default=None)
         sp.add_argument("--intersector", default=None)
         sp.add_argument("--frames", type=int, default=None)
+        sp.add_argument("--display", default="ansi",
+                        choices=("ansi", "kitty", "none"),
+                        help="play: terminal display mode (ansi "
+                             "half-blocks, kitty graphics protocol, or "
+                             "none)")
         sp.add_argument("--cameras", type=int, default=4,
                         help="multicam: batch size (cameras fanned "
                              "around the spawn yaw)")

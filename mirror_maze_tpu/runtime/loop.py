@@ -170,7 +170,9 @@ class InteractiveLoop:
 
         display="ansi" paints the view into the terminal as 24-bit
         half-block art every display_every frames (the headless stand-in
-        for the reference's CAMetalLayer window); None disables it.
+        for the reference's CAMetalLayer window); "kitty" uses the kitty
+        graphics protocol for a full-resolution in-terminal image
+        (kitty/ghostty/wezterm); None disables display.
         With batch_frames > 1, ``max_frames`` rounds UP to whole batches
         (each launch is a fixed-length compiled scan).
         ``watchdog_interval`` enables runtime/watchdog.py periodic state
@@ -192,6 +194,7 @@ class InteractiveLoop:
             tty.setcbreak(fd)
             n = 0
             shown = 0
+            t_start = time.monotonic()
             deadline = time.monotonic()
             while max_frames is None or n < max_frames:
                 inp = self._poll_keys()
@@ -199,16 +202,27 @@ class InteractiveLoop:
                 if wd is not None:
                     self.state = wd.check(self.state)
                 n += self.batch_frames
-                if display == "ansi" and n >= shown + display_every:
+                if display is not None and n >= shown + display_every:
                     shown = n
-                    from ..utils.imageio import ansi_frame
+                    if display == "kitty":
+                        from ..utils.imageio import kitty_frame
 
-                    step_px = max(
-                        1, -(-self.cfg.screen.width // display_cols)
+                        art = kitty_frame(np.asarray(self.frame))
+                    else:
+                        from ..utils.imageio import ansi_frame
+
+                        step_px = max(
+                            1, -(-self.cfg.screen.width // display_cols)
+                        )
+                        small = np.asarray(self._thumb(self.frame, step_px))
+                        art = ansi_frame(small, display_cols)
+                    wall = time.monotonic() - t_start
+                    c = np.asarray(self.state.cam_center)
+                    status = (
+                        f"\nframe {n}  ({c[0]:+.1f}, {c[2]:+.1f})  "
+                        f"{n / wall:.1f} fps  [wasd move, j/l turn, q quit]"
                     )
-                    small = np.asarray(self._thumb(self.frame, step_px))
-                    art = ansi_frame(small, display_cols)
-                    sys.stdout.write("\x1b[H\x1b[2J" + art + "\n")
+                    sys.stdout.write("\x1b[H\x1b[2J" + art + status + "\n")
                     sys.stdout.flush()
                 deadline += spf * self.batch_frames
                 delay = deadline - time.monotonic()

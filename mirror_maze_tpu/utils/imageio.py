@@ -82,6 +82,25 @@ def ansi_frame(img: np.ndarray, max_cols: int = 100) -> str:
     return "\n".join(rows)
 
 
+def kitty_frame(img: np.ndarray) -> str:
+    """Encode an RGB uint8 image as a kitty graphics-protocol escape
+    sequence (APC G, f=24 raw RGB, chunked base64) — full-resolution
+    in-terminal display for terminals that speak it (kitty, ghostty,
+    wezterm). The half-block `ansi_frame` is the portable fallback."""
+    import base64
+
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w = img.shape[:2]
+    payload = base64.standard_b64encode(img.tobytes()).decode("ascii")
+    chunks = [payload[i:i + 4096] for i in range(0, len(payload), 4096)]
+    out = []
+    for i, chunk in enumerate(chunks):
+        ctrl = f"a=T,f=24,s={w},v={h}," if i == 0 else ""
+        m = 1 if i + 1 < len(chunks) else 0
+        out.append(f"\x1b_G{ctrl}m={m};{chunk}\x1b\\")
+    return "".join(out)
+
+
 def read_png(path: str) -> np.ndarray:
     """Read a PNG to an [H, W, C] uint8 array (PIL path only; used for the
     optional noise-texture load and golden-image tests)."""

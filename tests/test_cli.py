@@ -59,6 +59,29 @@ def test_multicam_cli_grid(tmp_path):
     assert img.shape[:2] == (96, 128)
 
 
+def test_kitty_frame_roundtrip():
+    """The kitty graphics escape must carry the exact RGB payload,
+    chunked at 4096 base64 chars with correct continuation flags."""
+    import base64
+    import re
+
+    from mirror_maze_tpu.utils.imageio import kitty_frame
+
+    img = np.random.default_rng(0).integers(
+        0, 256, (40, 50, 3), dtype=np.uint8
+    )
+    s = kitty_frame(img)
+    chunks = re.findall(r"\x1b_G([^;]*);([^\x1b]*)\x1b\\\\?", s)
+    assert chunks[0][0].startswith("a=T,f=24,s=50,v=40,")
+    assert all(c[0] == "m=1" for c in chunks[1:-1])
+    assert chunks[-1][0] in ("m=0", "a=T,f=24,s=50,v=40,m=0")
+    payload = "".join(c[1] for c in chunks)
+    raw = base64.standard_b64decode(payload)
+    np.testing.assert_array_equal(
+        np.frombuffer(raw, np.uint8).reshape(40, 50, 3), img
+    )
+
+
 def test_frame_stats_math():
     import time
 
