@@ -103,6 +103,52 @@ def test_random_skewed_scenes_match_exactly():
         np.testing.assert_allclose(lj, lp, rtol=1e-4, atol=1e-5)
 
 
+def test_random_multitile_scene_matches_exactly():
+    """Skewed random quads ABOVE the 128-plane tile threshold: covers
+    the multi-tile path (per-tile AABB slab skip, near-to-far order,
+    cross-tile strict-< merge) on arbitrary geometry — generated mazes
+    exercise it only with axis-aligned planes."""
+    from mirror_maze_tpu.scene.builder import Scene
+
+    r = np.random.default_rng(11)
+    n = 150   # > PLANE_TILE -> at least two tiles in the kind-0 group
+    origin = r.uniform(-20, 20, (n, 3))
+    v = r.normal(size=(n, 3)) * 2.0
+    u = r.normal(size=(n, 3)) * 2.0
+    em = np.concatenate(
+        [r.uniform(0, 1, (n, 3)),
+         (r.random((n, 1)) < 0.3) * r.uniform(0, 2, (n, 1))], axis=1
+    )
+    scene = Scene(
+        origin=origin.astype(np.float32),
+        v=v.astype(np.float32),
+        u=u.astype(np.float32),
+        color=r.uniform(0, 1, (n, 3)).astype(np.float32),
+        is_mirror=np.zeros(n, bool),
+        emission=em.astype(np.float32),
+        grid=np.zeros((1, 1), np.uint8),
+    )
+    dev = upload_scene(scene)
+    n_tiles = max(g[2].shape[0] for g in dev.mxu_tables if g is not None)
+    assert n_tiles >= 2   # the multi-tile path is actually exercised
+    cfg = TracerConfig(bounce_limit=1, mirror_limit=1)
+    rr = np.random.default_rng(7)
+    o = jnp.asarray(rr.uniform(-25, 25, (130, 3)).astype(np.float32))
+    d = rr.normal(size=(130, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    anchor = jnp.asarray([1.0, -2.0, 3.0])
+    lj = np.asarray(trace_paths(dev, o, d, KEY, cfg))
+    lp = np.asarray(trace_paths_pallas(
+        dev.plane_table, o, d, jnp.int32(9), cfg, rows_per_block=2,
+        tables=dev.mxu_tables, anchor=anchor,
+    ))
+    per_ray = np.abs(lj - lp).max(axis=1)
+    agree = per_ray < 1e-4
+    assert agree.mean() >= 0.99, np.where(~agree)[0]  # grazing-edge slack
+    np.testing.assert_allclose(lj[agree], lp[agree], rtol=1e-4, atol=1e-5)
+
+
 def test_sky_term_matches_jnp_tracer(rng):
     """sky_strength > 0 (the reference's dead sky code, exposed as
     config) must agree across backends: miss lanes gain
