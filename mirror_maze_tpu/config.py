@@ -211,7 +211,10 @@ def config_fuzzy() -> EngineConfig:
     about."""
     return EngineConfig(
         maze=MazeConfig(width=16, height=16),
-        tracer=TracerConfig(noise_rng=True),
+        # block_rows 32 measured best for this few-tile scene (PERF.md:
+        # 32 -> 66.8 Mrays/s, 16 -> 61.9, 128 -> VMEM OOM); explicit so
+        # it survives default changes.
+        tracer=TracerConfig(noise_rng=True, block_rows=32),
         screen=ScreenConfig(width=1280, height=720),
         intersector="pallas",
     )
