@@ -102,6 +102,42 @@ def test_graft_entry_compiles_and_dryruns():
     ge.dryrun_multichip(8)
 
 
+def test_graft_entry_dryrun_as_the_driver_invokes_it():
+    """Round-1 regression: MULTICHIP_r01.json was ok=false because the
+    driver runs ``dryrun_multichip(8)`` in a FRESH process on a 1-device
+    host, where the conftest's 8-device CPU forcing does not exist. This
+    test reproduces that invocation: a subprocess whose backend exposes
+    exactly ONE device (no xla_force_host_platform_device_count), so
+    dryrun_multichip must bootstrap its own virtual 8-device CPU mesh in
+    a grandchild process and exit 0."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    # One CPU device, like the bench host's one TPU: keep the platform
+    # pinned to cpu (so the test never rides the axon tunnel) but strip
+    # the conftest's virtual-device-count forcing.
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if not f.startswith("--xla_force_host_platform_device_count")
+    )
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    child = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "assert len(jax.devices()) == 1, jax.devices(); "
+        "import __graft_entry__ as g; g.dryrun_multichip(8)"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", child], env=env, cwd="/root/repo",
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:]
+    assert "dryrun_multichip ok" in proc.stdout
+
+
 def test_sharded_renderer_pallas_backend():
     """The fused pallas kernel must compose with shard_map (per-shard
     pallas_call under a (cam, tile) mesh) — config 5 runs it on real
