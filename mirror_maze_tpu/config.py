@@ -82,6 +82,15 @@ class TracerConfig:
     # per-block RNG stream grouping, so it is image-affecting.
     block_rows: int = 32
 
+    def __post_init__(self):
+        # A negative falloff base has no well-defined real power for
+        # fractional exponents and would NaN the sky term in both tracers.
+        if self.sky_strength != 0.0 and self.lighting_factor < 0.0:
+            raise ValueError(
+                f"lighting_factor must be >= 0 when sky_strength != 0 "
+                f"(got {self.lighting_factor})"
+            )
+
     @property
     def max_segments(self) -> int:
         """Static trip count for the fixed-shape bounce loop.
@@ -134,6 +143,24 @@ class ScreenConfig:
     # pixel's RNG lane) differs. Essential for multi-tile scenes with
     # wide blocks; off by default to keep small-scene goldens stable.
     sort_chunk_window: bool = False
+
+    def __post_init__(self):
+        # The scheduler pops each frame's window from a DOUBLED permutation
+        # slice (render/scheduler.py take_chunks); the scatter then declares
+        # unique indices (render/accumulate.py). Both are only valid while
+        # one window never repeats a chunk, i.e. window size <= total
+        # chunks — enforce the precondition instead of assuming it.
+        if (
+            self.chunks_per_frame is not None
+            and self.chunks_per_frame > self.total_chunks
+        ):
+            raise ValueError(
+                f"chunks_per_frame={self.chunks_per_frame} exceeds "
+                f"total_chunks={self.total_chunks} "
+                f"({self.chunks_x}x{self.chunks_y} grid): one frame window "
+                "would repeat chunks, breaking the scheduler's "
+                "unique-window invariant"
+            )
 
     @property
     def pixels_per_chunk(self) -> int:

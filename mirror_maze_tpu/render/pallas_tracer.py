@@ -618,7 +618,14 @@ def _tracer_kernel(
             # strength, not attenuated by throughput.
             miss = alive & ~hit
             expo = (jnp.broadcast_to(seg, wshape) - mh).astype(jnp.float32)
-            fac = jnp.exp(expo * jnp.float32(np.log(sky[4]))) * sky[3]
+            if sky[4] > 0.0:
+                fac = jnp.exp(expo * jnp.float32(np.log(sky[4]))) * sky[3]
+            else:
+                # lighting_factor == 0: exp(expo * log 0) would be
+                # 0 * -inf = NaN at expo == 0. Match the jnp tracer's pow
+                # semantics (0**0 == 1, 0**n == 0). Negative bases are
+                # rejected at config time (TracerConfig.__post_init__).
+                fac = jnp.where(expo == 0.0, jnp.float32(sky[3]), 0.0)
             lr = jnp.where(miss, lr + sky[0] * fac, lr)
             lg = jnp.where(miss, lg + sky[1] * fac, lg)
             lb = jnp.where(miss, lb + sky[2] * fac, lb)

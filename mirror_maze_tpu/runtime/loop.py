@@ -200,7 +200,7 @@ class InteractiveLoop:
                 inp = self._poll_keys()
                 self.state, self.frame = self.step(self.state, inp)
                 if wd is not None:
-                    self.state = wd.check(self.state)
+                    self.state = wd.check(self.state, n=self.batch_frames)
                 n += self.batch_frames
                 if display is not None and n >= shown + display_every:
                     shown = n

@@ -49,10 +49,14 @@ class Watchdog:
         self._since = 0
         self.rollbacks = 0
 
-    def check(self, state: EngineState) -> EngineState:
+    def check(self, state: EngineState, n: int = 1) -> EngineState:
         """Return `state`, or the last good snapshot if `state` went
-        non-finite. Validates (and snapshots) every `interval` calls."""
-        self._since += 1
+        non-finite. Validates (and snapshots) every `interval` frames.
+
+        ``n`` is how many engine frames this call advances — batched
+        drivers (lax.scan multi-frame steps) pass their batch size so the
+        validation cadence stays frame-periodic, not launch-periodic."""
+        self._since += n
         if self._since < self.interval and self._snapshot is not None:
             return state
         self._since = 0

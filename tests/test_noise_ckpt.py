@@ -133,6 +133,24 @@ def test_watchdog_rolls_back_poisoned_state(tiny_cfg, tiny_device_scene):
     assert state_is_finite(recovered)
 
 
+def test_watchdog_counts_frames_not_launches(tiny_cfg):
+    """Batched drivers (lax.scan steps) advance many engine frames per
+    launch; check(state, n=batch) must keep the validation cadence
+    frame-periodic — interval=8 with n=4 validates every 2nd call."""
+    from mirror_maze_tpu.runtime.state import init_state
+    from mirror_maze_tpu.runtime.watchdog import Watchdog
+
+    st = init_state(tiny_cfg, seed=0)
+    wd = Watchdog(interval=8)
+    wd.check(st, n=4)          # first call always snapshots
+    assert wd._snapshot is not None
+    bad = st._replace(quat=st.quat * np.float32("nan"))
+    wd.check(bad, n=4)         # 4 < 8 frames since snapshot: not validated
+    assert wd.rollbacks == 0
+    wd.check(bad, n=4)         # 8 frames reached: validated -> rollback
+    assert wd.rollbacks == 1
+
+
 def test_watchdog_raises_without_snapshot(tiny_cfg):
     from mirror_maze_tpu.runtime.state import init_state
     from mirror_maze_tpu.runtime.watchdog import Watchdog

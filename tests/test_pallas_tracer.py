@@ -195,6 +195,48 @@ def test_sky_term_matches_jnp_tracer(rng):
     np.testing.assert_allclose(lj[agree], lp[agree], rtol=1e-4, atol=1e-6)
 
 
+def test_sky_zero_lighting_factor_is_finite_and_matches(rng):
+    """lighting_factor == 0 with sky_strength != 0: the kernel's
+    exp(expo * log(base)) form would produce 0 * -inf = NaN at expo == 0;
+    it must instead match the jnp tracer's pow semantics (0**0 == 1,
+    0**n == 0) — first-segment misses get the full sky term, later
+    segments none."""
+    from mirror_maze_tpu.scene.builder import Scene
+
+    r = np.random.default_rng(4)
+    n = 9
+    scene = Scene(
+        origin=r.uniform(-8, 8, (n, 3)).astype(np.float32),
+        v=(r.normal(size=(n, 3)) * 4).astype(np.float32),
+        u=(r.normal(size=(n, 3)) * 4).astype(np.float32),
+        color=r.uniform(0, 1, (n, 3)).astype(np.float32),
+        is_mirror=np.zeros(n, bool),
+        emission=np.zeros((n, 4), np.float32),
+        grid=np.zeros((1, 1), np.uint8),
+    )
+    dev = upload_scene(scene)
+    cfg = TracerConfig(bounce_limit=1, mirror_limit=2,
+                       sky_strength=0.7, lighting_factor=0.0)
+    o, d = _rays(192, rng)
+    lj = np.asarray(trace_paths(dev, o, d, KEY, cfg))
+    lp = np.asarray(trace_paths_pallas(dev.plane_table, o, d, jnp.int32(2),
+                                       cfg, rows_per_block=2,
+                                       tables=dev.mxu_tables))
+    assert np.isfinite(lp).all()
+    assert lp.max() > 0.0   # expo==0 misses DID get the sky term
+    per_ray = np.abs(lj - lp).max(axis=1)
+    agree = per_ray < 1e-5  # same grazing-edge slack as the test above
+    assert agree.mean() >= 0.99, (np.where(~agree)[0], per_ray.max())
+
+
+def test_negative_lighting_factor_rejected():
+    import pytest
+
+    with pytest.raises(ValueError):
+        TracerConfig(sky_strength=0.5, lighting_factor=-0.25)
+    TracerConfig(sky_strength=0.0, lighting_factor=-0.25)  # dead sky: fine
+
+
 def test_multibounce_statistical_agreement(rng):
     dev, table = _setup()
     cfg = TracerConfig(bounce_limit=3, mirror_limit=4)

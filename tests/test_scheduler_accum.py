@@ -128,3 +128,16 @@ def test_quantize_and_display():
     d = np.asarray(to_display(img))
     assert d.dtype == np.uint8
     assert d.tolist() == [[[128, 0, 255]]]
+
+
+def test_oversized_chunk_window_rejected():
+    """chunks_per_frame > total_chunks would make the doubled-permutation
+    window repeat chunks, invalidating the scatter's unique_indices
+    declaration (undefined results) — ScreenConfig must refuse it."""
+    import pytest
+
+    from mirror_maze_tpu.config import ScreenConfig
+
+    ScreenConfig(width=32, height=32, chunks_per_frame=64)  # == total: ok
+    with pytest.raises(ValueError):
+        ScreenConfig(width=32, height=32, chunks_per_frame=65)
