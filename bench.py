@@ -38,11 +38,24 @@ def main() -> None:
     p.add_argument("--preset", type=str, default=None,
                    help="named config (v0|bvh|fuzzy|interactive|scale|"
                         "reference); overrides the geometry flags")
+    p.add_argument("--sharded-bands", type=int, default=None,
+                   help="run the TILE-SHARDED engine over a (1, n) mesh "
+                        "(parallel/shard.py make_sharded_scan_engine) "
+                        "instead of the single-chip step; needs n devices "
+                        "(virtual CPU mesh: JAX_PLATFORMS=cpu + "
+                        "XLA_FLAGS=--xla_force_host_platform_device_count)")
     args = p.parse_args()
+
+    import os
 
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/mmx_jax_cache")
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # This image's sitecustomize force-registers the TPU plugin and
+        # overrides JAX_PLATFORMS; honoring the env needs the config
+        # update after import (CLAUDE.md).
+        jax.config.update("jax_platforms", "cpu")
 
     from mirror_maze_tpu.config import (
         EngineConfig,
@@ -104,8 +117,28 @@ def main() -> None:
     # (lax.scan), like the engine's scripted mode: per-launch dispatch
     # latency (tens of ms over a remote-dispatch tunnel) is amortized
     # and what's measured is real device throughput.
-    step_n = make_scan_step(dev_scene, cfg, args.frames)
-    state = init_state(cfg, seed=0)
+    if args.sharded_bands:
+        from mirror_maze_tpu.parallel.shard import (
+            make_mesh,
+            make_sharded_scan_engine,
+        )
+
+        n_bands = args.sharded_bands
+        mesh = make_mesh(1, n_bands)
+        init_fn, scan_fn = make_sharded_scan_engine(cfg, mesh, args.frames)
+        sharded_state = init_fn(seed=0)
+        step_n = lambda st, inp: scan_fn(dev_scene, st, inp)  # noqa: E731
+        state = sharded_state
+        # Each band pops its own window: total refreshed chunks per frame
+        # is the per-band window times the band count (shard.py
+        # _band_screen_cfg).
+        chunks_per_frame = n_bands * max(
+            1, cfg.screen.effective_chunks_per_frame // n_bands
+        )
+    else:
+        step_n = make_scan_step(dev_scene, cfg, args.frames)
+        state = init_state(cfg, seed=0)
+        chunks_per_frame = cfg.screen.effective_chunks_per_frame
     idle_n = repeat_input(FrameInputs.idle(), args.frames)
 
     # CAUTION: on the axon TPU tunnel, Array.block_until_ready() can return
@@ -133,7 +166,7 @@ def main() -> None:
     fps = n_total / dt
     frame_ms = 1000.0 * dt / n_total
     rays_per_frame = (
-        cfg.screen.effective_chunks_per_frame
+        chunks_per_frame
         * cfg.screen.pixels_per_chunk
         * cfg.screen.samples_per_pixel
     )
@@ -159,6 +192,7 @@ def main() -> None:
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
         "intersector": cfg.intersector,
+        "sharded_bands": args.sharded_bands,
         "planes": scene.num_planes,
         # what the pallas kernel actually sweeps (degenerate rows filtered)
         "kernel_planes": int(dev_scene.plane_table.shape[0]),

@@ -42,6 +42,7 @@ from .shard import (  # noqa: E402
     make_mesh,
     make_sharded_engine,
     make_sharded_renderer,
+    make_sharded_scan_engine,
 )
 
 __all__ = [
@@ -51,4 +52,5 @@ __all__ = [
     "make_mesh",
     "make_sharded_engine",
     "make_sharded_renderer",
+    "make_sharded_scan_engine",
 ]

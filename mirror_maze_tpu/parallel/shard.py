@@ -189,21 +189,10 @@ def _blur_with_halo(local: jnp.ndarray, axis: str = "tile") -> jnp.ndarray:
     return (c + (l + r) / 2.0 + (u + d) / 2.0) / 3.0
 
 
-def make_sharded_engine(cfg: EngineConfig, mesh: Mesh,
-                        max_depth: int = 32, max_leaf: int = 4):
-    """Build (init_fn, step_fn) for the tile-sharded interactive engine.
-
-    init_fn(seed) -> ShardedEngineState; step_fn(state, FrameInputs) ->
-    (state, frame [H, W, 3] uint8 sharded P('tile')). Camera semantics
-    are identical to the single-chip step (runtime/step.py); the
-    progressive refresh runs one independent chunk queue per band, and
-    the feedback blur exchanges halos so output has no band seams.
-
-    With ``intersector == "bvh"``, pass exact traversal bounds from
-    ``scene.bvh.traversal_bounds`` (the scene is a step-time argument
-    here, so they cannot be derived automatically as runtime/step.py
-    does).
-    """
+def _engine_locals(cfg: EngineConfig, mesh: Mesh):
+    """Shard-local init/step functions + state specs shared by the
+    per-frame engine (make_sharded_engine) and the multi-frame scan
+    engine (make_sharded_scan_engine)."""
     n_tile = mesh.shape["tile"]
     band = _band_screen_cfg(cfg, n_tile)
     n_chunks = band.effective_chunks_per_frame
@@ -235,15 +224,8 @@ def make_sharded_engine(cfg: EngineConfig, mesh: Mesh,
             frame=jnp.int32(0),
         )
 
-    init_sharded = jax.jit(
-        shard_map(
-            local_init, mesh=mesh, in_specs=(P(),), out_specs=state_specs,
-            check_vma=False,
-        )
-    )
-
     def local_step(scene: DeviceScene, state: ShardedEngineState,
-                   inputs: FrameInputs):
+                   inputs: FrameInputs, *, md: int, ml: int):
         ti = jax.lax.axis_index("tile")
         frame = state.frame + 1
         cursor = state.cursor[0]
@@ -255,7 +237,7 @@ def make_sharded_engine(cfg: EngineConfig, mesh: Mesh,
         nearest_fn = (
             None
             if cfg.intersector == "pallas"
-            else make_nearest_fn(scene, cfg, max_depth, max_leaf)
+            else make_nearest_fn(scene, cfg, md, ml)
         )
 
         # 1. Pop this band's chunk window — Morton-sorted when configured,
@@ -306,17 +288,132 @@ def make_sharded_engine(cfg: EngineConfig, mesh: Mesh,
         )
         return new_state, to_display(screen)
 
-    step_sharded = jax.jit(
+    return state_specs, local_init, local_step
+
+
+def _make_lazy_bounds_step(cfg, build_step, max_depth, max_leaf):
+    """Wrap a (md, ml) -> jitted-step builder in lazy traversal-bounds
+    derivation: bounds come from the CONCRETE scene at the first call
+    (runtime/step.py derive_traversal_bounds) — fixed defaults silently
+    drop primitives in large SAH leaves / corrupt the stack. Bounds are
+    derived once per scene OBJECT (identity-keyed; the cached scene is
+    retained so a recycled id can never alias a new scene); jitted steps
+    are cached per derived (depth, leaf) pair."""
+    bounds_cache: dict = {}
+    steps: dict = {}
+
+    def step_fn(scene, state, inputs):
+        from ..runtime.step import derive_traversal_bounds
+
+        cached = bounds_cache.get(id(scene))
+        if cached is None or cached[0] is not scene:
+            bounds = derive_traversal_bounds(scene, cfg, max_depth, max_leaf)
+            bounds_cache[id(scene)] = (scene, bounds)
+        else:
+            bounds = cached[1]
+        if bounds not in steps:
+            steps[bounds] = build_step(*bounds)
+        return steps[bounds](scene, state, inputs)
+
+    return step_fn
+
+
+def make_sharded_engine(cfg: EngineConfig, mesh: Mesh,
+                        max_depth: int | None = None,
+                        max_leaf: int | None = None):
+    """Build (init_fn, step_fn) for the tile-sharded interactive engine.
+
+    init_fn(seed) -> ShardedEngineState; step_fn(scene, state,
+    FrameInputs) -> (state, frame [H, W, 3] uint8 sharded P('tile')).
+    Camera semantics are identical to the single-chip step
+    (runtime/step.py); the progressive refresh runs one independent chunk
+    queue per band, and the feedback blur exchanges halos so output has
+    no band seams.
+
+    Traversal bounds for the "bvh" intersector default to EXACT values
+    derived from the concrete scene at the first step call
+    (runtime/step.py derive_traversal_bounds, cached per scene object) —
+    fixed bounds silently drop primitives in large SAH leaves / corrupt
+    the stack. Passing explicit bounds skips the derivation.
+    """
+    state_specs, local_init, local_step = _engine_locals(cfg, mesh)
+
+    init_sharded = jax.jit(
         shard_map(
-            local_step, mesh=mesh,
-            in_specs=(P(), state_specs, P()),
-            out_specs=(state_specs, P("tile")),
+            local_init, mesh=mesh, in_specs=(P(),), out_specs=state_specs,
             check_vma=False,
-        ),
-        donate_argnums=(1,),
+        )
     )
+
+    def build_step(md: int, ml: int):
+        return jax.jit(
+            shard_map(
+                partial(local_step, md=md, ml=ml), mesh=mesh,
+                in_specs=(P(), state_specs, P()),
+                out_specs=(state_specs, P("tile")),
+                check_vma=False,
+            ),
+            donate_argnums=(1,),
+        )
+
+    step_fn = _make_lazy_bounds_step(cfg, build_step, max_depth, max_leaf)
 
     def init_fn(seed: int = 0) -> ShardedEngineState:
         return init_sharded(jnp.array([seed], jnp.int32))
 
-    return init_fn, step_sharded
+    return init_fn, step_fn
+
+
+def make_sharded_scan_engine(cfg: EngineConfig, mesh: Mesh, n_frames: int,
+                             max_depth: int | None = None,
+                             max_leaf: int | None = None):
+    """Multi-frame tile-sharded engine: n_frames steps per device launch
+    via lax.scan INSIDE the shard_map (the collectives — halo ppermute —
+    run each scanned frame over ICI with no host round trips).
+
+    This is the sharded twin of runtime/step.py make_scan_step: one
+    launch per n_frames amortizes dispatch latency, which is what the
+    single-chip engine needed for 60 fps over a remote-dispatch link
+    (PERF.md) and config 5's batched scale-out claim needs here.
+
+    init_fn(seed) -> ShardedEngineState; scan_fn(scene, state, inputs)
+    -> (state, last frame [H, W, 3] uint8 sharded P('tile')), where
+    ``inputs`` is a FrameInputs pytree with a leading [n_frames] axis
+    (runtime/step.py stack_inputs / repeat_input). Only the final frame
+    is materialized.
+    """
+    state_specs, local_init, local_step = _engine_locals(cfg, mesh)
+
+    init_sharded = jax.jit(
+        shard_map(
+            local_init, mesh=mesh, in_specs=(P(),), out_specs=state_specs,
+            check_vma=False,
+        )
+    )
+
+    def build_step(md: int, ml: int):
+        def local_scan(scene: DeviceScene, state: ShardedEngineState,
+                       inputs: FrameInputs):
+            def body(st, inp):
+                new_st, _ = local_step(scene, st, inp, md=md, ml=ml)
+                return new_st, None
+
+            final, _ = jax.lax.scan(body, state, inputs)
+            return final, to_display(final.screen)
+
+        return jax.jit(
+            shard_map(
+                local_scan, mesh=mesh,
+                in_specs=(P(), state_specs, P()),
+                out_specs=(state_specs, P("tile")),
+                check_vma=False,
+            ),
+            donate_argnums=(1,),
+        )
+
+    scan_fn = _make_lazy_bounds_step(cfg, build_step, max_depth, max_leaf)
+
+    def init_fn(seed: int = 0) -> ShardedEngineState:
+        return init_sharded(jnp.array([seed], jnp.int32))
+
+    return init_fn, scan_fn

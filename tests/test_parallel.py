@@ -345,3 +345,82 @@ def test_sharded_engine_content_matches_full_frame_render():
     # key yields the same image.
     ref = np.asarray(render_full_frame(scene, cam, jax.random.PRNGKey(0), cfg))
     np.testing.assert_array_equal(sharded, ref)
+
+
+def test_sharded_engine_bvh_derives_exact_traversal_bounds():
+    """The sharded engine must derive exact traversal bounds from the
+    concrete scene at first step (like runtime/step.py) instead of
+    trusting fixed defaults that can silently drop primitives; its
+    camera trajectory must match the single-chip bvh step."""
+    import dataclasses
+
+    from mirror_maze_tpu.parallel.shard import make_mesh, make_sharded_engine
+    from mirror_maze_tpu.runtime.state import FrameInputs, init_state
+    from mirror_maze_tpu.runtime.step import make_step
+
+    n_tile = min(2, len(jax.devices()))
+    cfg = EngineConfig(
+        maze=MazeConfig(width=4, height=4),
+        camera=CameraConfig(spawn=(-5.0, 0.0, -15.0)),
+        tracer=TracerConfig(bounce_limit=2, mirror_limit=2),
+        screen=ScreenConfig(width=32, height=16 * n_tile,
+                            samples_per_pixel=2,
+                            chunks_per_frame=4 * n_tile),
+        intersector="bvh",
+    )
+    mesh = make_mesh(1, n_tile)
+    scene = upload_scene(build_scene(cfg.maze))
+    init_fn, step_fn = make_sharded_engine(cfg, mesh)  # no bounds passed
+    st = init_fn(seed=0)
+    ref = init_state(cfg, seed=0)
+    ref_step = make_step(scene, cfg)
+    for _ in range(3):
+        st, frame = step_fn(scene, st, FrameInputs.make(w=True))
+        ref, _ = ref_step(ref, FrameInputs.make(w=True))
+    assert np.isfinite(np.asarray(st.screen)).all()
+    np.testing.assert_array_equal(
+        np.asarray(st.cam_center), np.asarray(ref.cam_center))
+
+
+def test_sharded_scan_engine_matches_per_frame_engine():
+    """make_sharded_scan_engine (n frames per launch via lax.scan inside
+    the shard_map) must produce the SAME final state and frame as n
+    per-frame sharded launches — pure launch-batching, no semantics."""
+    from mirror_maze_tpu.parallel.shard import (
+        make_mesh,
+        make_sharded_engine,
+        make_sharded_scan_engine,
+    )
+    from mirror_maze_tpu.runtime.state import FrameInputs
+    from mirror_maze_tpu.runtime.step import stack_inputs
+
+    n_tile = min(4, len(jax.devices()))
+    cfg = EngineConfig(
+        maze=MazeConfig(width=4, height=4),
+        camera=CameraConfig(spawn=(-5.0, 0.0, -15.0)),
+        tracer=TracerConfig(bounce_limit=2, mirror_limit=2),
+        screen=ScreenConfig(width=32, height=16 * n_tile,
+                            samples_per_pixel=2,
+                            chunks_per_frame=4 * n_tile),
+        intersector="brute",
+    )
+    mesh = make_mesh(1, n_tile)
+    scene = upload_scene(build_scene(cfg.maze))
+    script = (
+        [FrameInputs.make(w=True)] * 3
+        + [FrameInputs.make(mouse_dx=9.0)]
+        + [FrameInputs.idle()] * 4
+    )
+
+    init1, step1 = make_sharded_engine(cfg, mesh)
+    st1 = init1(seed=0)
+    for inp in script:
+        st1, frame1 = step1(scene, st1, inp)
+
+    initn, scann = make_sharded_scan_engine(cfg, mesh, len(script))
+    stn = initn(seed=0)
+    stn, framen = scann(scene, stn, stack_inputs(script))
+
+    for a, b in zip(st1, stn):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(frame1), np.asarray(framen))
