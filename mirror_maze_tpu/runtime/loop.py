@@ -56,11 +56,19 @@ def run_scripted(
 
 class InteractiveLoop:
     """Interactive terminal driver with the reference's control scheme:
-    WASD to move (`main.rs:786-815`), 'j'/'l' (or arrow keys) as mouse-x
-    yaw (`main.rs:922-925`), 'q' to quit. Frame pacing matches the
-    reference's deadline gate (`main.rs:775-776`)."""
+    WASD to move (`main.rs:786-815`), continuous mouse-x yaw via SGR 1006
+    terminal mouse reporting (`main.rs:922-925`: half_theta -= DX/512),
+    'j'/'l' or arrow keys as discrete yaw fallback, 'q' to quit. Frame
+    pacing matches the reference's deadline gate (`main.rs:775-776`)."""
 
     YAW_STEP = 16.0  # pixels of synthetic mouse delta per keypress
+    # Terminals report mouse position in character CELLS; the reference's
+    # sensitivity (DX/512, `main.rs:923`) is in pixels. A text cell is
+    # ~8 px wide in common fonts, so one cell of motion maps to 8 px.
+    MOUSE_PX_PER_CELL = 8.0
+    # Enable/disable any-motion mouse tracking + SGR-1006 encoding.
+    MOUSE_ON = "\x1b[?1003h\x1b[?1006h"
+    MOUSE_OFF = "\x1b[?1003l\x1b[?1006l"
 
     def __init__(
         self,
@@ -68,6 +76,7 @@ class InteractiveLoop:
         cfg: EngineConfig,
         seed: int = 0,
         batch_frames: int = 1,
+        adaptive: bool = True,
     ):
         """``batch_frames`` > 1 runs that many engine frames per device
         launch (one lax.scan dispatch, runtime/step.py make_scan_step),
@@ -75,11 +84,21 @@ class InteractiveLoop:
         links where each launch costs tens of ms (PERF.md rule 2/4). The
         pending keys are applied on the batch's FIRST frame and held
         released for the rest, so input latency grows to batch_frames
-        frame-times; 1 keeps the reference's per-frame input sampling."""
+        frame-times; 1 keeps the reference's per-frame input sampling.
+
+        ``adaptive`` (default on, only meaningful with batch_frames > 1)
+        drops to PER-FRAME stepping while input is active (and for ~1 s
+        after), re-batching when idle: keys apply on the very next frame
+        instead of the next batch boundary, while idle throughput keeps
+        the batched launch amortization. Worst case latency is one
+        in-flight batch (a launch cannot be interrupted)."""
         import jax
 
         self.cfg = cfg
         self.batch_frames = max(1, int(batch_frames))
+        self.adaptive = adaptive and self.batch_frames > 1
+        self._active_until = 0   # frame index until which input is "hot"
+        self._had_input = False
         if self.batch_frames > 1:
             from .step import derive_traversal_bounds, make_scan_step_fn
 
@@ -107,8 +126,11 @@ class InteractiveLoop:
 
             scan = jax.jit(batched, donate_argnums=(1,))
             self.step = lambda state, inp: scan(scene, state, inp)
+            # Per-frame twin for the adaptive input path.
+            self.step_one = make_step(scene, cfg) if self.adaptive else None
         else:
             self.step = make_step(scene, cfg)
+            self.step_one = None
         self.state = init_state(cfg, seed)
         self.frame = None
 
@@ -124,6 +146,8 @@ class InteractiveLoop:
             return frame[::step_px, ::step_px]
 
         self._thumb = thumb
+        self._last_mouse_x: int | None = None
+        self._carry = b""  # escape sequence split across polls
 
     def _poll_keys(self) -> FrameInputs:
         import select
@@ -141,10 +165,54 @@ class InteractiveLoop:
             while select.select([sys.stdin], [], [], 0.0)[0]:
                 chars.append(sys.stdin.read(1))
             pending = "".join(chars).encode()
+        return self._parse_input(pending)
 
+    def _parse_input(self, pending: bytes) -> FrameInputs:
+        """Decode one poll's byte drain: WASD keys, SGR-1006 mouse frames
+        (``ESC [ < b ; x ; y M|m``) integrated into a pixel mouse_dx like
+        the reference's MouseMoved arm (`main.rs:922-928`), arrow keys as
+        discrete yaw. Truncated escape sequences carry to the next poll."""
+        data = self._carry + pending
+        self._carry = b""
         a = s = d = w = False
         dx = 0.0
-        for ch in pending.decode(errors="ignore"):
+        i, n = 0, len(data)
+        while i < n:
+            b = data[i]
+            if b == 0x1B:
+                if i + 1 >= n:
+                    self._carry = data[i:]
+                    break
+                if data[i + 1] != ord("["):
+                    i += 1  # lone ESC / alt-key: ignore
+                    continue
+                j = i + 2
+                while j < n and not 0x40 <= data[j] <= 0x7E:
+                    j += 1
+                if j >= n:
+                    self._carry = data[i:]
+                    break
+                fin, body = data[j], data[i + 2: j]
+                if fin in (ord("M"), ord("m")) and body.startswith(b"<"):
+                    parts = body[1:].split(b";")
+                    if len(parts) == 3:
+                        try:
+                            x = int(parts[1])
+                        except ValueError:
+                            x = None
+                        if x is not None:
+                            if self._last_mouse_x is not None:
+                                dx += (
+                                    x - self._last_mouse_x
+                                ) * self.MOUSE_PX_PER_CELL
+                            self._last_mouse_x = x
+                elif fin == ord("C"):   # right arrow = 'l'
+                    dx += self.YAW_STEP
+                elif fin == ord("D"):   # left arrow = 'j'
+                    dx -= self.YAW_STEP
+                i = j + 1
+                continue
+            ch = chr(b)
             if ch == "q":
                 raise KeyboardInterrupt
             a |= ch == "a"
@@ -155,6 +223,8 @@ class InteractiveLoop:
                 dx -= self.YAW_STEP
             if ch == "l":
                 dx += self.YAW_STEP
+            i += 1
+        self._had_input = a or s or d or w or dx != 0.0
         return FrameInputs.make(a=a, s=s, d=d, w=w, mouse_dx=dx)
 
     def run(
@@ -182,7 +252,6 @@ class InteractiveLoop:
         """
         import sys
         import termios
-        import tty
 
         from .watchdog import Watchdog
 
@@ -191,17 +260,43 @@ class InteractiveLoop:
         old = termios.tcgetattr(fd)
         spf = 1.0 / self.cfg.screen.fps
         try:
-            tty.setcbreak(fd)
+            # cbreak with TCSADRAIN, not tty.setcbreak's TCSAFLUSH: the
+            # flush variant DISCARDS input typed before the loop starts.
+            mode = termios.tcgetattr(fd)
+            mode[3] &= ~(termios.ECHO | termios.ICANON)
+            mode[6][termios.VMIN] = 1
+            mode[6][termios.VTIME] = 0
+            termios.tcsetattr(fd, termios.TCSADRAIN, mode)
+            # Continuous mouse-look: any-motion tracking, SGR encoding
+            # (parsed in _parse_input). Terminals without support ignore
+            # the sequences; j/l and arrows remain as fallback.
+            sys.stdout.write(self.MOUSE_ON)
+            sys.stdout.flush()
             n = 0
             shown = 0
             t_start = time.monotonic()
             deadline = time.monotonic()
             while max_frames is None or n < max_frames:
                 inp = self._poll_keys()
-                self.state, self.frame = self.step(self.state, inp)
+                # Adaptive batching: step per-frame while input is hot
+                # (keys land next frame, not next batch boundary),
+                # re-batch after ~1 s idle.
+                if self.adaptive and self._had_input:
+                    self._active_until = n + int(self.cfg.screen.fps)
+                single = (
+                    self.adaptive
+                    and self.step_one is not None
+                    and (self._had_input or n < self._active_until)
+                )
+                if single:
+                    self.state, self.frame = self.step_one(self.state, inp)
+                    stepped = 1
+                else:
+                    self.state, self.frame = self.step(self.state, inp)
+                    stepped = self.batch_frames
                 if wd is not None:
-                    self.state = wd.check(self.state, n=self.batch_frames)
-                n += self.batch_frames
+                    self.state = wd.check(self.state, n=stepped)
+                n += stepped
                 if display is not None and n >= shown + display_every:
                     shown = n
                     if display == "kitty":
@@ -224,7 +319,7 @@ class InteractiveLoop:
                     )
                     sys.stdout.write("\x1b[H\x1b[2J" + art + status + "\n")
                     sys.stdout.flush()
-                deadline += spf * self.batch_frames
+                deadline += spf * stepped
                 delay = deadline - time.monotonic()
                 if delay > 0:
                     time.sleep(delay)
@@ -233,6 +328,8 @@ class InteractiveLoop:
         except KeyboardInterrupt:
             pass
         finally:
+            sys.stdout.write(self.MOUSE_OFF)
+            sys.stdout.flush()
             termios.tcsetattr(fd, termios.TCSADRAIN, old)
         if out_png and self.frame is not None:
             from ..utils.imageio import write_png

@@ -113,3 +113,50 @@ def test_native_large_scene_fast():
             lo = bvh.left_first[i]
             seen.extend(bvh.prim_index[lo:lo + bvh.count[i]].tolist())
     assert sorted(seen) == list(range(s.num_planes))
+
+
+def test_mouse_look_sgr_frames_through_pump_and_parser():
+    """Continuous mouse-look (`main.rs:922-928` MouseMoved -> DX):
+    synthetic SGR-1006 escape frames fed through the native pump must
+    integrate into mouse_dx at MOUSE_PX_PER_CELL per cell, never leak
+    into WASD keys, and carry truncated sequences to the next poll."""
+    import os
+
+    from mirror_maze_tpu.native.bindings import term_poll_native
+    from mirror_maze_tpu.runtime.loop import InteractiveLoop
+
+    loop = InteractiveLoop.__new__(InteractiveLoop)  # parser-only instance
+    loop._last_mouse_x = None
+    loop._carry = b""
+
+    r, w = os.pipe()
+    try:
+        # Anchor at x=10, then move to x=14: dx = 4 cells * px/cell.
+        os.write(w, b"w\x1b[<35;10;5M\x1b[<35;14;5M")
+        inp = loop._parse_input(term_poll_native(r))
+        assert bool(inp.keys[3])                      # w held
+        assert not (bool(inp.keys[0]) or bool(inp.keys[1]) or bool(inp.keys[2]))
+        assert float(inp.mouse_dx) == 4 * InteractiveLoop.MOUSE_PX_PER_CELL
+
+        # Leftward motion integrates negative; drag (btn 32) counts too.
+        os.write(w, b"\x1b[<32;11;5M")
+        inp = loop._parse_input(term_poll_native(r))
+        assert float(inp.mouse_dx) == -3 * InteractiveLoop.MOUSE_PX_PER_CELL
+
+        # Truncated frame carries across polls.
+        os.write(w, b"\x1b[<35;2")
+        inp = loop._parse_input(term_poll_native(r))
+        assert float(inp.mouse_dx) == 0.0
+        os.write(w, b"0;5M")
+        inp = loop._parse_input(term_poll_native(r))
+        assert float(inp.mouse_dx) == 9 * InteractiveLoop.MOUSE_PX_PER_CELL
+
+        # Arrow keys act as discrete yaw; release frames ('m') update the
+        # anchor without keying anything.
+        os.write(w, b"\x1b[D\x1b[<35;20;5m")
+        inp = loop._parse_input(term_poll_native(r))
+        assert float(inp.mouse_dx) == -InteractiveLoop.YAW_STEP
+        assert not any(bool(k) for k in inp.keys)
+    finally:
+        os.close(r)
+        os.close(w)

@@ -215,3 +215,57 @@ def test_repeat_input_shapes(tiny_cfg):
     assert r.keys.shape == (5, 4)
     assert r.mouse_dx.shape == (5,)
     assert r.rot_updated.shape == (5,)
+
+
+def test_adaptive_batch_frames_single_steps_on_input(
+    tiny_cfg, tiny_device_scene
+):
+    """Adaptive play batching: with batch_frames > 1, input (and ~1 s
+    after it) must be served by PER-FRAME steps (key latency 1 frame,
+    not batch_frames), while a fully idle session stays batched."""
+    import os
+    import pty
+    import sys
+
+    from mirror_maze_tpu.runtime.loop import InteractiveLoop
+
+    def run_with(stdin_bytes, max_frames):
+        loop = InteractiveLoop(tiny_device_scene, tiny_cfg, seed=1,
+                               batch_frames=4)
+        calls = {"one": 0, "batch": 0}
+        real_one, real_batch = loop.step_one, loop.step
+
+        def one(s, i):
+            calls["one"] += 1
+            return real_one(s, i)
+
+        def batch(s, i):
+            calls["batch"] += 1
+            return real_batch(s, i)
+
+        loop.step_one, loop.step = one, batch
+        master, slave = pty.openpty()
+        old_stdin = sys.stdin
+        try:
+            import tty as tty_mod
+
+            # Pre-set cbreak so bytes written before run() takes the
+            # terminal out of canonical mode aren't held in the line
+            # discipline's buffer waiting for a newline.
+            tty_mod.setcbreak(slave)
+            sys.stdin = os.fdopen(slave, "r", closefd=False)
+            if stdin_bytes:
+                os.write(master, stdin_bytes)
+            loop.run(max_frames=max_frames, display=None,
+                     watchdog_interval=None)
+        finally:
+            sys.stdin = old_stdin
+            os.close(master)
+            os.close(slave)
+        return calls
+
+    hot = run_with(b"w", max_frames=3)
+    assert hot["one"] == 3 and hot["batch"] == 0
+
+    idle = run_with(b"", max_frames=8)
+    assert idle["batch"] == 2 and idle["one"] == 0
