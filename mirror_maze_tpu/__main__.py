@@ -42,12 +42,25 @@ def _build(args):
         )
     if args.intersector:
         overrides["intersector"] = args.intersector
+        if args.intersector == "bvh":
+            print(
+                "note: the stack-traversal backend is a correctness/"
+                "parity path — measured ~5000x slower than pallas on "
+                "TPU at preset scales (PERF.md); expect ~2 fps at "
+                "512x384.",
+                file=sys.stderr,
+            )
     if args.seed is not None:
         overrides["maze"] = dataclasses.replace(cfg.maze, seed=args.seed)
     if overrides:
         cfg = cfg.replace(**overrides)
     scene = build_scene(cfg.maze)
-    return cfg, scene, upload_scene(scene)
+    noise = None
+    if getattr(args, "noise_png", None):
+        from .utils.noise import load_noise_png
+
+        noise = load_noise_png(args.noise_png)
+    return cfg, scene, upload_scene(scene, noise=noise)
 
 
 def cmd_render(args) -> int:
@@ -117,7 +130,8 @@ def cmd_play(args) -> int:
     print("WASD move, j/l turn, q quits. Frames render headless; "
           "final view saved on exit.")
     loop = InteractiveLoop(
-        dev, cfg, seed=args.seed or 0, batch_frames=args.batch_frames
+        dev, cfg, seed=args.seed or 0, batch_frames=args.batch_frames,
+        adaptive=not args.no_adaptive_batch,
     )
     display = None if args.display == "none" else args.display
     if args.load_state:
@@ -224,11 +238,20 @@ def main(argv=None) -> int:
                              "— bit-exact resume via --load-state")
         sp.add_argument("--load-state", default=None,
                         help="resume play from a saved state checkpoint")
+        sp.add_argument("--noise-png", default=None,
+                        help="PNG to use as the RNG noise texture (e.g. "
+                             "the reference's textures/noiseTexture-2.png"
+                             "); takes effect with noise_rng configs "
+                             "(fuzzy). Default: procedural white noise")
         sp.add_argument("--batch-frames", type=int, default=1,
                         help="engine frames per device launch in play "
                              "mode (amortizes dispatch latency over "
                              "remote-dispatch links; input is sampled "
                              "once per batch)")
+        sp.add_argument("--no-adaptive-batch", action="store_true",
+                        help="play: disable the adaptive input path "
+                             "(per-frame stepping while keys/mouse are "
+                             "active, re-batching when idle)")
         sp.add_argument("--out", default={
             "render": "frame.png", "demo": "demo_out",
             "multicam": "multicam.png"}.get(name))

@@ -219,13 +219,25 @@ def config_v0() -> EngineConfig:
 
 
 def config_bvh() -> EngineConfig:
-    """Config 2: 8x8 maze with BVH traversal, 4 mirror bounces, full materials."""
+    """Config 2: 8x8 maze, 4 mirror bounces, full materials — the scene
+    whose BVH machinery (build + host collision) SURVEY.md's build order
+    introduces.
+
+    The DEFAULT intersector here is pallas: the literal port of the
+    reference's per-ray stack traversal (`render/intersect.py
+    nearest_hit_bvh`) measures ~0.03 Mrays/s on TPU — ~5000x slower than
+    the dense tile path at this scene scale (PERF.md "bvh row") —
+    because data-dependent stack walks are hostile to 8x128 vector
+    lanes. It remains available as a CORRECTNESS/parity backend via
+    ``--intersector bvh`` (exactness-tested against brute force), and
+    the BVH itself stays load-bearing for host collision + the scene
+    AABB tile skip."""
     return EngineConfig(
         maze=MazeConfig(width=8, height=8),
         tracer=TracerConfig(bounce_limit=5, mirror_limit=4),
         camera=CameraConfig(spawn=(-5.0, 0.0, -35.0)),
         screen=ScreenConfig(width=512, height=384, samples_per_pixel=4),
-        intersector="bvh",
+        intersector="pallas",
     )
 
 

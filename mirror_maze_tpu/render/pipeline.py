@@ -58,17 +58,20 @@ def render_pixels(
     dirs = (base_dir[:, None, :] + jit).reshape(k * spp, 3)
     ori = jnp.broadcast_to(cam.center, (k * spp, 3))
 
+    seed_row = None
+    if cfg.tracer.noise_rng:
+        from ..utils.noise import sample_noise
+
+        # Reference seeding: per-pixel noise sample, shared by the
+        # pixel's spp samples (`shaders.metal:288-300`). Honored by
+        # EVERY backend (the jnp tracer folds it into its per-ray keys)
+        # so noise_rng is never silently ignored off the pallas path.
+        seed_row = jnp.repeat(sample_noise(scene.noise, pixels_xy), spp)
+
     if cfg.intersector == "pallas" and nearest_fn is None:
         from .pallas_tracer import trace_paths_pallas
 
         seed = jax.random.randint(tkey, (), 0, jnp.iinfo(jnp.int32).max)
-        seed_row = None
-        if cfg.tracer.noise_rng:
-            from ..utils.noise import sample_noise
-
-            # Reference seeding: per-pixel noise sample, shared by the
-            # pixel's spp samples (`shaders.metal:288-300`).
-            seed_row = jnp.repeat(sample_noise(scene.noise, pixels_xy), spp)
         light = trace_paths_pallas(
             scene.plane_table, ori, dirs, seed, cfg.tracer,
             rows_per_block=cfg.tracer.block_rows,
@@ -77,7 +80,8 @@ def render_pixels(
             anchor=cam.center,
         )
     else:
-        light = trace_paths(scene, ori, dirs, tkey, cfg.tracer, nearest_fn)
+        light = trace_paths(scene, ori, dirs, tkey, cfg.tracer, nearest_fn,
+                            seed_row=seed_row)
     samples = tone_map(light).reshape(k, spp, 3)
     return jnp.mean(samples, axis=1)
 

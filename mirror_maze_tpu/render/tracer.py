@@ -44,13 +44,26 @@ def trace_paths(
     key: jax.Array,
     cfg: TracerConfig,
     nearest_fn: NearestFn | None = None,
+    seed_row: jnp.ndarray | None = None,  # [R] float32 in [0, 1)
 ) -> jnp.ndarray:
-    """Trace one wavefront of rays; returns incoming light [R, 3]."""
+    """Trace one wavefront of rays; returns incoming light [R, 3].
+
+    ``seed_row`` optionally mixes a per-ray value (e.g. a noise-texture
+    sample, `shaders.metal:288-300`) into the scatter RNG stream — the
+    same noise_rng contract as the pallas kernel's seed_row, so the
+    spatially-correlated grain mechanism exists on every backend (the
+    bit-level streams still differ: threefry here, PCG there)."""
     if nearest_fn is None:
         nearest_fn = lambda o, d: nearest_hit_brute(scene, o, d, cfg.t_min)
 
     n_rays = ori.shape[0]
     sky = jnp.asarray(cfg.sky_color, dtype=jnp.float32)
+    ray_keys = None
+    if seed_row is not None:
+        seed_ints = (seed_row * jnp.float32(1 << 24)).astype(jnp.int32)
+        ray_keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+            key, seed_ints
+        )
 
     def body(it, st):
         o, d, thr, light, mh, dc, alive = st
@@ -73,7 +86,13 @@ def trace_paths(
         advance = diffuse | mirror_live
 
         # Diffuse scatter (`shaders.metal:311-323`).
-        rnd = unit_sphere(jax.random.fold_in(key, it), (n_rays,))
+        if ray_keys is None:
+            rnd = unit_sphere(jax.random.fold_in(key, it), (n_rays,))
+        else:
+            it_keys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
+                ray_keys, it
+            )
+            rnd = jax.vmap(lambda k: unit_sphere(k, ()))(it_keys)
         scat = normalize(rnd + n * side[..., None])
         light = jnp.where(
             diffuse[..., None], light + em[..., :3] * em[..., 3:4] * thr, light

@@ -160,3 +160,84 @@ def test_watchdog_raises_without_snapshot(tiny_cfg):
     wd = Watchdog(interval=1)
     with pytest.raises(FloatingPointError):
         wd.check(bad)
+
+
+REF_NOISE = "/root/reference/textures/noiseTexture-2.png"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_NOISE),
+                    reason="reference texture not present")
+def test_reference_noise_texture_loads_and_is_correlated():
+    """The reference's actual noise texture (`main.rs:354, 667-695`) must
+    load as the engine's seed texture — and it is NOT white noise: its
+    grain is spatially smooth (lag-1 autocorrelation ~0.33), which is
+    part of the reference's signature look; the procedural fallback is
+    white (autocorr ~0). This is the measured basis for exposing
+    --noise-png instead of claiming procedural parity."""
+    from mirror_maze_tpu.utils.noise import load_noise_png
+
+    t = load_noise_png(REF_NOISE)
+    assert t.shape == (512, 512)
+    assert t.min() >= 0.0 and t.max() < 1.0
+
+    def lag1(a):
+        return np.corrcoef(a[:, :-1].ravel(), a[:, 1:].ravel())[0, 1]
+
+    assert lag1(t) > 0.2                      # spatially correlated
+    assert abs(lag1(generate_noise())) < 0.05  # procedural is white
+    # Statistically distinct textures -> distinct grain sources.
+    assert abs(t.std() - generate_noise().std()) > 0.05
+
+
+@pytest.mark.skipif(not os.path.exists(REF_NOISE),
+                    reason="reference texture not present")
+def test_noise_png_flows_through_scene_and_cli_plumbing():
+    """upload_scene(noise=...) and the --noise-png CLI path must carry
+    the loaded texture into the device scene used for seeding."""
+    from mirror_maze_tpu.utils.noise import load_noise_png
+
+    t = load_noise_png(REF_NOISE)
+    scene = build_scene(MazeConfig(width=4, height=4))
+    dev = upload_scene(scene, noise=t)
+    np.testing.assert_allclose(np.asarray(dev.noise), t, rtol=1e-6)
+    pix = jnp.array([[0, 0], [1, 0], [511, 511]], jnp.int32)
+    np.testing.assert_allclose(
+        np.asarray(sample_noise(dev.noise, pix)),
+        [t[0, 0], t[0, 1], t[511, 511]], rtol=1e-6)
+
+
+def test_noise_rng_honored_on_jnp_backends(tiny_cfg):
+    """Round-1 gap: noise_rng was silently ignored off the pallas path.
+    The brute backend must now fold the per-pixel noise sample into its
+    scatter streams: noise_rng=True vs False must differ, a constant
+    texture must behave like a shared stream, and lighting statistics
+    must be preserved."""
+    from mirror_maze_tpu.render import make_camera
+    from mirror_maze_tpu.render.pipeline import render_pixels
+
+    scene = build_scene(tiny_cfg.maze)
+    base_cfg = tiny_cfg.replace(intersector="brute")
+    cam = make_camera(base_cfg.camera,
+                      base_cfg.screen.width / base_cfg.screen.height)
+    pix = jnp.stack(
+        jnp.meshgrid(jnp.arange(8), jnp.arange(8), indexing="xy"), -1
+    ).reshape(-1, 2)
+
+    tr = TracerConfig(bounce_limit=3, mirror_limit=2)
+    dev = upload_scene(scene)
+    off = np.asarray(render_pixels(
+        dev, cam, pix, KEY, base_cfg.replace(tracer=tr)))
+    on_cfg = base_cfg.replace(
+        tracer=TracerConfig(bounce_limit=3, mirror_limit=2, noise_rng=True))
+    on = np.asarray(render_pixels(dev, cam, pix, KEY, on_cfg))
+    assert not np.array_equal(off, on)           # grain differs
+    assert np.isfinite(on).all()
+    assert abs(off.mean() - on.mean()) < 0.1     # same lighting
+
+    # Two uploads with different textures give different grain; the same
+    # texture reproduces bit-identically.
+    dev_t = upload_scene(scene, noise=generate_noise(seed=5))
+    a = np.asarray(render_pixels(dev_t, cam, pix, KEY, on_cfg))
+    b = np.asarray(render_pixels(dev_t, cam, pix, KEY, on_cfg))
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, on)
