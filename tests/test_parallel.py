@@ -424,3 +424,80 @@ def test_sharded_scan_engine_matches_per_frame_engine():
     for a, b in zip(st1, stn):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_array_equal(np.asarray(frame1), np.asarray(framen))
+
+
+def test_scale_config_per_band_tile_skip_matches_single_chip():
+    """Config-5 geometry (64x64 maze, thousands of planes, many 128-plane
+    tiles): the linear-scaling argument for band sharding rests on each
+    band's Morton-sorted chunk windows keeping the SAME per-block
+    tile-skip efficiency as single-chip windows (PERF.md "large scenes").
+    Measure the kernel's tiles-tested-per-block diagnostic on a
+    single-chip window vs band-local windows covering the same screen
+    fraction — bands must not degrade it."""
+    import dataclasses
+
+    from mirror_maze_tpu.config import TracerConfig
+    from mirror_maze_tpu.ops.sampling import ray_jitter
+    from mirror_maze_tpu.parallel.shard import _band_screen_cfg
+    from mirror_maze_tpu.render.camera import make_camera, ray_directions
+    from mirror_maze_tpu.render.scheduler import (
+        chunk_origin_xy,
+        chunk_pixels,
+        sort_window_morton,
+    )
+    from mirror_maze_tpu.utils.profiling import tracer_segment_histogram
+
+    cfg = EngineConfig(
+        maze=MazeConfig(width=64, height=64),
+        tracer=TracerConfig(bounce_limit=5, mirror_limit=16),
+        camera=CameraConfig(spawn=(-5.0, 0.0, -45.0)),
+        screen=ScreenConfig(width=1024, height=512, samples_per_pixel=4,
+                            sort_chunk_window=True),
+        intersector="pallas",
+    )
+    dev = upload_scene(build_scene(cfg.maze))
+    n_tiles = max(g[2].shape[0] for g in dev.mxu_tables if g is not None)
+    assert n_tiles >= 8  # genuinely many-tile (config-5 regime)
+
+    spp = cfg.screen.samples_per_pixel
+    cam = make_camera(cfg.camera, cfg.screen.width / cfg.screen.height)
+    jkey = jax.random.PRNGKey(3)
+
+    def window_rays(ids, screen_cfg, row_offset):
+        ids = sort_window_morton(jnp.asarray(ids, jnp.int32), screen_cfg)
+        xy = chunk_origin_xy(ids, screen_cfg).at[:, 1].add(row_offset)
+        pix = chunk_pixels(xy, screen_cfg.chunk_width)
+        base = ray_directions(cam, pix, float(cfg.screen.width),
+                              float(cfg.screen.height))
+        jit = ray_jitter(jkey, (pix.shape[0], spp), cfg.tracer.jitter)
+        dirs = (base[:, None, :] + jit).reshape(-1, 3)
+        ori = jnp.broadcast_to(cam.center, dirs.shape)
+        return ori, dirs
+
+    k_total = 32  # chunks per frame window in this reduced setup
+    rng_np = np.random.default_rng(0)
+
+    # Single-chip: one Morton-sorted window over the full chunk grid.
+    ids = rng_np.permutation(cfg.screen.total_chunks)[:k_total]
+    o, d = window_rays(ids, cfg.screen, 0)
+    single = tracer_segment_histogram(dev, cfg, o, d, rows_per_block=2)
+
+    # Bands: n_tile band-local windows of k_total/n_tile chunks each,
+    # exactly how the sharded engine pops them (shard.py local_step).
+    n_tile = 4
+    band = _band_screen_cfg(
+        dataclasses.replace(cfg, screen=dataclasses.replace(
+            cfg.screen, chunks_per_frame=k_total)), n_tile)
+    band_tiles = []
+    for ti in range(n_tile):
+        bids = rng_np.permutation(band.total_chunks)[: k_total // n_tile]
+        o, d = window_rays(bids, band, ti * band.height)
+        h = tracer_segment_histogram(dev, cfg, o, d, rows_per_block=2)
+        band_tiles.append(h["mean_tiles"])
+
+    mean_band = float(np.mean(band_tiles))
+    # Band windows are MORE localized than full-screen windows, so their
+    # tile skip must be at least comparable (allow 25% slack for the
+    # smaller per-band sample).
+    assert mean_band <= 1.25 * single["mean_tiles"], (
+        mean_band, single["mean_tiles"], band_tiles)
