@@ -1,0 +1,144 @@
+"""Multi-host (DCN) smoke test: two localhost processes joined via
+jax.distributed, sharding the renderer over the global 2-device mesh.
+
+SURVEY.md section 2 "comm backend": cross-chip exchange rides ICI within
+a host and DCN across hosts; `parallel.initialize_multihost` is the one
+entry point a multi-host launch needs. This test EXECUTES that path — one
+`jax.distributed` cluster of two CPU processes (1 device each), a (cam=2,
+tile=1) mesh spanning both, a psum crossing the process boundary, and the
+sharded batched-camera renderer producing per-process addressable shards
+— so the DCN story is executed code, not docstring prose.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+pid = int(sys.argv[1]); port = sys.argv[2]
+
+from mirror_maze_tpu.parallel import initialize_multihost
+
+n = initialize_multihost(
+    coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid
+)
+assert n == 2, n
+assert jax.process_count() == 2
+assert len(jax.devices()) == 2, jax.devices()        # global
+assert len(jax.local_devices()) == 1                 # per process
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mirror_maze_tpu.config import (
+    CameraConfig, EngineConfig, MazeConfig, ScreenConfig, TracerConfig,
+)
+from mirror_maze_tpu.parallel import (
+    batch_cameras, make_mesh, make_sharded_renderer,
+)
+from mirror_maze_tpu.render import make_camera, upload_scene
+from mirror_maze_tpu.scene import build_scene
+
+cfg = EngineConfig(
+    maze=MazeConfig(width=4, height=4),
+    camera=CameraConfig(spawn=(-5.0, 0.0, -15.0)),
+    tracer=TracerConfig(bounce_limit=2, mirror_limit=2),
+    screen=ScreenConfig(width=32, height=16, samples_per_pixel=2),
+    intersector="brute",
+)
+mesh = make_mesh(2, 1)
+
+# A psum crossing the process boundary (pure DCN collective).
+try:
+    shard_map = jax.shard_map
+except AttributeError:
+    from jax.experimental.shard_map import shard_map
+
+@jax.jit
+def total(x):
+    return shard_map(
+        lambda v: jax.lax.psum(v, "cam"),
+        mesh=mesh, in_specs=P("cam"), out_specs=P(), check_vma=False,
+    )(x)
+
+xs = jax.make_array_from_callback(
+    (2,), NamedSharding(mesh, P("cam")),
+    lambda idx: np.arange(2, dtype=np.float32)[idx],
+)
+assert float(jax.device_get(total(xs))[0]) == 1.0  # 0 + 1
+
+# The sharded renderer over the spanning mesh: global camera batch built
+# from per-process local shards.
+scene_host = build_scene(cfg.maze)
+scene = upload_scene(scene_host)
+repl = NamedSharding(mesh, P())
+scene = jax.tree.map(
+    lambda x: jax.make_array_from_callback(
+        x.shape, repl, lambda idx, _x=x: np.asarray(_x)[idx]
+    ),
+    scene,
+)
+base = make_camera(cfg.camera, cfg.screen.width / cfg.screen.height)
+cams = batch_cameras([base, base._replace(center=base.center + 1.0)])
+cam_sh = NamedSharding(mesh, P("cam"))
+cams = jax.tree.map(
+    lambda x: jax.make_array_from_callback(
+        x.shape, cam_sh, lambda idx, _x=x: np.asarray(_x)[idx]
+    ),
+    cams,
+)
+key = jax.make_array_from_callback(
+    (2,), repl, lambda idx: np.asarray(jax.random.PRNGKey(0))[idx]
+)
+render = make_sharded_renderer(cfg, mesh)
+frames, mean_lum = render(scene, cams, key)
+jax.block_until_ready(frames)
+local = [np.asarray(s.data) for s in frames.addressable_shards]
+assert len(local) == 1 and local[0].shape == (1, 16, 32, 3)
+assert np.isfinite(local[0]).all()
+assert np.isfinite(float(jax.device_get(mean_lum)))
+print(f"multihost worker {pid} ok mean_lum={float(jax.device_get(mean_lum)):.6f}",
+      flush=True)
+"""
+
+
+def test_two_process_dcn_mesh_renders():
+    port = 12000 + os.getpid() % 2000
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # One local device per process: strip the conftest's 8-device forcing.
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if not f.startswith("--xla_force_host_platform_device_count")
+    )
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER, str(i), str(port)],
+            env=env, cwd="/root/repo",
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("multihost workers timed out:\n" + "\n".join(outs))
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
+        assert f"multihost worker {i} ok" in out
+    # Both processes must agree on the psum'd global diagnostic.
+    lum = [o.split("mean_lum=")[1].split()[0] for o in outs]
+    assert lum[0] == lum[1], lum
