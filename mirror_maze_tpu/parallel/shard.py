@@ -121,7 +121,12 @@ def gather_frames(frames: jnp.ndarray) -> jnp.ndarray:
 from typing import NamedTuple
 
 from ..config import ScreenConfig
-from ..render.accumulate import quantize_8bit, scatter_chunks, to_display
+from ..render.accumulate import (
+    cm_to_spatial,
+    quantize_8bit,
+    scatter_chunk_rows,
+    to_display,
+)
 from ..render.pipeline import make_nearest_fn, render_pixels
 from ..render.scheduler import (
     chunk_origin_xy,
@@ -141,7 +146,8 @@ class ShardedEngineState(NamedTuple):
     cam_center: jnp.ndarray   # [3] replicated
     quat: jnp.ndarray         # [4] replicated
     half_theta: jnp.ndarray   # [] replicated
-    screen: jnp.ndarray       # [H, W, 3] sharded P('tile')
+    screen: jnp.ndarray       # [C, cw*cw*3] CHUNK-MAJOR, sharded P('tile')
+                              # (band-local rows; render/accumulate.py)
     perm: jnp.ndarray         # [C] sharded P('tile') — per-band queues
     cursor: jnp.ndarray       # [n_tile] sharded P('tile')
     key: jnp.ndarray          # [n_tile, 2] sharded P('tile')
@@ -166,9 +172,11 @@ def _band_screen_cfg(cfg: EngineConfig, n_tile: int) -> ScreenConfig:
 
 
 def _blur_with_halo(local: jnp.ndarray, axis: str = "tile") -> jnp.ndarray:
-    """The reference's cross blur (`shaders.metal:219-222`) over a row-band,
-    with 1-row halos exchanged between neighbor bands (ppermute over ICI);
-    outermost bands clamp to the edge like the single-chip blur."""
+    """The reference's cross blur (`shaders.metal:219-222`) over a
+    SPATIAL row-band, with 1-row halos exchanged between neighbor bands
+    (ppermute over ICI); outermost bands clamp to the edge like the
+    single-chip blur. Kept as the readable reference for
+    _blur_with_halo_cm (the hot path)."""
     n = jax.lax.axis_size(axis)
     ti = jax.lax.axis_index(axis)
     down = jax.lax.ppermute(
@@ -189,10 +197,45 @@ def _blur_with_halo(local: jnp.ndarray, axis: str = "tile") -> jnp.ndarray:
     return (c + (l + r) / 2.0 + (u + d) / 2.0) / 3.0
 
 
+def _blur_with_halo_cm(cm: jnp.ndarray, band: ScreenConfig,
+                       axis: str = "tile") -> jnp.ndarray:
+    """_blur_with_halo computed directly on the band's CHUNK-MAJOR
+    screen (render/accumulate.py feedback_blur_cm, halo-exchanged): the
+    exchanged halo is the 1-PIXEL-row slice of the boundary chunk row —
+    [1, Cx, cw, 1, 3] — so the ICI traffic is identical to the spatial
+    form's 1-row exchange; no 25 MB transposes on the hot path."""
+    cw = band.chunk_width
+    cy, cx = band.chunks_y, band.chunks_x
+    last = cw - 1
+    n = jax.lax.axis_size(axis)
+    ti = jax.lax.axis_index(axis)
+    t = cm.reshape(cy, cx, cw, cw, 3)   # (cy, cx, x_off, y_off, c)
+    # Halo pixel rows across bands (global y direction = (band, cy, yo)).
+    down = jax.lax.ppermute(
+        t[-1:, :, :, last:], axis, [(i, i + 1) for i in range(n - 1)]
+    )  # my top halo = upper band's bottom pixel row
+    up = jax.lax.ppermute(
+        t[0:1, :, :, 0:1], axis, [(i + 1, i) for i in range(n - 1)]
+    )  # my bottom halo = lower band's top pixel row
+    halo_top = jnp.where(ti == 0, t[0:1, :, :, 0:1], down)
+    halo_bot = jnp.where(ti == n - 1, t[-1:, :, :, last:], up)
+
+    prev_y = jnp.concatenate([halo_top, t[:-1, :, :, last:]], axis=0)
+    u = jnp.concatenate([prev_y, t[:, :, :, : last]], axis=3)
+    next_y = jnp.concatenate([t[1:, :, :, 0:1], halo_bot], axis=0)
+    d = jnp.concatenate([t[:, :, :, 1:], next_y], axis=3)
+    prev_x = jnp.concatenate([t[:, 0:1, 0:1], t[:, :-1, last:]], axis=1)
+    l = jnp.concatenate([prev_x, t[:, :, : last]], axis=2)
+    next_x = jnp.concatenate([t[:, 1:, 0:1], t[:, -1:, last:]], axis=1)
+    r = jnp.concatenate([t[:, :, 1:], next_x], axis=2)
+    out = (t + (l + r) / 2.0 + (u + d) / 2.0) / 3.0
+    return out.reshape(cy * cx, cw * cw * 3)
+
+
 def _engine_locals(cfg: EngineConfig, mesh: Mesh):
-    """Shard-local init/step functions + state specs shared by the
-    per-frame engine (make_sharded_engine) and the multi-frame scan
-    engine (make_sharded_scan_engine)."""
+    """Shard-local init/step functions + state specs + band ScreenConfig
+    shared by the per-frame engine (make_sharded_engine) and the
+    multi-frame scan engine (make_sharded_scan_engine)."""
     n_tile = mesh.shape["tile"]
     band = _band_screen_cfg(cfg, n_tile)
     n_chunks = band.effective_chunks_per_frame
@@ -217,7 +260,10 @@ def _engine_locals(cfg: EngineConfig, mesh: Mesh):
             cam_center=cam.center,
             quat=cam.rotation,
             half_theta=quat_ops.half_theta_of(cam.rotation),
-            screen=jnp.zeros((rows, band.width, 3), jnp.float32),
+            screen=jnp.zeros(
+                (band.total_chunks, band.pixels_per_chunk * 3),
+                jnp.float32,
+            ),
             perm=jax.random.permutation(pkey, band.total_chunks).astype(jnp.int32),
             cursor=jnp.zeros((1,), jnp.int32),
             key=key[None],
@@ -272,23 +318,27 @@ def _engine_locals(cfg: EngineConfig, mesh: Mesh):
             cfg.camera, cfg.screen.width / cfg.screen.height
         )._replace(center=center, rotation=quat)
         colors = render_pixels(scene, cam, pixels, fkey, cfg, nearest_fn)
-        local_pix = pixels.at[:, 1].add(-ti * rows)
-        screen = scatter_chunks(state.screen, local_pix, colors)
+        # Chunk-major row scatter on the BAND-LOCAL chunk grid (16x fewer
+        # indices than per-pixel, render/accumulate.py).
+        screen = scatter_chunk_rows(state.screen, ids, colors)
 
-        # 5. Present: halo-exchanged feedback blur + quantization.
+        # 5. Present: halo-exchanged feedback blur + quantization in
+        # chunk-major space (bit-identical to the spatial form, no
+        # transposes); the spatial view is built only for display.
         if cfg.screen.feedback_blur:
-            screen = _blur_with_halo(screen)
+            screen = _blur_with_halo_cm(screen, band)
         if cfg.screen.quantize_8bit:
             screen = quantize_8bit(screen)
+        spatial = cm_to_spatial(screen, band)
 
         new_state = ShardedEngineState(
             cam_center=center, quat=quat, half_theta=half_theta,
             screen=screen, perm=perm, cursor=cursor_out[None],
             key=key[None], frame=frame,
         )
-        return new_state, to_display(screen)
+        return new_state, to_display(spatial)
 
-    return state_specs, local_init, local_step
+    return state_specs, local_init, local_step, band
 
 
 def _make_lazy_bounds_step(cfg, build_step, max_depth, max_leaf):
@@ -336,7 +386,7 @@ def make_sharded_engine(cfg: EngineConfig, mesh: Mesh,
     fixed bounds silently drop primitives in large SAH leaves / corrupt
     the stack. Passing explicit bounds skips the derivation.
     """
-    state_specs, local_init, local_step = _engine_locals(cfg, mesh)
+    state_specs, local_init, local_step, band = _engine_locals(cfg, mesh)
 
     init_sharded = jax.jit(
         shard_map(
@@ -382,7 +432,7 @@ def make_sharded_scan_engine(cfg: EngineConfig, mesh: Mesh, n_frames: int,
     (runtime/step.py stack_inputs / repeat_input). Only the final frame
     is materialized.
     """
-    state_specs, local_init, local_step = _engine_locals(cfg, mesh)
+    state_specs, local_init, local_step, band = _engine_locals(cfg, mesh)
 
     init_sharded = jax.jit(
         shard_map(
@@ -399,7 +449,7 @@ def make_sharded_scan_engine(cfg: EngineConfig, mesh: Mesh, n_frames: int,
                 return new_st, None
 
             final, _ = jax.lax.scan(body, state, inputs)
-            return final, to_display(final.screen)
+            return final, to_display(cm_to_spatial(final.screen, band))
 
         return jax.jit(
             shard_map(

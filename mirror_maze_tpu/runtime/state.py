@@ -25,7 +25,10 @@ class EngineState(NamedTuple):
     cam_center: jnp.ndarray   # [3] float32
     quat: jnp.ndarray         # [4] float32 (x, y, z, w)
     half_theta: jnp.ndarray   # [] float32 — yaw half-angle (`main.rs:741`)
-    screen: jnp.ndarray       # [H, W, 3] float32 accumulation buffer
+    screen: jnp.ndarray       # [C, cw*cw*3] float32 CHUNK-MAJOR accumulation
+                              # buffer (render/accumulate.py: row c = chunk c
+                              # in chunk_pixels order; 16x cheaper refresh
+                              # scatter than a spatial [H, W, 3] layout)
     perm: jnp.ndarray         # [C] int32 shuffled chunk ids
     cursor: jnp.ndarray       # [] int32
     key: jnp.ndarray          # PRNG key
@@ -105,7 +108,8 @@ def init_state(cfg: EngineConfig, seed: int = 0) -> EngineState:
         quat=cam.rotation,
         half_theta=quat_ops.half_theta_of(cam.rotation),
         screen=jnp.zeros(
-            (cfg.screen.height, cfg.screen.width, 3), dtype=jnp.float32
+            (cfg.screen.total_chunks, cfg.screen.pixels_per_chunk * 3),
+            dtype=jnp.float32,
         ),
         perm=init_permutation(pkey, cfg.screen),
         cursor=jnp.int32(0),

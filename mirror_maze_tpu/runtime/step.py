@@ -27,7 +27,13 @@ import jax.numpy as jnp
 
 from ..config import EngineConfig
 from ..ops import quat as quat_ops
-from ..render.accumulate import feedback_blur, quantize_8bit, scatter_chunks, to_display
+from ..render.accumulate import (
+    cm_to_spatial,
+    feedback_blur_cm,
+    quantize_8bit,
+    scatter_chunk_rows,
+    to_display,
+)
 from ..render.pipeline import make_nearest_fn, render_pixels
 from ..render.scenebuf import DeviceScene
 from ..render.scheduler import (
@@ -169,13 +175,19 @@ def make_step_fn(
         pixels = chunk_pixels(chunk_origin_xy(ids, cfg.screen), cfg.screen.chunk_width)
         cam = state._replace(cam_center=center, quat=quat).camera(cfg)
         colors = render_pixels(scene, cam, pixels, fkey, cfg, nearest_fn)
-        screen = scatter_chunks(state.screen, pixels, colors)
+        # Chunk-major row scatter: 16x fewer indices than per-pixel
+        # (0.09 vs 1.49 ms at 1080p, render/accumulate.py).
+        screen = scatter_chunk_rows(state.screen, ids, colors)
 
-        # 5. Present: feedback blur + quantization (`shaders.metal:214-225`).
+        # 5. Present: feedback blur + quantization (`shaders.metal:214-225`)
+        # computed in chunk-major space (bit-identical to the spatial
+        # blur, no 25 MB transposes — render/accumulate.py
+        # feedback_blur_cm); the spatial view is built only for display.
         if cfg.screen.feedback_blur:
-            screen = feedback_blur(screen)
+            screen = feedback_blur_cm(screen, cfg.screen)
         if cfg.screen.quantize_8bit:
             screen = quantize_8bit(screen)
+        spatial = cm_to_spatial(screen, cfg.screen)
 
         new_state = EngineState(
             cam_center=center,
@@ -187,7 +199,7 @@ def make_step_fn(
             key=key,
             frame=frame,
         )
-        return new_state, to_display(screen)
+        return new_state, to_display(spatial)
 
     return step
 
@@ -218,7 +230,7 @@ def make_scan_step_fn(
             return new_st, None
 
         final, _ = jax.lax.scan(body, state, inputs)
-        return final, to_display(final.screen)
+        return final, to_display(cm_to_spatial(final.screen, cfg.screen))
 
     return run
 

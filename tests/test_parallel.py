@@ -180,6 +180,21 @@ def test_sharded_renderer_pallas_backend():
     assert float(mean_lum) > 0.0
 
 
+def _sharded_screen_to_spatial(screen_cm, cfg, n_tile):
+    """Assemble a tile-sharded CHUNK-MAJOR screen into the spatial frame."""
+    import jax.numpy as _jnp
+
+    from mirror_maze_tpu.parallel.shard import _band_screen_cfg
+    from mirror_maze_tpu.render.accumulate import cm_to_spatial
+
+    band = _band_screen_cfg(cfg, n_tile)
+    blocks = np.asarray(screen_cm).reshape(n_tile, band.total_chunks, -1)
+    return np.concatenate(
+        [np.asarray(cm_to_spatial(_jnp.asarray(b), band)) for b in blocks],
+        axis=0,
+    )
+
+
 def test_sharded_engine_matches_camera_and_blurs_seamless():
     """Tile-sharded interactive engine: camera trajectory must be
     bit-identical to the single-chip step (replicated math), output must
@@ -238,7 +253,7 @@ def test_sharded_engine_matches_camera_and_blurs_seamless():
     assert np.isfinite(np.asarray(st.screen)).all()
     # After 17 frames of 1/4-screen-per-frame refresh + blur, no band
     # boundary row may be systematically black while its neighbors shine.
-    fs = np.asarray(st.screen)
+    fs = _sharded_screen_to_spatial(st.screen, cfg, n_tile)
     assert fs.sum() > 0
     for b in range(1, n_tile):
         edge = fs[16 * b - 1: 16 * b + 1].mean()
@@ -337,7 +352,7 @@ def test_sharded_engine_content_matches_full_frame_render():
     init_fn, step_fn = make_sharded_engine(cfg, mesh)
     st = init_fn(seed=0)
     st, _ = step_fn(scene, st, FrameInputs.idle())
-    sharded = np.asarray(st.screen)
+    sharded = _sharded_screen_to_spatial(st.screen, cfg, n_tile)
 
     cam = make_camera(cfg.camera, cfg.screen.width / cfg.screen.height)
     # Single-segment emission light is deterministic (RNG only affects

@@ -141,3 +141,35 @@ def test_oversized_chunk_window_rejected():
     ScreenConfig(width=32, height=32, chunks_per_frame=64)  # == total: ok
     with pytest.raises(ValueError):
         ScreenConfig(width=32, height=32, chunks_per_frame=65)
+
+
+def test_chunk_major_scatter_equals_spatial_scatter():
+    """The chunk-major screen (scatter_chunk_rows + cm_to_spatial) must be
+    a pure RELAYOUT of the spatial pixel scatter: same pixels, same
+    values, bit-exact — the 16x cheaper refresh path cannot be
+    image-affecting."""
+    from mirror_maze_tpu.render.accumulate import (
+        cm_to_spatial,
+        scatter_chunk_rows,
+        spatial_to_cm,
+    )
+
+    cfg = ScreenConfig(width=32, height=16, chunk_width=4)
+    rng = np.random.default_rng(3)
+    k = 5
+    ids = jnp.asarray(rng.permutation(cfg.total_chunks)[:k].astype(np.int32))
+    pix = chunk_pixels(chunk_origin_xy(ids, cfg), cfg.chunk_width)
+    cols = jnp.asarray(rng.random((k * 16, 3), np.float32))
+
+    base_sp = jnp.asarray(rng.random((16, 32, 3), np.float32))
+    spatial = np.asarray(scatter_chunks(base_sp, pix, cols))
+
+    base_cm = spatial_to_cm(base_sp, cfg)
+    cm = scatter_chunk_rows(base_cm, ids, cols)
+    np.testing.assert_array_equal(np.asarray(cm_to_spatial(cm, cfg)), spatial)
+
+    # The layout pair is a bijection.
+    np.testing.assert_array_equal(
+        np.asarray(cm_to_spatial(spatial_to_cm(base_sp, cfg), cfg)),
+        np.asarray(base_sp),
+    )

@@ -97,12 +97,14 @@ def test_progressive_repaint_covers_screen(tiny_cfg, tiny_device_scene):
     dev = tiny_device_scene
     step = make_step(dev, cfg)
     st = init_state(cfg, seed=1)
+    from mirror_maze_tpu.render.accumulate import cm_to_spatial
+
     n_frames = cfg.screen.total_chunks // cfg.screen.effective_chunks_per_frame
     touched = np.zeros((32, 32), bool)
-    prev = np.asarray(st.screen).copy()
+    prev = np.asarray(cm_to_spatial(st.screen, cfg.screen)).copy()
     for _ in range(n_frames):
         st, _ = step(st, FrameInputs.idle())
-        cur = np.asarray(st.screen)
+        cur = np.asarray(cm_to_spatial(st.screen, cfg.screen))
         touched |= np.any(cur != prev, axis=-1)
         prev = cur.copy()
     # all chunks were scheduled; some pixels may coincidentally write 0.0
