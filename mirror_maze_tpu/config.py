@@ -143,6 +143,12 @@ class ScreenConfig:
     # pixel's RNG lane) differs. Essential for multi-tile scenes with
     # wide blocks; off by default to keep small-scene goldens stable.
     sort_chunk_window: bool = False
+    # Fused Pallas blur+quantize present kernel (render/present.py) —
+    # bit-identical to the XLA chunk-major blur under jit, one
+    # read+write of the screen instead of XLA's materialized shifted
+    # slices. Single-chip path only (the sharded engine's halo blur
+    # needs ppermute and stays XLA).
+    pallas_present: bool = True
 
     def __post_init__(self):
         # The scheduler pops each frame's window from a DOUBLED permutation

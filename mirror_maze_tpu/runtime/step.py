@@ -181,11 +181,21 @@ def make_step_fn(
 
         # 5. Present: feedback blur + quantization (`shaders.metal:214-225`)
         # computed in chunk-major space (bit-identical to the spatial
-        # blur, no 25 MB transposes — render/accumulate.py
-        # feedback_blur_cm); the spatial view is built only for display.
+        # blur, no 25 MB transposes); by default the fused pallas kernel
+        # (render/present.py), else the XLA form (feedback_blur_cm). The
+        # spatial view is built only for display.
         if cfg.screen.feedback_blur:
-            screen = feedback_blur_cm(screen, cfg.screen)
-        if cfg.screen.quantize_8bit:
+            if cfg.screen.pallas_present:
+                from ..render.present import present
+
+                screen = present(
+                    screen, cfg.screen, quantize=cfg.screen.quantize_8bit
+                )
+            else:
+                screen = feedback_blur_cm(screen, cfg.screen)
+                if cfg.screen.quantize_8bit:
+                    screen = quantize_8bit(screen)
+        elif cfg.screen.quantize_8bit:
             screen = quantize_8bit(screen)
         spatial = cm_to_spatial(screen, cfg.screen)
 

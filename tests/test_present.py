@@ -1,0 +1,68 @@
+"""Fused Pallas present kernel (render/present.py) vs the XLA chunk-major
+blur: must be BIT-identical under jit (the engine always runs jitted), at
+every size/edge case the strip picker produces."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mirror_maze_tpu.config import ScreenConfig
+from mirror_maze_tpu.render.accumulate import (
+    cm_to_spatial,
+    feedback_blur,
+    feedback_blur_cm,
+    quantize_8bit,
+    spatial_to_cm,
+)
+from mirror_maze_tpu.render.present import _pick_lane_strip, present
+
+
+@pytest.mark.parametrize("w,h,cw", [
+    (32, 16, 4),     # tiny (test screens)
+    (64, 48, 4),     # several strips
+    (1920, 96, 4),   # full 1080p width
+    (32, 28, 4),     # Cy=7: prime strip height
+    (24, 12, 2),     # non-default chunk width
+])
+def test_present_matches_xla_blur_bitwise(w, h, cw):
+    cfg = ScreenConfig(width=w, height=h, chunk_width=cw)
+    rng = np.random.default_rng(hash((w, h, cw)) % 2**32)
+    cm = jnp.asarray(
+        rng.random((cfg.total_chunks, cw * cw * 3), np.float32)
+    )
+    for quantize in (False, True):
+        def ref_fn(x):
+            y = feedback_blur_cm(x, cfg)
+            return quantize_8bit(y) if quantize else y
+
+        ref = np.asarray(jax.jit(ref_fn)(cm))
+        got = np.asarray(present(cm, cfg, quantize=quantize))
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_cm_blur_matches_spatial_blur_bitwise():
+    """feedback_blur_cm (the kernel's reference) must itself equal the
+    original spatial blur exactly."""
+    cfg = ScreenConfig(width=64, height=32, chunk_width=4)
+    rng = np.random.default_rng(9)
+    cm = jnp.asarray(rng.random((cfg.total_chunks, 48), np.float32))
+
+    def a(x):
+        return feedback_blur_cm(x, cfg)
+
+    def b(x):
+        return spatial_to_cm(feedback_blur(cm_to_spatial(x, cfg)), cfg)
+
+    np.testing.assert_array_equal(
+        np.asarray(jax.jit(a)(cm)), np.asarray(jax.jit(b)(cm))
+    )
+
+
+def test_pick_lane_strip():
+    # 1080p: Cy=270, L=23040 -> largest 128-multiple divisor within the
+    # ~2.5 MB center budget (270 * Lb * 4 bytes).
+    assert _pick_lane_strip(270, 23040) == 768
+    # tiny screens: no 128-aligned divisor -> single full-width block
+    assert _pick_lane_strip(4, 144) == 144
+    assert _pick_lane_strip(4, 384) == 384
