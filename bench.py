@@ -29,6 +29,9 @@ def main() -> None:
                    help="timed launches of --frames each")
     p.add_argument("--intersector", type=str, default=None,
                    help="override backend: brute | bvh | pallas")
+    p.add_argument("--lane-chunk", type=int, default=None,
+                   help="dense_nearest lane-chunk width (bitwise-neutral "
+                        "scheduling knob; default = measured-best policy)")
     p.add_argument("--block-rows", type=int, default=None,
                    help="override TracerConfig.block_rows (128-lane rows "
                         "per pallas program)")
@@ -91,6 +94,10 @@ def main() -> None:
     if args.block_rows:
         cfg = cfg.replace(
             tracer=dataclasses.replace(cfg.tracer, block_rows=args.block_rows)
+        )
+    if args.lane_chunk:
+        cfg = cfg.replace(
+            tracer=dataclasses.replace(cfg.tracer, lane_chunk=args.lane_chunk)
         )
     if args.sort_window is not None:
         cfg = cfg.replace(

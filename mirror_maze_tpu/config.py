@@ -81,6 +81,13 @@ class TracerConfig:
     # default stays 32 for golden/test stability. Block size changes the
     # per-block RNG stream grouping, so it is image-affecting.
     block_rows: int = 32
+    # Lanes per dense_nearest sub-block (the dot/test/select stage runs
+    # chunked at this width). Bitwise-identical to the monolithic form
+    # at any value (each output column depends only on its own lanes) —
+    # purely a scheduling knob. None (default) = monolithic, which
+    # MEASURED FASTEST at every tried width (PERF.md "lane-chunk
+    # sweep"); kept for experiments on other scene geometries.
+    lane_chunk: int | None = None
 
     def __post_init__(self):
         # A negative falloff base has no well-defined real power for

@@ -351,6 +351,7 @@ def _tracer_kernel(
     mirror_tint: float,
     t_min: float,
     sky: tuple,          # static (r, g, b, strength, lighting_factor)
+    lane_chunk: int,     # dense_nearest chunk width (lanes)
 ):
     g_ref = refs[-2]     # VMEM [8, B] ray block: ox,oy,oz,1,dx,dy,dz,seed
     out_ref = refs[-1]   # VMEM out [8, B] rows 0..2 = gathered light
@@ -397,13 +398,6 @@ def _tracer_kernel(
     one_row = jnp.ones(shape, jnp.float32)
     zero_row = jnp.zeros(shape, jnp.float32)
 
-    def tile_tv(mode, pt, w, g):
-        """Hit distances for one plane tile: one [q*PT, 8] x [8, B] MXU
-        matmul for all dot products, then the elementwise hit tests of
-        tile_tv_from_a."""
-        a = jnp.dot(w, g, preferred_element_type=jnp.float32)  # [q*PT, B]
-        return tile_tv_from_a(mode, pt, a)
-
     def tile_tv_from_a(mode, pt, a):
         """[PT, B] elementwise hit tests over precomputed dot products
         a [q*PT, B]. Returns tv [PT, B] = t where the tile's plane is
@@ -443,23 +437,55 @@ def _tracer_kernel(
             ok = t > t_min
         return jnp.where(ok, t, BIG)
 
+    def dense_nearest(w, specs, props_t, g):
+        """Dense nearest-hit over one packed (W, propsT) operand pair:
+        MXU dot, mode-specialized hit tests, sublane min-reduce, and a
+        one-hot property-select matmul (no gathers — the hit index
+        never materializes). Computed in LANE CHUNKS of `lane_chunk`
+        columns so the [rows, chunk] dot/test/one-hot intermediates
+        live in vector registers instead of spilling to VMEM — at the
+        bench operating point the monolithic [336, 16384] form spilled
+        ~22 MB per block-segment and the spill traffic was ~60% of the
+        kernel (PERF.md "register-chunked nearest hit"). Bitwise
+        IDENTICAL to the monolithic form at any chunk width: every
+        output column depends only on its own lanes.
+
+        ``specs`` = ((mode, pt), ...) row-block layout of W. Returns
+        (tmin [1, B], sel [16, B]). One-hot winner: tv <= threshold
+        picks the (ok) minimum; no-hit columns (every tv >= BIG) get
+        threshold -1, which nothing passes. Exact nearest-t ties SUM
+        the tied planes' properties (measure-zero: the scene builder
+        insets boundary planes so generated mazes have no coplanar
+        pair)."""
+        tmins, sels = [], []
+        for c0 in range(0, b, lane_chunk):
+            gc = jax.lax.slice_in_dim(g, c0, c0 + lane_chunk, axis=1)
+            a_c = jnp.dot(w, gc, preferred_element_type=jnp.float32)
+            tvs, off = [], 0
+            for mode, pt in specs:
+                q = MODE_QUANTITIES[mode]
+                tvs.append(tile_tv_from_a(mode, pt, a_c[off:off + q * pt]))
+                off += q * pt
+            tv_c = tvs[0] if len(tvs) == 1 else jnp.concatenate(tvs, axis=0)
+            tmin_c = jnp.min(tv_c, axis=0, keepdims=True)  # [1, chunk]
+            thresh = jnp.where(tmin_c < BIG, tmin_c, -1.0)
+            onehot = (tv_c <= thresh).astype(jnp.float32)
+            sels.append(
+                jnp.dot(props_t, onehot, preferred_element_type=jnp.float32)
+            )
+            tmins.append(tmin_c)
+        if len(tmins) == 1:
+            return tmins[0], sels[0]
+        return (
+            jnp.concatenate(tmins, axis=1),
+            jnp.concatenate(sels, axis=1),
+        )
+
     def nearest_tile(mode, pt, w, props_t, g, tmin_in, sel_in):
-        """Nearest-hit over one plane tile merged with the running
-        winner: tile_tv, sublane min-reduce, a one-hot property-select
-        matmul (no gathers — the hit index never materializes), and a
-        strict-< merge with the previous tiles' (tmin, sel). Exact ties
-        WITHIN a tile sum the tied planes' properties; ties ACROSS tiles
-        keep the earlier winner. Both are measure-zero: the scene
-        builder insets the boundary planes so no two distinct planes of
-        a generated maze coincide."""
-        tv = tile_tv(mode, pt, w, g)
-        tile_tmin = jnp.min(tv, axis=0, keepdims=True)        # [1, B]
-        # One-hot winner: tv <= threshold picks the (ok) minimum; no-hit
-        # columns (every tv >= BIG) get threshold -1, which nothing
-        # passes — one [1, B] where instead of a [PT, B] mask AND.
-        thresh = jnp.where(tile_tmin < BIG, tile_tmin, -1.0)
-        onehot = (tv <= thresh).astype(jnp.float32)
-        sel = jnp.dot(props_t, onehot, preferred_element_type=jnp.float32)
+        """One plane tile's dense_nearest merged with the running
+        winner by a strict-< test: ties ACROSS tiles keep the earlier
+        winner (measure-zero, see dense_nearest)."""
+        tile_tmin, sel = dense_nearest(w, ((mode, pt),), props_t, g)
         better = tile_tmin < tmin_in                          # [1, B]
         return (
             jnp.minimum(tile_tmin, tmin_in),
@@ -509,21 +535,11 @@ def _tracer_kernel(
             w_cat = jnp.concatenate(
                 [refs[4 * gi + 1][0] for gi, _ in single], axis=0
             )
-            a_cat = jnp.dot(w_cat, g, preferred_element_type=jnp.float32)
-            tvs, off = [], 0
-            for gi, (mode, _, pt) in single:
-                q = MODE_QUANTITIES[mode]
-                tvs.append(tile_tv_from_a(mode, pt, a_cat[off:off + q * pt]))
-                off += q * pt
-            tv_cat = jnp.concatenate(tvs, axis=0)      # [sum PT, B]
-            tmin = jnp.min(tv_cat, axis=0, keepdims=True)
-            thresh = jnp.where(tmin < BIG, tmin, -1.0)
-            onehot = (tv_cat <= thresh).astype(jnp.float32)
             props_cat = jnp.concatenate(
                 [refs[4 * gi + 2][0] for gi, _ in single], axis=1
             )                                          # [16, sum PT]
-            sel = jnp.dot(
-                props_cat, onehot, preferred_element_type=jnp.float32
+            tmin, sel = dense_nearest(
+                w_cat, tuple((m[0], m[2]) for _, m in single), props_cat, g
             )
         else:
             tmin = jnp.full(shape, BIG, jnp.float32)
@@ -735,6 +751,7 @@ def _tracer_kernel(
     static_argnames=(
         "max_segments", "bounce_limit", "mirror_limit",
         "mirror_tint", "t_min", "sky", "block_rays", "interpret",
+        "lane_chunk",
     ),
 )
 def _trace_padded(
@@ -751,6 +768,7 @@ def _trace_padded(
     sky: tuple,
     block_rays: int,
     interpret: bool,
+    lane_chunk: int,
 ):
     r_total = g_all.shape[1]
     n_blocks = r_total // block_rays
@@ -795,6 +813,7 @@ def _trace_padded(
         mirror_tint=mirror_tint,
         t_min=t_min,
         sky=sky,
+        lane_chunk=lane_chunk,
     )
     ray_spec = pl.BlockSpec(
         (8, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -863,6 +882,23 @@ def trace_paths_pallas(
         tables = pack_intersection_tables(plane_table)
     n = ori.shape[0]
     block = rows_per_block * LANES
+    # dense_nearest chunk width: cfg.lane_chunk, default the whole block
+    # (monolithic). Measured at the 1080p operating point: chunking the
+    # dot/test/select stage is strictly SLOWER (512: 14.7 ms, 1024:
+    # 12.9, 2048: 12.1, monolithic 11.67 — and 4096 falls off a
+    # register-pressure cliff to 312 ms), i.e. Mosaic schedules the
+    # monolithic [rows, B] stage better than any manual lane split; the
+    # knob stays for experiments on other geometries (PERF.md
+    # "lane-chunk sweep"). Bitwise-identical at any value.
+    lane_chunk = cfg.lane_chunk
+    if lane_chunk is None:
+        lane_chunk = block
+    lane_chunk = min(lane_chunk, block)
+    if block % lane_chunk != 0:
+        raise ValueError(
+            f"lane_chunk {lane_chunk} must divide the ray block "
+            f"({rows_per_block} rows_per_block * {LANES} = {block} lanes)"
+        )
     n_pad = -n % block
     r_total = n + n_pad
 
@@ -891,6 +927,7 @@ def trace_paths_pallas(
         sky=tuple(cfg.sky_color) + (cfg.sky_strength, cfg.lighting_factor),
         block_rays=block,
         interpret=interpret,
+        lane_chunk=lane_chunk,
     )
     light = out[0:3, :n].T
     if return_block_segments:
