@@ -153,8 +153,9 @@ class ScreenConfig:
     # Fused Pallas blur+quantize present kernel (render/present.py) —
     # bit-identical to the XLA chunk-major blur under jit, one
     # read+write of the screen instead of XLA's materialized shifted
-    # slices. Single-chip path only (the sharded engine's halo blur
-    # needs ppermute and stays XLA).
+    # slices (0.083 vs 0.752 ms at 1080p, PERF.md). The sharded engine
+    # uses it too, with the ppermute'd band halos embedded as kernel
+    # inputs (parallel/shard.py _present_with_halo).
     pallas_present: bool = True
 
     def __post_init__(self):

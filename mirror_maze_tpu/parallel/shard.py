@@ -232,6 +232,41 @@ def _blur_with_halo_cm(cm: jnp.ndarray, band: ScreenConfig,
     return out.reshape(cy * cx, cw * cw * 3)
 
 
+def _present_with_halo(cm: jnp.ndarray, band: ScreenConfig, quantize: bool,
+                       axis: str = "tile") -> jnp.ndarray:
+    """The fused Pallas present kernel (render/present.py) on a band
+    screen: blur + quantize in one read+write, with the same 1-pixel-row
+    ppermute halo exchange as _blur_with_halo_cm. The exchanged row is
+    embedded at the chunk-major lane offsets of an adjacent sublane row
+    (yo = cw-1 for the top halo, yo = 0 for the bottom) so the kernel's
+    ordinary cross-row lane shifts read it; outermost bands pass their
+    own edge row, which reproduces the single-screen clamp exactly
+    (tested band-seam-identical to the single-chip present)."""
+    from ..render.present import present_pallas
+
+    cw = band.chunk_width
+    cy, cx = band.chunks_y, band.chunks_x
+    last = cw - 1
+    n = jax.lax.axis_size(axis)
+    ti = jax.lax.axis_index(axis)
+    t = cm.reshape(cy, cx, cw, cw, 3)
+    down = jax.lax.ppermute(
+        t[-1:, :, :, last:], axis, [(i, i + 1) for i in range(n - 1)]
+    )  # my top halo = upper band's bottom pixel row
+    up = jax.lax.ppermute(
+        t[0:1, :, :, 0:1], axis, [(i + 1, i) for i in range(n - 1)]
+    )  # my bottom halo = lower band's top pixel row
+    halo_top = jnp.where(ti == 0, t[0:1, :, :, 0:1], down)
+    halo_bot = jnp.where(ti == n - 1, t[-1:, :, :, last:], up)
+    zpad = jnp.zeros((1, cx, cw, last, 3), jnp.float32)
+    ht = jnp.concatenate([zpad, halo_top], axis=3).reshape(1, -1)
+    hb = jnp.concatenate([halo_bot, zpad], axis=3).reshape(1, -1)
+    return present_pallas(
+        cm, chunks_x=cx, chunks_y=cy, cw=cw, quantize=quantize,
+        halo_top=ht, halo_bot=hb,
+    )
+
+
 def _engine_locals(cfg: EngineConfig, mesh: Mesh):
     """Shard-local init/step functions + state specs + band ScreenConfig
     shared by the per-frame engine (make_sharded_engine) and the
@@ -324,10 +359,19 @@ def _engine_locals(cfg: EngineConfig, mesh: Mesh):
 
         # 5. Present: halo-exchanged feedback blur + quantization in
         # chunk-major space (bit-identical to the spatial form, no
-        # transposes); the spatial view is built only for display.
+        # transposes); by default the fused pallas kernel with embedded
+        # halo rows (_present_with_halo), else the XLA form. The spatial
+        # view is built only for display.
         if cfg.screen.feedback_blur:
-            screen = _blur_with_halo_cm(screen, band)
-        if cfg.screen.quantize_8bit:
+            if cfg.screen.pallas_present:
+                screen = _present_with_halo(
+                    screen, band, quantize=cfg.screen.quantize_8bit
+                )
+            else:
+                screen = _blur_with_halo_cm(screen, band)
+                if cfg.screen.quantize_8bit:
+                    screen = quantize_8bit(screen)
+        elif cfg.screen.quantize_8bit:
             screen = quantize_8bit(screen)
         spatial = cm_to_spatial(screen, band)
 

@@ -41,8 +41,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _present_kernel(lh_ref, center_ref, rh_ref, out_ref, *,
-                    cw: int, L: int, Lb: int, quantize: bool, recip: bool):
+def _present_kernel(*refs,
+                    cw: int, L: int, Lb: int, quantize: bool, recip: bool,
+                    halo: bool):
+    if halo:
+        (lh_ref, center_ref, rh_ref,
+         htl_ref, htc_ref, htr_ref,
+         hbl_ref, hbc_ref, hbr_ref, out_ref) = refs
+    else:
+        lh_ref, center_ref, rh_ref, out_ref = refs
     k = pl.program_id(0)
     t = center_ref[...]                    # [Cy, Lb] f32
     px = 3 * cw                            # lanes per x-step of one pixel
@@ -71,12 +78,31 @@ def _present_kernel(lh_ref, center_ref, rh_ref, out_ref, *,
     l = jnp.where(lane < px, t, sl(ext, -px))
     r = jnp.where(lane >= L - px, t, sl(ext, px))
     # y neighbors: +-3 within the chunk; chunk-edge pixel rows read the
-    # adjacent sublane row at the opposite chunk edge (+-3*(cw-1));
-    # global top/bottom rows clamp.
+    # adjacent sublane row at the opposite chunk edge (+-3*(cw-1)).
     u = jnp.where(yo_first, sl(ext_m1, px - 3), sl(ext, -3))
-    u = jnp.where((row == 0) & yo_first, t, u)
     d = jnp.where(yo_last, sl(ext_p1, -(px - 3)), sl(ext, 3))
-    d = jnp.where((row == n_rows - 1) & yo_last, t, d)
+    if halo:
+        # Band mode (sharded screen): the top/bottom chunk rows read
+        # HALO rows — the neighbor band's boundary pixel row, embedded
+        # at the same chunk-major lane offsets an adjacent sublane row
+        # would have (yo=last for the top halo, yo=0 for the bottom), so
+        # the very same lane shifts apply. Outermost bands pass their
+        # own edge row, reproducing the single-screen clamp exactly.
+        ext_ht = jnp.concatenate(
+            [htl_ref[...][:, -px:], htc_ref[...], htr_ref[...][:, :px]],
+            axis=1,
+        )                                  # [1, Lb + 2*px]
+        ext_hb = jnp.concatenate(
+            [hbl_ref[...][:, -px:], hbc_ref[...], hbr_ref[...][:, :px]],
+            axis=1,
+        )
+        u = jnp.where((row == 0) & yo_first, sl(ext_ht, px - 3), u)
+        d = jnp.where((row == n_rows - 1) & yo_last,
+                      sl(ext_hb, -(px - 3)), d)
+    else:
+        # Single screen: global top/bottom pixel rows clamp to the edge.
+        u = jnp.where((row == 0) & yo_first, t, u)
+        d = jnp.where((row == n_rows - 1) & yo_last, t, d)
 
     # On hardware, XLA-TPU compiles the blur's /3 and /255 as reciprocal
     # MULTIPLIES (--xla_allow_excess_precision; verified bitwise-equal to
@@ -118,11 +144,20 @@ def present_pallas(
     cw: int,
     quantize: bool,
     interpret: bool | None = None,
+    halo_top: jnp.ndarray | None = None,   # [1, Cx*cw*cw*3], yo=last lanes
+    halo_bot: jnp.ndarray | None = None,   # [1, Cx*cw*cw*3], yo=0 lanes
 ) -> jnp.ndarray:
     """Blur(+quantize) the chunk-major screen; bit-identical to
-    accumulate.feedback_blur_cm (+ quantize_8bit) under jit — tested."""
+    accumulate.feedback_blur_cm (+ quantize_8bit) under jit — tested.
+
+    ``halo_top``/``halo_bot`` (both or neither) switch the top/bottom
+    edge from clamping to reading a neighbor band's boundary pixel row
+    (the sharded screen; parallel/shard.py embeds the ppermute'd rows at
+    the matching chunk-major lane offsets)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    use_halo = halo_top is not None
+    assert (halo_top is None) == (halo_bot is None)
     L = chunks_x * cw * cw * 3
     Lb = _pick_lane_strip(chunks_y, L)
     n_blocks = L // Lb
@@ -131,27 +166,40 @@ def present_pallas(
 
     kern = functools.partial(
         _present_kernel, cw=cw, L=L, Lb=Lb, quantize=quantize,
-        recip=not interpret,
+        recip=not interpret, halo=use_halo,
     )
     nh = Lb // halo  # halo-block units per strip
+    lh_spec = pl.BlockSpec(
+        (chunks_y, halo), lambda k: (0, jnp.maximum(k * nh - 1, 0))
+    )
+    c_spec = pl.BlockSpec((chunks_y, Lb), lambda k: (0, k))
+    rh_spec = pl.BlockSpec(
+        (chunks_y, halo),
+        lambda k: (0, jnp.minimum((k + 1) * nh, L // halo - 1)),
+    )
+    in_specs = [lh_spec, c_spec, rh_spec]
+    args = [x2d, x2d, x2d]
+    if use_halo:
+        hl_spec = pl.BlockSpec(
+            (1, halo), lambda k: (0, jnp.maximum(k * nh - 1, 0))
+        )
+        hc_spec = pl.BlockSpec((1, Lb), lambda k: (0, k))
+        hr_spec = pl.BlockSpec(
+            (1, halo),
+            lambda k: (0, jnp.minimum((k + 1) * nh, L // halo - 1)),
+        )
+        ht = halo_top.reshape(1, L)
+        hb = halo_bot.reshape(1, L)
+        in_specs += [hl_spec, hc_spec, hr_spec] * 2
+        args += [ht, ht, ht, hb, hb, hb]
     out = pl.pallas_call(
         kern,
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec(
-                (chunks_y, halo),
-                lambda k: (0, jnp.maximum(k * nh - 1, 0)),
-            ),
-            pl.BlockSpec((chunks_y, Lb), lambda k: (0, k)),
-            pl.BlockSpec(
-                (chunks_y, halo),
-                lambda k: (0, jnp.minimum((k + 1) * nh, L // halo - 1)),
-            ),
-        ],
-        out_specs=pl.BlockSpec((chunks_y, Lb), lambda k: (0, k)),
+        in_specs=in_specs,
+        out_specs=c_spec,
         out_shape=jax.ShapeDtypeStruct((chunks_y, L), jnp.float32),
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(x2d, x2d, x2d)
+    )(*args)
     return out.reshape(cm.shape)
 
 

@@ -362,6 +362,64 @@ def test_sharded_engine_content_matches_full_frame_render():
     np.testing.assert_array_equal(sharded, ref)
 
 
+def test_sharded_pallas_present_bit_identical_across_seams():
+    """The fused Pallas present kernel with ppermute'd halo rows
+    (_present_with_halo) must be bit-identical to (a) the XLA halo blur
+    + quantize path on the same sharded engine and (b) the single-chip
+    step blurring the FULL screen — i.e. embedding the neighbor band's
+    boundary row reproduces the un-sharded blur exactly at band seams.
+    Deterministic setup: jitter=0, single-segment paths, full refresh."""
+    import dataclasses
+
+    from mirror_maze_tpu.parallel.shard import make_mesh, make_sharded_engine
+    from mirror_maze_tpu.render.accumulate import cm_to_spatial
+    from mirror_maze_tpu.runtime.state import FrameInputs, init_state
+    from mirror_maze_tpu.runtime.step import make_step
+
+    n_tile = min(4, len(jax.devices()))
+    h = 16 * n_tile
+    for quant in (True, False):
+        cfg = EngineConfig(
+            maze=MazeConfig(width=4, height=4),
+            tracer=TracerConfig(bounce_limit=1, mirror_limit=1, jitter=0.0),
+            camera=CameraConfig(spawn=(-5.0, 0.0, -15.0)),
+            screen=ScreenConfig(
+                width=64, height=h, samples_per_pixel=1,
+                chunks_per_frame=(64 // 4) * (h // 4),  # full refresh
+                feedback_blur=True, quantize_8bit=quant,
+                pallas_present=True,
+            ),
+            intersector="brute",
+        )
+        mesh = make_mesh(1, n_tile)
+        scene = upload_scene(build_scene(cfg.maze))
+
+        init_p, step_p = make_sharded_engine(cfg, mesh)
+        st_p = init_p(seed=0)
+        st_p, frame_p = step_p(scene, st_p, FrameInputs.idle())
+
+        cfg_x = dataclasses.replace(
+            cfg, screen=dataclasses.replace(cfg.screen, pallas_present=False)
+        )
+        init_x, step_x = make_sharded_engine(cfg_x, mesh)
+        st_x = init_x(seed=0)
+        st_x, frame_x = step_x(scene, st_x, FrameInputs.idle())
+
+        np.testing.assert_array_equal(
+            np.asarray(st_p.screen), np.asarray(st_x.screen))
+        np.testing.assert_array_equal(
+            np.asarray(frame_p), np.asarray(frame_x))
+
+        # vs the single-chip step blurring the full (un-banded) screen:
+        # the halo exchange must make band seams invisible, bit-exactly.
+        ref = init_state(cfg, seed=0)
+        ref, _ = make_step(scene, cfg)(ref, FrameInputs.idle())
+        np.testing.assert_array_equal(
+            _sharded_screen_to_spatial(st_p.screen, cfg, n_tile),
+            np.asarray(cm_to_spatial(ref.screen, cfg.screen)),
+        )
+
+
 def test_sharded_engine_bvh_derives_exact_traversal_bounds():
     """The sharded engine must derive exact traversal bounds from the
     concrete scene at first step (like runtime/step.py) instead of
