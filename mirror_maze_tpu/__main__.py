@@ -137,7 +137,7 @@ def cmd_play(args) -> int:
     if args.load_state:
         from .runtime.state import load_state
 
-        loop.state = load_state(args.load_state)
+        loop.state = load_state(args.load_state, cfg)
         print(f"resumed from {args.load_state} "
               f"(frame {int(loop.state.frame)})")
     frame0 = int(loop.state.frame)

@@ -197,6 +197,28 @@ def _blur_with_halo(local: jnp.ndarray, axis: str = "tile") -> jnp.ndarray:
     return (c + (l + r) / 2.0 + (u + d) / 2.0) / 3.0
 
 
+def _exchange_halo_rows(t: jnp.ndarray, last: int, axis: str):
+    """Exchange 1-PIXEL-row halos between adjacent bands of a chunk-major
+    band screen ``t`` [cy, cx, cw, cw(y_off), 3]: returns (halo_top,
+    halo_bot), each [1, cx, cw, 1, 3] — my top halo is the upper band's
+    bottom pixel row (global y = (band, cy, yo)), my bottom halo the
+    lower band's top row. Outermost bands get their OWN edge row, which
+    reproduces the un-sharded screen's edge clamp exactly. Shared by the
+    XLA blur (_blur_with_halo_cm) and the fused Pallas present
+    (_present_with_halo) so the exchange cannot diverge between them."""
+    n = jax.lax.axis_size(axis)
+    ti = jax.lax.axis_index(axis)
+    down = jax.lax.ppermute(
+        t[-1:, :, :, last:], axis, [(i, i + 1) for i in range(n - 1)]
+    )
+    up = jax.lax.ppermute(
+        t[0:1, :, :, 0:1], axis, [(i + 1, i) for i in range(n - 1)]
+    )
+    halo_top = jnp.where(ti == 0, t[0:1, :, :, 0:1], down)
+    halo_bot = jnp.where(ti == n - 1, t[-1:, :, :, last:], up)
+    return halo_top, halo_bot
+
+
 def _blur_with_halo_cm(cm: jnp.ndarray, band: ScreenConfig,
                        axis: str = "tile") -> jnp.ndarray:
     """_blur_with_halo computed directly on the band's CHUNK-MAJOR
@@ -207,18 +229,8 @@ def _blur_with_halo_cm(cm: jnp.ndarray, band: ScreenConfig,
     cw = band.chunk_width
     cy, cx = band.chunks_y, band.chunks_x
     last = cw - 1
-    n = jax.lax.axis_size(axis)
-    ti = jax.lax.axis_index(axis)
     t = cm.reshape(cy, cx, cw, cw, 3)   # (cy, cx, x_off, y_off, c)
-    # Halo pixel rows across bands (global y direction = (band, cy, yo)).
-    down = jax.lax.ppermute(
-        t[-1:, :, :, last:], axis, [(i, i + 1) for i in range(n - 1)]
-    )  # my top halo = upper band's bottom pixel row
-    up = jax.lax.ppermute(
-        t[0:1, :, :, 0:1], axis, [(i + 1, i) for i in range(n - 1)]
-    )  # my bottom halo = lower band's top pixel row
-    halo_top = jnp.where(ti == 0, t[0:1, :, :, 0:1], down)
-    halo_bot = jnp.where(ti == n - 1, t[-1:, :, :, last:], up)
+    halo_top, halo_bot = _exchange_halo_rows(t, last, axis)
 
     prev_y = jnp.concatenate([halo_top, t[:-1, :, :, last:]], axis=0)
     u = jnp.concatenate([prev_y, t[:, :, :, : last]], axis=3)
@@ -247,17 +259,8 @@ def _present_with_halo(cm: jnp.ndarray, band: ScreenConfig, quantize: bool,
     cw = band.chunk_width
     cy, cx = band.chunks_y, band.chunks_x
     last = cw - 1
-    n = jax.lax.axis_size(axis)
-    ti = jax.lax.axis_index(axis)
     t = cm.reshape(cy, cx, cw, cw, 3)
-    down = jax.lax.ppermute(
-        t[-1:, :, :, last:], axis, [(i, i + 1) for i in range(n - 1)]
-    )  # my top halo = upper band's bottom pixel row
-    up = jax.lax.ppermute(
-        t[0:1, :, :, 0:1], axis, [(i + 1, i) for i in range(n - 1)]
-    )  # my bottom halo = lower band's top pixel row
-    halo_top = jnp.where(ti == 0, t[0:1, :, :, 0:1], down)
-    halo_bot = jnp.where(ti == n - 1, t[-1:, :, :, last:], up)
+    halo_top, halo_bot = _exchange_halo_rows(t, last, axis)
     zpad = jnp.zeros((1, cx, cw, last, 3), jnp.float32)
     ht = jnp.concatenate([zpad, halo_top], axis=3).reshape(1, -1)
     hb = jnp.concatenate([halo_bot, zpad], axis=3).reshape(1, -1)
@@ -390,21 +393,21 @@ def _make_lazy_bounds_step(cfg, build_step, max_depth, max_leaf):
     derivation: bounds come from the CONCRETE scene at the first call
     (runtime/step.py derive_traversal_bounds) — fixed defaults silently
     drop primitives in large SAH leaves / corrupt the stack. Bounds are
-    derived once per scene OBJECT (identity-keyed; the cached scene is
-    retained so a recycled id can never alias a new scene); jitted steps
-    are cached per derived (depth, leaf) pair."""
-    bounds_cache: dict = {}
+    derived once per scene OBJECT and cached in a SINGLE slot — only the
+    most recent scene is retained, so stepping a long-lived engine
+    through many scenes never pins dead scenes' device arrays in HBM;
+    jitted steps are cached per derived (depth, leaf) pair."""
+    bounds_cache: list = []  # single slot: [(scene, bounds)]
     steps: dict = {}
 
     def step_fn(scene, state, inputs):
         from ..runtime.step import derive_traversal_bounds
 
-        cached = bounds_cache.get(id(scene))
-        if cached is None or cached[0] is not scene:
-            bounds = derive_traversal_bounds(scene, cfg, max_depth, max_leaf)
-            bounds_cache[id(scene)] = (scene, bounds)
+        if bounds_cache and bounds_cache[0][0] is scene:
+            bounds = bounds_cache[0][1]
         else:
-            bounds = cached[1]
+            bounds = derive_traversal_bounds(scene, cfg, max_depth, max_leaf)
+            bounds_cache[:] = [(scene, bounds)]
         if bounds not in steps:
             steps[bounds] = build_step(*bounds)
         return steps[bounds](scene, state, inputs)

@@ -893,6 +893,11 @@ def trace_paths_pallas(
     lane_chunk = cfg.lane_chunk
     if lane_chunk is None:
         lane_chunk = block
+    if lane_chunk < 1:
+        # Guard BEFORE the modulo: 0 would raise a bare ZeroDivisionError
+        # and a negative value passes Python's divisibility check
+        # (4096 % -512 == 0) only to build an empty dense_nearest loop.
+        raise ValueError(f"lane_chunk must be >= 1, got {lane_chunk}")
     lane_chunk = min(lane_chunk, block)
     if block % lane_chunk != 0:
         raise ValueError(

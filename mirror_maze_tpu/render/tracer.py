@@ -60,10 +60,18 @@ def trace_paths(
     sky = jnp.asarray(cfg.sky_color, dtype=jnp.float32)
     ray_keys = None
     if seed_row is not None:
+        # Key = base ⊕ ray-index ⊕ noise-sample. The ray index MUST be
+        # folded in too (matching the pallas kernel's _pcg_init, which
+        # seeds from the linear ray id before adding the noise offset):
+        # keying on the noise value alone would give every ray sharing a
+        # texel — in particular all spp samples of one pixel, and with an
+        # 8-bit PNG whole swathes of the screen — bit-identical scatter
+        # streams, collapsing the sample mean to ~1 effective sample.
         seed_ints = (seed_row * jnp.float32(1 << 24)).astype(jnp.int32)
-        ray_keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
-            key, seed_ints
-        )
+        idx_ints = jnp.arange(n_rays, dtype=jnp.int32)
+        ray_keys = jax.vmap(
+            lambda i, s: jax.random.fold_in(jax.random.fold_in(key, i), s)
+        )(idx_ints, seed_ints)
 
     def body(it, st):
         o, d, thr, light, mh, dc, alive = st

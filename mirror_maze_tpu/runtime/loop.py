@@ -66,6 +66,13 @@ class InteractiveLoop:
     # sensitivity (DX/512, `main.rs:923`) is in pixels. A text cell is
     # ~8 px wide in common fonts, so one cell of motion maps to 8 px.
     MOUSE_PX_PER_CELL = 8.0
+    # A per-event cell jump beyond this is a pointer re-entry (events
+    # stop at the window edge) or a dropped-event gap, not motion: the
+    # reference integrates true per-event deltas (`main.rs:922-928`),
+    # while terminal reports are ABSOLUTE positions — integrating a
+    # re-entry difference would whip the camera a full spin in one
+    # frame. Such events only re-anchor.
+    MOUSE_REANCHOR_CELLS = 32
     # Enable/disable any-motion mouse tracking + SGR-1006 encoding.
     MOUSE_ON = "\x1b[?1003h\x1b[?1006h"
     MOUSE_OFF = "\x1b[?1003l\x1b[?1006l"
@@ -133,6 +140,14 @@ class InteractiveLoop:
             self.step_one = None
         self.state = init_state(cfg, seed)
         self.frame = None
+        if self.step_one is not None:
+            # Pay the per-frame twin's jit compile NOW: left lazy, it
+            # would compile on the first hot keypress — a multi-minute
+            # 1080p Pallas stall mid-session over a remote link, exactly
+            # when low-latency response was requested. One throwaway
+            # frame on a scratch state populates the jit cache without
+            # touching self.state.
+            self.step_one(init_state(cfg, seed), FrameInputs.idle())
 
         # Device-side thumbnail for the terminal display: fetching the
         # full frame over a remote-dispatch tunnel costs seconds per
@@ -148,6 +163,18 @@ class InteractiveLoop:
         self._thumb = thumb
         self._last_mouse_x: int | None = None
         self._carry = b""  # escape sequence split across polls
+
+    def _mouse_cell(self, x: int) -> float:
+        """Turn one absolute mouse-cell column into a pixel delta against
+        the running anchor; oversized jumps (pointer re-entry, dropped
+        events) only re-anchor — see MOUSE_REANCHOR_CELLS."""
+        dx = 0.0
+        if self._last_mouse_x is not None:
+            dcell = x - self._last_mouse_x
+            if abs(dcell) <= self.MOUSE_REANCHOR_CELLS:
+                dx = dcell * self.MOUSE_PX_PER_CELL
+        self._last_mouse_x = x
+        return dx
 
     def _poll_keys(self) -> FrameInputs:
         import select
@@ -193,6 +220,19 @@ class InteractiveLoop:
                     self._carry = data[i:]
                     break
                 fin, body = data[j], data[i + 2: j]
+                if fin == ord("M") and not body:
+                    # X10-encoded mouse report — the terminal honored
+                    # ?1003 but not ?1006: ESC [ M Cb Cx Cy carries
+                    # three RAW payload bytes AFTER the final 'M'. They
+                    # MUST be consumed here; falling through would parse
+                    # them as literal keypresses (the column byte is
+                    # col+32, so column 81 injects 'q' and quits).
+                    if j + 3 >= n:
+                        self._carry = data[i:]
+                        break
+                    dx += self._mouse_cell(data[j + 2] - 32)
+                    i = j + 4
+                    continue
                 if fin in (ord("M"), ord("m")) and body.startswith(b"<"):
                     parts = body[1:].split(b";")
                     if len(parts) == 3:
@@ -201,11 +241,7 @@ class InteractiveLoop:
                         except ValueError:
                             x = None
                         if x is not None:
-                            if self._last_mouse_x is not None:
-                                dx += (
-                                    x - self._last_mouse_x
-                                ) * self.MOUSE_PX_PER_CELL
-                            self._last_mouse_x = x
+                            dx += self._mouse_cell(x)
                 elif fin == ord("C"):   # right arrow = 'l'
                     dx += self.YAW_STEP
                 elif fin == ord("D"):   # left arrow = 'j'
@@ -256,6 +292,10 @@ class InteractiveLoop:
         from .watchdog import Watchdog
 
         wd = Watchdog(watchdog_interval) if watchdog_interval else None
+        # Fresh input-decoder state per run: a stale mouse anchor from a
+        # previous run() would turn the first event into a spurious yaw.
+        self._last_mouse_x = None
+        self._carry = b""
         fd = sys.stdin.fileno()
         old = termios.tcgetattr(fd)
         spf = 1.0 / self.cfg.screen.fps

@@ -91,12 +91,46 @@ def save_state(path: str, state: EngineState) -> None:
     )
 
 
-def load_state(path: str) -> EngineState:
-    """Restore a checkpoint written by save_state (bit-exact)."""
+def load_state(path: str, cfg: EngineConfig | None = None) -> EngineState:
+    """Restore a checkpoint written by save_state (bit-exact).
+
+    With ``cfg``, the screen/queue shapes are validated against the
+    config the state will drive: a mismatched checkpoint (different
+    resolution/chunking, or the pre-chunk-major spatial [H, W, 3] screen
+    layout) would otherwise surface as an opaque scatter shape error
+    deep inside the first jitted step.
+    """
     import numpy as np
 
     with np.load(path) as z:
-        return EngineState(**{k: jnp.asarray(z[k]) for k in EngineState._fields})
+        missing = [k for k in EngineState._fields if k not in z]
+        if missing:
+            raise ValueError(
+                f"checkpoint {path!r} lacks field(s) {missing} — not a "
+                "save_state checkpoint (or from an incompatible version)"
+            )
+        st = EngineState(
+            **{k: jnp.asarray(z[k]) for k in EngineState._fields}
+        )
+    if cfg is not None:
+        want = (cfg.screen.total_chunks, cfg.screen.pixels_per_chunk * 3)
+        if st.screen.shape != want:
+            hint = (
+                " (spatial [H, W, 3] layout: checkpoint predates the "
+                "chunk-major screen and cannot be resumed)"
+                if st.screen.ndim == 3 else ""
+            )
+            raise ValueError(
+                f"checkpoint {path!r} screen shape {st.screen.shape} does "
+                f"not match this config's chunk-major {want}{hint}; "
+                "resume with the resolution/chunking it was saved under"
+            )
+        if st.perm.shape != (cfg.screen.total_chunks,):
+            raise ValueError(
+                f"checkpoint {path!r} chunk queue {st.perm.shape} does not "
+                f"match this config's {(cfg.screen.total_chunks,)}"
+            )
+    return st
 
 
 def init_state(cfg: EngineConfig, seed: int = 0) -> EngineState:

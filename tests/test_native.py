@@ -160,3 +160,57 @@ def test_mouse_look_sgr_frames_through_pump_and_parser():
     finally:
         os.close(r)
         os.close(w)
+
+
+def test_mouse_x10_fallback_frames_never_inject_keys():
+    """A terminal honoring ?1003 but not ?1006 sends X10-encoded mouse
+    frames: ESC [ M Cb Cx Cy with three RAW payload bytes after the
+    final 'M'. Regression: those bytes once fell through to the key
+    parser — the column byte is col+32, so column 81 injected 'q' and
+    QUIT the session, 87 injected 'w'. The payload must be consumed (and
+    may drive mouse-look), and truncated payloads must carry."""
+    from mirror_maze_tpu.runtime.loop import InteractiveLoop
+
+    loop = InteractiveLoop.__new__(InteractiveLoop)  # parser-only instance
+    loop._last_mouse_x = None
+    loop._carry = b""
+
+    # Motion at column 81: payload byte 'q'. Must neither quit nor key.
+    inp = loop._parse_input(b"\x1b[M" + bytes([67, 32 + 81, 37]))
+    assert float(inp.mouse_dx) == 0.0          # first event only anchors
+    assert not any(bool(k) for k in inp.keys)
+
+    # Column 85 -> 4-cell delta integrates like an SGR frame.
+    inp = loop._parse_input(b"\x1b[M" + bytes([67, 32 + 85, 37]))
+    assert float(inp.mouse_dx) == 4 * InteractiveLoop.MOUSE_PX_PER_CELL
+
+    # Column 87: payload byte 'w' — must not walk.
+    inp = loop._parse_input(b"\x1b[M" + bytes([67, 32 + 87, 37]))
+    assert not any(bool(k) for k in inp.keys)
+    assert float(inp.mouse_dx) == 2 * InteractiveLoop.MOUSE_PX_PER_CELL
+
+    # Truncated payload carries to the next poll.
+    inp = loop._parse_input(b"\x1b[M" + bytes([67]))
+    assert float(inp.mouse_dx) == 0.0
+    assert not any(bool(k) for k in inp.keys)
+    inp = loop._parse_input(bytes([32 + 89, 37]))
+    assert float(inp.mouse_dx) == 2 * InteractiveLoop.MOUSE_PX_PER_CELL
+
+
+def test_mouse_reentry_reanchors_instead_of_spinning():
+    """Terminal mouse reports are ABSOLUTE positions; events stop at the
+    window edge. Regression: pointer re-entry far from the exit column
+    integrated the whole gap as one delta — a full camera spin in one
+    frame. Oversized jumps must only re-anchor (the reference integrates
+    true per-event deltas, main.rs:922-928)."""
+    from mirror_maze_tpu.runtime.loop import InteractiveLoop
+
+    loop = InteractiveLoop.__new__(InteractiveLoop)
+    loop._last_mouse_x = None
+    loop._carry = b""
+
+    loop._parse_input(b"\x1b[<35;10;5M")                 # anchor at 10
+    inp = loop._parse_input(b"\x1b[<35;200;5M")          # re-entry jump
+    assert float(inp.mouse_dx) == 0.0
+    inp = loop._parse_input(b"\x1b[<35;198;5M")          # normal motion
+    assert float(inp.mouse_dx) == -2 * InteractiveLoop.MOUSE_PX_PER_CELL

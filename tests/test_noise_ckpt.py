@@ -241,3 +241,81 @@ def test_noise_rng_honored_on_jnp_backends(tiny_cfg):
     b = np.asarray(render_pixels(dev_t, cam, pix, KEY, on_cfg))
     assert np.array_equal(a, b)
     assert not np.array_equal(a, on)
+
+
+def test_jnp_seed_row_does_not_collapse_identical_rays():
+    """Regression: the jnp tracer once derived scatter keys solely from
+    the noise VALUE, so rays sharing a texel — all spp samples of a
+    pixel, or whole swathes of the screen with an 8-bit PNG's 256
+    distinct values — drew bit-identical scatter streams, collapsing the
+    sample mean to ~1 effective sample. The per-ray index must be folded
+    in too (matching the pallas kernel's _pcg_init)."""
+    from mirror_maze_tpu.ops.vecmath import normalize
+    from mirror_maze_tpu.render.tracer import trace_paths
+
+    scene = build_scene(MazeConfig(width=4, height=4))
+    dev = upload_scene(scene)
+    cfg = TracerConfig(bounce_limit=5, mirror_limit=2)
+    # 64 IDENTICAL rays angled up toward the emissive ceiling panels,
+    # one shared noise texel value — the pathological pre-fix
+    # configuration gave exactly ONE unique light value here; with the
+    # ray index folded in, scattered paths diversify (measured ~11
+    # unique of 64 at this geometry — many paths legitimately add no
+    # emission and coincide at the deterministic component).
+    o = jnp.broadcast_to(jnp.array([-5.0, 0.0, -15.0]), (64, 3))
+    d = jnp.broadcast_to(
+        normalize(jnp.array([0.0, 0.9, 0.3])), (64, 3)
+    )
+    srow = jnp.full((64,), 0.37, jnp.float32)
+    light = np.asarray(trace_paths(dev, o, d, KEY, cfg, seed_row=srow))
+    assert np.isfinite(light).all()
+    assert np.unique(light, axis=0).shape[0] > 4  # diverse scatter paths
+
+
+def test_load_state_rejects_mismatched_checkpoint(tmp_path, tiny_cfg):
+    """load_state with a config must fail FAST and clearly on checkpoint
+    mismatches (wrong resolution/chunking, pre-chunk-major spatial
+    layout, not-a-checkpoint files) instead of dying with an opaque
+    scatter shape error inside the first jitted step."""
+    import dataclasses
+
+    from mirror_maze_tpu.runtime.state import (
+        init_state,
+        load_state,
+        save_state,
+    )
+
+    st = init_state(tiny_cfg, seed=0)
+    path = os.path.join(tmp_path, "ok.npz")
+    save_state(path, st)
+    # Matching config passes and stays bit-exact.
+    st2 = load_state(path, tiny_cfg)
+    for a, b in zip(st, st2):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    # Different screen geometry is rejected with a clear message.
+    other = dataclasses.replace(
+        tiny_cfg,
+        screen=dataclasses.replace(
+            tiny_cfg.screen, width=tiny_cfg.screen.width * 2
+        ),
+    )
+    with pytest.raises(ValueError, match="screen shape"):
+        load_state(path, other)
+
+    # A legacy spatial [H, W, 3] screen names the layout in the error.
+    legacy = st._replace(
+        screen=jnp.zeros(
+            (tiny_cfg.screen.height, tiny_cfg.screen.width, 3), jnp.float32
+        )
+    )
+    lpath = os.path.join(tmp_path, "legacy.npz")
+    save_state(lpath, legacy)
+    with pytest.raises(ValueError, match="chunk-major"):
+        load_state(lpath, tiny_cfg)
+
+    # Not a checkpoint at all.
+    npath = os.path.join(tmp_path, "not_ckpt.npz")
+    np.savez(npath, foo=np.zeros(3))
+    with pytest.raises(ValueError, match="lacks field"):
+        load_state(npath, tiny_cfg)

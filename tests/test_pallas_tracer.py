@@ -491,3 +491,18 @@ def test_sinpi_polynomial_accuracy():
     c = np.asarray(_sinpi(jnp.asarray(0.5 - np.abs(x))))
     assert np.abs(s - np.sin(np.pi * x)).max() < 5e-6
     assert np.abs(c - np.cos(np.pi * x)).max() < 5e-6
+
+
+def test_lane_chunk_must_be_positive(rng):
+    """Regression: lane_chunk=0 died with a bare ZeroDivisionError and a
+    negative value passed Python's divisibility check (4096 % -512 == 0)
+    only to build an empty dense_nearest loop — both must be a clear
+    ValueError before any kernel work."""
+    import pytest
+
+    _, table = _setup()
+    o, d = _rays(256, rng)
+    for bad in (0, -512):
+        cfg = TracerConfig(bounce_limit=1, mirror_limit=1, lane_chunk=bad)
+        with pytest.raises(ValueError, match="lane_chunk"):
+            trace_paths_pallas(table, o, d, jnp.int32(1), cfg)

@@ -574,3 +574,17 @@ def test_scale_config_per_band_tile_skip_matches_single_chip():
     # smaller per-band sample).
     assert mean_band <= 1.25 * single["mean_tiles"], (
         mean_band, single["mean_tiles"], band_tiles)
+
+
+def test_dryrun_reexec_has_recursion_guard(monkeypatch):
+    """Regression: if the virtual-device flags fail to take effect in
+    the dryrun's CPU child (conflicting XLA_FLAGS, sitecustomize drift),
+    the child must fail loudly instead of re-exec'ing another child
+    forever — an unbounded blocking subprocess chain."""
+    import pytest
+
+    import __graft_entry__ as g
+
+    monkeypatch.setenv("_MMX_DRYRUN_CHILD", "1")
+    with pytest.raises(RuntimeError, match="bootstrap is broken"):
+        g._reexec_on_virtual_cpu_mesh(8)
