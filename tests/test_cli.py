@@ -94,3 +94,33 @@ def test_frame_stats_math():
     assert st.frames == 2
     assert 1.0 < st.fps < 1000.0
     assert st.mrays_per_s == pytest.approx(st.fps * 1000 / 1e6)
+
+
+def test_bench_validate_cross_backend_agreement():
+    """bench.py --validate is the hardware cross-backend agreement
+    check (pallas + bvh vs brute on deterministic light). On CPU the
+    kernel runs under the exact TPU-semantics interpreter, so the same
+    invocation must pass here — and its tolerance structure (bounded
+    tie-flip fraction, approximation-scale mean) is what the real-TPU
+    run relies on."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "bench.py", "--validate"], env=env, cwd="/root/repo",
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:]
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert result["ok"] is True
+    assert result["bvh"]["max"] == 0.0           # same arithmetic -> exact
+    # Documented measure-zero allowance: nearest-t ties at wall corners
+    # may sum one-hot properties (config.py "Known-accepted limitation").
+    assert result["pallas"]["frac_gt_0.05"] < 1e-3
+    assert result["pallas"]["mean"] < 1e-3
