@@ -104,6 +104,47 @@ local = [np.asarray(s.data) for s in frames.addressable_shards]
 assert len(local) == 1 and local[0].shape == (1, 16, 32, 3)
 assert np.isfinite(local[0]).all()
 assert np.isfinite(float(jax.device_get(mean_lum)))
+# The tile-sharded INTERACTIVE engine over a (1, 2) mesh spanning both
+# processes: the feedback-present's 1-pixel-row halo ppermute is then a
+# true cross-host (DCN) collective, and the replicated camera sim must
+# agree across processes.
+from mirror_maze_tpu.parallel import make_sharded_engine
+from mirror_maze_tpu.runtime.state import FrameInputs
+
+emesh = make_mesh(1, 2)
+ecfg = EngineConfig(
+    maze=MazeConfig(width=4, height=4),
+    camera=CameraConfig(spawn=(-5.0, 0.0, -15.0)),
+    tracer=TracerConfig(bounce_limit=2, mirror_limit=2),
+    # pallas_present=False: the CPU TPU-interpret pallas machinery
+    # (io_callback-based) deadlocks under MULTI-PROCESS shard_map — the
+    # same allocator class as the documented 8-device interpret
+    # livelock. The DCN property under test is the cross-host halo
+    # ppermute, which the XLA blur path exercises identically (the two
+    # present paths are bit-identical — tests/test_parallel.py); real
+    # chips compile via Mosaic, no callbacks, unaffected.
+    screen=ScreenConfig(width=32, height=32, samples_per_pixel=2,
+                        chunks_per_frame=8, pallas_present=False),
+    intersector="brute",
+)
+erepl = NamedSharding(emesh, P())
+escene = jax.tree.map(
+    lambda x: jax.make_array_from_callback(
+        x.shape, erepl, lambda idx, _x=x: np.asarray(_x)[idx]
+    ),
+    upload_scene(scene_host),
+)
+init_fn, step_fn = make_sharded_engine(ecfg, emesh)
+st = init_fn(seed=0)
+for _ in range(3):
+    st, frame = step_fn(escene, st, FrameInputs.make(w=True, mouse_dx=2.0))
+jax.block_until_ready(frame)
+cam_np = np.asarray(jax.device_get(st.cam_center))
+assert np.isfinite(cam_np).all()
+fl = [np.asarray(s.data) for s in frame.addressable_shards]
+assert len(fl) == 1 and fl[0].shape == (16, 32, 3)  # my band
+print(f"multihost engine {pid} ok cam={cam_np[2]:.6f}", flush=True)
+
 print(f"multihost worker {pid} ok mean_lum={float(jax.device_get(mean_lum)):.6f}",
       flush=True)
 """
@@ -130,7 +171,7 @@ def test_two_process_dcn_mesh_renders():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=420)
+            out, _ = p.communicate(timeout=600)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
@@ -142,3 +183,8 @@ def test_two_process_dcn_mesh_renders():
     # Both processes must agree on the psum'd global diagnostic.
     lum = [o.split("mean_lum=")[1].split()[0] for o in outs]
     assert lum[0] == lum[1], lum
+    # ... and on the engine's replicated camera after 3 DCN-halo frames.
+    for i, out in enumerate(outs):
+        assert f"multihost engine {i} ok" in out
+    cam = [o.split("cam=")[1].split()[0] for o in outs]
+    assert cam[0] == cam[1], cam
