@@ -271,3 +271,38 @@ def test_adaptive_batch_frames_single_steps_on_input(
 
     idle = run_with(b"", max_frames=8)
     assert idle["batch"] == 2 and idle["one"] == 0
+
+
+def test_interactive_ansi_display_smoke(tiny_cfg, tiny_device_scene):
+    """run(display='ansi') must emit mouse-tracking enable/disable, the
+    clear-screen + half-block frame art, and the status line — the
+    headless stand-in for the reference's window present."""
+    import io
+    import os
+    import pty
+    import sys
+
+    from mirror_maze_tpu.runtime.loop import InteractiveLoop
+
+    loop = InteractiveLoop(tiny_device_scene, tiny_cfg, seed=2)
+    master, slave = pty.openpty()
+    old_stdin, old_stdout = sys.stdin, sys.stdout
+    buf = io.StringIO()
+    try:
+        import tty as tty_mod
+
+        tty_mod.setcbreak(slave)
+        sys.stdin = os.fdopen(slave, "r", closefd=False)
+        sys.stdout = buf
+        loop.run(max_frames=8, display="ansi", display_every=2,
+                 display_cols=16, watchdog_interval=None)
+    finally:
+        sys.stdin, sys.stdout = old_stdin, old_stdout
+        os.close(master)
+        os.close(slave)
+    out = buf.getvalue()
+    assert InteractiveLoop.MOUSE_ON in out and InteractiveLoop.MOUSE_OFF in out
+    assert "\x1b[H\x1b[2J" in out          # clear + home per repaint
+    assert "\x1b[38;2;" in out             # 24-bit foreground color runs
+    assert "▀" in out                 # half-block glyph
+    assert "frame 8" in out or "frame 6" in out  # status line painted
