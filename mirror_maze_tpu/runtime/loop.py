@@ -180,6 +180,12 @@ class InteractiveLoop:
         import select
         import sys
 
+        if not sys.stdin.isatty():
+            # Headless invocation (piped/closed stdin): no raw mode, no
+            # key pump — the loop runs idle frames. Reading here would
+            # spin on EOF (select reports readable, read returns '').
+            return FrameInputs.idle()
+
         # Native event pump (native/term_present.cpp mmx_term_poll): one
         # call drains every pending byte, like the reference's
         # drain-until-None loop (`main.rs:896-904`); Python select loop
@@ -296,22 +302,29 @@ class InteractiveLoop:
         # previous run() would turn the first event into a spurious yaw.
         self._last_mouse_x = None
         self._carry = b""
-        fd = sys.stdin.fileno()
-        old = termios.tcgetattr(fd)
+        # Headless stdin (pipe, /dev/null, CI): skip raw mode and the
+        # mouse pump entirely — _poll_keys returns idle frames — instead
+        # of dying on tcgetattr(Inappropriate ioctl for device).
+        tty_in = sys.stdin.isatty()
+        fd = sys.stdin.fileno() if tty_in else -1
+        old = termios.tcgetattr(fd) if tty_in else None
         spf = 1.0 / self.cfg.screen.fps
         try:
-            # cbreak with TCSADRAIN, not tty.setcbreak's TCSAFLUSH: the
-            # flush variant DISCARDS input typed before the loop starts.
-            mode = termios.tcgetattr(fd)
-            mode[3] &= ~(termios.ECHO | termios.ICANON)
-            mode[6][termios.VMIN] = 1
-            mode[6][termios.VTIME] = 0
-            termios.tcsetattr(fd, termios.TCSADRAIN, mode)
-            # Continuous mouse-look: any-motion tracking, SGR encoding
-            # (parsed in _parse_input). Terminals without support ignore
-            # the sequences; j/l and arrows remain as fallback.
-            sys.stdout.write(self.MOUSE_ON)
-            sys.stdout.flush()
+            if tty_in:
+                # cbreak with TCSADRAIN, not tty.setcbreak's TCSAFLUSH:
+                # the flush variant DISCARDS input typed before the loop
+                # starts.
+                mode = termios.tcgetattr(fd)
+                mode[3] &= ~(termios.ECHO | termios.ICANON)
+                mode[6][termios.VMIN] = 1
+                mode[6][termios.VTIME] = 0
+                termios.tcsetattr(fd, termios.TCSADRAIN, mode)
+                # Continuous mouse-look: any-motion tracking, SGR
+                # encoding (parsed in _parse_input). Terminals without
+                # support ignore the sequences; j/l and arrows remain
+                # as fallback.
+                sys.stdout.write(self.MOUSE_ON)
+                sys.stdout.flush()
             n = 0
             shown = 0
             t_start = time.monotonic()
@@ -368,9 +381,10 @@ class InteractiveLoop:
         except KeyboardInterrupt:
             pass
         finally:
-            sys.stdout.write(self.MOUSE_OFF)
-            sys.stdout.flush()
-            termios.tcsetattr(fd, termios.TCSADRAIN, old)
+            if tty_in:
+                sys.stdout.write(self.MOUSE_OFF)
+                sys.stdout.flush()
+                termios.tcsetattr(fd, termios.TCSADRAIN, old)
         if out_png and self.frame is not None:
             from ..utils.imageio import write_png
 

@@ -124,3 +124,26 @@ def test_bench_validate_cross_backend_agreement():
     # may sum one-hot properties (config.py "Known-accepted limitation").
     assert result["pallas"]["frac_gt_0.05"] < 1e-3
     assert result["pallas"]["mean"] < 1e-3
+
+
+def test_play_headless_stdin_degrades_gracefully(tmp_path):
+    """Regression: `play` with a piped/closed stdin (CI, scripts) died
+    on tcgetattr(Inappropriate ioctl for device). It must run idle
+    frames headlessly and still write the final view."""
+    import os
+    import subprocess
+    import sys
+
+    out = os.path.join(tmp_path, "p.png")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-m", "mirror_maze_tpu", "play", "--config", "v0",
+         "--frames", "3", "--display", "none", "--out", out],
+        env=env, cwd="/root/repo", stdin=subprocess.DEVNULL,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:]
+    assert os.path.exists(out)
