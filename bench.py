@@ -47,6 +47,10 @@ def main() -> None:
                         "instead of the single-chip step; needs n devices "
                         "(virtual CPU mesh: JAX_PLATFORMS=cpu + "
                         "XLA_FLAGS=--xla_force_host_platform_device_count)")
+    p.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="wrap the timed launches in a jax.profiler trace "
+                        "written to DIR (utils/profiling.trace); view with "
+                        "tensorboard or xprof")
     p.add_argument("--validate", action="store_true",
                    help="instead of timing, run the deterministic "
                         "cross-backend agreement check (pallas and bvh vs "
@@ -175,10 +179,18 @@ def main() -> None:
 
     # Timed steady state: --launches scans of --frames each, one forced
     # scalar fetch at the end draining the donated-state chain.
+    import contextlib
+
+    profile_ctx = contextlib.nullcontext()
+    if args.profile:
+        from mirror_maze_tpu.utils.profiling import trace
+
+        profile_ctx = trace(args.profile)
     t0 = time.time()
-    for _ in range(args.launches):
-        state, frame = step_n(state, idle_n)
-    checksum = force(frame)
+    with profile_ctx:
+        for _ in range(args.launches):
+            state, frame = step_n(state, idle_n)
+        checksum = force(frame)
     dt = time.time() - t0
 
     n_total = args.frames * args.launches
