@@ -85,6 +85,23 @@ def main() -> None:
     from mirror_maze_tpu.scene import build_scene
 
     if args.validate:
+        # The check runs ONE fixed configuration; combining it with
+        # geometry/preset/profile flags would silently ignore them and
+        # mislead ("--validate --preset scale" does NOT validate scale).
+        ignored = [
+            name for name, default in (
+                ("width", 1920), ("height", 1080), ("spp", 64),
+                ("mirror_limit", 8), ("bounce_limit", 5), ("maze", 10),
+                ("frames", 60), ("launches", 3), ("intersector", None),
+                ("lane_chunk", None), ("block_rows", None),
+                ("sort_window", None), ("preset", None),
+                ("sharded_bands", None), ("profile", None),
+            ) if getattr(args, name) != default
+        ]
+        if ignored:
+            p.error(
+                f"--validate runs a fixed configuration; remove {ignored}"
+            )
         return _validate(jax)
 
     if args.preset:
@@ -238,13 +255,17 @@ def _validate(jax) -> None:
     chains allowed — reflection is deterministic), every backend computes
     the SAME light field, so the comparison needs no RNG-stream parity.
     On CPU the pallas kernel runs under the exact TPU-semantics
-    interpreter and must match brute bitwise; on hardware the kernel's
-    approximations (pl.reciprocal(approx=True) ~2^-16 relative, MXU f32
-    inputs truncated below full precision — PERF.md) make it tolerance-
-    based: near-exact almost everywhere, with a measure-zero allowance
-    for grazing hit-selection ties flipping a pixel. Exercises the
-    multi-tile AABB-skip path (16x16 maze -> several 128-plane tiles)."""
-    import jax.numpy as jnp
+    interpreter: every pixel must match brute EXACTLY except the
+    documented measure-zero nearest-t ties, where the kernel's one-hot
+    select SUMS the tied planes' properties while the jnp tracer picks
+    one (config.py "Known-accepted limitation") — so the CPU gate is
+    "nonzero-diff pixels are vanishingly rare", enforced bitwise
+    elsewhere. On hardware the kernel's approximations
+    (pl.reciprocal(approx=True) ~2^-16 relative, MXU f32 inputs
+    truncated below full precision — PERF.md) make it tolerance-based:
+    near-exact everywhere, with the same measure-zero tie allowance.
+    Exercises the multi-tile AABB-skip path (16x16 maze -> several
+    128-plane tiles)."""
     import numpy as np
 
     from mirror_maze_tpu.config import (
@@ -286,6 +307,7 @@ def _validate(jax) -> None:
         "pixels": int(ref.shape[0] * ref.shape[1]),
         "ok": True,
     }
+    on_cpu = jax.default_backend() == "cpu"
     for backend in ("pallas", "bvh"):
         d = np.abs(frames[backend] - ref)
         stats = {
@@ -293,13 +315,18 @@ def _validate(jax) -> None:
             "mean": float(d.mean()),
             "p999": float(np.quantile(d, 0.999)),
             "frac_gt_0.05": float((d > 0.05).mean()),
+            "frac_nonzero": float((d > 0.0).mean()),
         }
-        # Tolerances: bvh is the same arithmetic (exact); pallas on
-        # hardware may flip measure-zero grazing ties (bounded fraction)
-        # and carries ~2^-16-relative approximations everywhere (bounded
-        # p999/mean).
+        # Gates: bvh is the same arithmetic (exact everywhere). pallas
+        # on the CPU interpreter is exact except measure-zero tie
+        # pixels (one-hot SUM vs pick-one — docstring), so any spread
+        # of small nonzero diffs is a REAL regression there; hardware
+        # additionally carries ~2^-16-relative approximations on every
+        # pixel (bounded mean/p999).
         if backend == "bvh":
             ok = stats["max"] == 0.0
+        elif on_cpu:
+            ok = stats["frac_nonzero"] < 1e-3 and stats["mean"] < 1e-3
         else:
             ok = (
                 stats["mean"] < 1e-3

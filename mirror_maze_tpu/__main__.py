@@ -212,6 +212,17 @@ def cmd_multicam(args) -> int:
 
 
 def main(argv=None) -> int:
+    import os
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mmx_jax_cache")
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # This image's sitecustomize force-registers the TPU plugin and
+        # overrides JAX_PLATFORMS; honoring the env needs the config
+        # update after import (CLAUDE.md). Without this, "CPU" CLI
+        # subprocesses in tests silently ride the TPU tunnel.
+        jax.config.update("jax_platforms", "cpu")
     p = argparse.ArgumentParser(prog="mirror_maze_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
     for name, fn in (("render", cmd_render), ("demo", cmd_demo),

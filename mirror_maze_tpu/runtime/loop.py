@@ -180,10 +180,12 @@ class InteractiveLoop:
         import select
         import sys
 
-        if not sys.stdin.isatty():
-            # Headless invocation (piped/closed stdin): no raw mode, no
-            # key pump — the loop runs idle frames. Reading here would
-            # spin on EOF (select reports readable, read returns '').
+        if sys.stdin is None or not sys.stdin.isatty():
+            # Headless invocation (piped stdin, or fd 0 closed at
+            # startup — CPython then sets sys.stdin to None): no raw
+            # mode, no key pump — the loop runs idle frames. Reading
+            # here would spin on EOF (select reports readable, read
+            # returns '').
             return FrameInputs.idle()
 
         # Native event pump (native/term_present.cpp mmx_term_poll): one
@@ -305,7 +307,7 @@ class InteractiveLoop:
         # Headless stdin (pipe, /dev/null, CI): skip raw mode and the
         # mouse pump entirely — _poll_keys returns idle frames — instead
         # of dying on tcgetattr(Inappropriate ioctl for device).
-        tty_in = sys.stdin.isatty()
+        tty_in = sys.stdin is not None and sys.stdin.isatty()
         fd = sys.stdin.fileno() if tty_in else -1
         old = termios.tcgetattr(fd) if tty_in else None
         spf = 1.0 / self.cfg.screen.fps
