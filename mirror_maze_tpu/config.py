@@ -159,6 +159,18 @@ class ScreenConfig:
     pallas_present: bool = True
 
     def __post_init__(self):
+        # The chunk grid must tile the screen exactly: a 30-px-wide
+        # screen at chunk_width 4 would floor to 7 chunk columns and the
+        # rightmost 2 pixel columns would silently NEVER refresh (and
+        # the chunk-major <-> spatial reshapes would disagree with
+        # width/height).
+        if self.width % self.chunk_width or self.height % self.chunk_width:
+            raise ValueError(
+                f"width/height ({self.width}x{self.height}) must be "
+                f"multiples of chunk_width={self.chunk_width}: the "
+                "progressive-refresh chunk grid must tile the screen "
+                "exactly"
+            )
         # The scheduler pops each frame's window from a DOUBLED permutation
         # slice (render/scheduler.py take_chunks); the scatter then declares
         # unique indices (render/accumulate.py). Both are only valid while

@@ -93,3 +93,78 @@ def test_world_scales_with_maze_size():
     # World half extent 20: boundaries at +-(20 + backstop inset).
     assert np.isclose(np.abs(s.origin[:, 0]).max(), 20.001)
     assert np.isclose(np.abs(s.origin[:, 2]).max(), 20.001)
+
+
+def test_screen_must_tile_exactly():
+    """Regression: non-multiple width/height floored the chunk grid, so
+    edge pixel columns/rows silently NEVER refreshed."""
+    import pytest
+
+    from mirror_maze_tpu.config import ScreenConfig
+
+    with pytest.raises(ValueError, match="multiples of chunk_width"):
+        ScreenConfig(width=30, height=16)
+    with pytest.raises(ValueError, match="multiples of chunk_width"):
+        ScreenConfig(width=32, height=18)
+    ScreenConfig(width=32, height=16)  # exact tiling passes
+
+
+def test_random_config_space_steps_finite_or_raises_cleanly(rng):
+    """Config-space fuzz: any randomly drawn (validated) engine config
+    must build, step, and stay finite; invalid geometry must be a clean
+    ValueError at CONSTRUCTION, never a downstream shape error."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from mirror_maze_tpu.config import (
+        CameraConfig,
+        EngineConfig,
+        MazeConfig,
+        ScreenConfig,
+        TracerConfig,
+    )
+    from mirror_maze_tpu.render import upload_scene
+    from mirror_maze_tpu.runtime.state import FrameInputs, init_state
+    from mirror_maze_tpu.runtime.step import make_step
+    from mirror_maze_tpu.scene import build_scene
+
+    built = 0
+    for trial in range(12):
+        w = int(rng.integers(2, 16)) * 4
+        h = int(rng.integers(2, 16)) * 4
+        spp = int(rng.integers(1, 5))
+        cw = 4
+        total = (w // cw) * (h // cw)
+        cpf = int(rng.integers(1, total + 1))
+        try:
+            cfg = EngineConfig(
+                maze=MazeConfig(width=int(rng.integers(2, 5)),
+                                height=int(rng.integers(2, 5))),
+                tracer=TracerConfig(bounce_limit=int(rng.integers(1, 4)),
+                                    mirror_limit=int(rng.integers(1, 4)),
+                                    jitter=float(rng.uniform(0, 0.002))),
+                camera=CameraConfig(spawn=(-5.0, 0.0, -12.0)),
+                screen=ScreenConfig(
+                    width=w, height=h, samples_per_pixel=spp,
+                    chunks_per_frame=cpf,
+                    sort_chunk_window=bool(rng.integers(0, 2)),
+                    feedback_blur=bool(rng.integers(0, 2)),
+                    quantize_8bit=bool(rng.integers(0, 2)),
+                ),
+                intersector=["brute", "bvh"][int(rng.integers(0, 2))],
+            )
+        except ValueError:
+            continue  # clean rejection is acceptable
+        scene = upload_scene(build_scene(cfg.maze))
+        step = make_step(scene, cfg)
+        st = init_state(cfg, seed=trial)
+        for inp in (FrameInputs.make(w=True, mouse_dx=3.0),
+                    FrameInputs.idle()):
+            st, frame = step(st, inp)
+        import numpy as np
+
+        assert np.isfinite(np.asarray(st.screen)).all(), cfg
+        assert frame.shape == (h, w, 3)
+        built += 1
+    assert built >= 8  # the space isn't degenerate
