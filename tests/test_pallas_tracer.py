@@ -506,3 +506,23 @@ def test_lane_chunk_must_be_positive(rng):
         cfg = TracerConfig(bounce_limit=1, mirror_limit=1, lane_chunk=bad)
         with pytest.raises(ValueError, match="lane_chunk"):
             trace_paths_pallas(table, o, d, jnp.int32(1), cfg)
+
+
+def test_block_size_invariant_on_deterministic_light(rng):
+    """The block size is a SCHEDULING knob for the deterministic light
+    component: with jitter-free single-segment shading (+ mirror
+    chains), every rows_per_block must produce the identical image —
+    only the stochastic scatter RNG is allowed to regroup with block
+    size (which is why TracerConfig.block_rows is golden-pinned)."""
+    _, table = _setup()
+    o, d = _rays(512, rng)
+    cfg = TracerConfig(bounce_limit=1, mirror_limit=4, jitter=0.0)
+    ref = np.asarray(
+        trace_paths_pallas(table, o, d, jnp.int32(3), cfg, rows_per_block=1)
+    )
+    for rows in (2, 4):
+        out = np.asarray(
+            trace_paths_pallas(table, o, d, jnp.int32(3), cfg,
+                               rows_per_block=rows)
+        )
+        np.testing.assert_array_equal(out, ref, err_msg=f"rows={rows}")
