@@ -129,9 +129,15 @@ def cmd_play(args) -> int:
     cfg, scene, dev = _build(args)
     print("WASD move, j/l turn, q quits. Frames render headless; "
           "final view saved on exit.")
+    if args.sharded_bands and (args.save_state or args.load_state):
+        print("error: --save-state/--load-state checkpoints hold the "
+              "single-chip state layout; not supported with "
+              "--sharded-bands", file=sys.stderr)
+        return 2
     loop = InteractiveLoop(
         dev, cfg, seed=args.seed or 0, batch_frames=args.batch_frames,
         adaptive=not args.no_adaptive_batch,
+        sharded_bands=args.sharded_bands,
     )
     display = None if args.display == "none" else args.display
     if args.load_state:
@@ -263,6 +269,13 @@ def main(argv=None) -> int:
                         help="play: disable the adaptive input path "
                              "(per-frame stepping while keys/mouse are "
                              "active, re-batching when idle)")
+        sp.add_argument("--sharded-bands", type=int, default=None,
+                        help="play: run the TILE-SHARDED engine over a "
+                             "(1, n) device mesh (screen split into n "
+                             "halo-exchanged bands; needs n devices — "
+                             "real chips or the virtual CPU mesh via "
+                             "JAX_PLATFORMS=cpu + XLA_FLAGS="
+                             "--xla_force_host_platform_device_count)")
         sp.add_argument("--out", default={
             "render": "frame.png", "demo": "demo_out",
             "multicam": "multicam.png"}.get(name))

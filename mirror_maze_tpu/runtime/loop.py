@@ -84,6 +84,7 @@ class InteractiveLoop:
         seed: int = 0,
         batch_frames: int = 1,
         adaptive: bool = True,
+        sharded_bands: int | None = None,
     ):
         """``batch_frames`` > 1 runs that many engine frames per device
         launch (one lax.scan dispatch, runtime/step.py make_scan_step),
@@ -98,7 +99,16 @@ class InteractiveLoop:
         after), re-batching when idle: keys apply on the very next frame
         instead of the next batch boundary, while idle throughput keeps
         the batched launch amortization. Worst case latency is one
-        in-flight batch (a launch cannot be interrupted)."""
+        in-flight batch (a launch cannot be interrupted).
+
+        ``sharded_bands`` runs the TILE-SHARDED engine
+        (parallel/shard.py make_sharded_engine) over a (1, n) device
+        mesh instead of the single-chip step: the screen splits into n
+        horizontal bands with per-band chunk queues, the camera sim is
+        replicated (bit-identical trajectories), and the present stage
+        exchanges ppermute halos so band seams are invisible. Needs n
+        devices (real chips, or the virtual CPU mesh —
+        XLA_FLAGS=--xla_force_host_platform_device_count)."""
         import jax
 
         self.cfg = cfg
@@ -106,6 +116,45 @@ class InteractiveLoop:
         self.adaptive = adaptive and self.batch_frames > 1
         self._active_until = 0   # frame index until which input is "hot"
         self._had_input = False
+        if sharded_bands:
+            from ..parallel.shard import (
+                make_mesh,
+                make_sharded_engine,
+                make_sharded_scan_engine,
+            )
+
+            mesh = make_mesh(1, sharded_bands)
+            init1, step1 = make_sharded_engine(cfg, mesh)
+            if self.batch_frames > 1:
+                from .step import stack_inputs
+
+                k = self.batch_frames
+                initn, scann = make_sharded_scan_engine(cfg, mesh, k)
+                idle = FrameInputs.idle()
+
+                def stepk(state, inp):
+                    # First frame = the polled input, idle tail — same
+                    # batch semantics as the single-chip scan path.
+                    return scann(
+                        scene, state, stack_inputs([inp] + [idle] * (k - 1))
+                    )
+
+                self.step = stepk
+                self.step_one = (
+                    (lambda st, inp: step1(scene, st, inp))
+                    if self.adaptive else None
+                )
+                init_fn = initn
+            else:
+                self.step = lambda st, inp: step1(scene, st, inp)
+                self.step_one = None
+                init_fn = init1
+            self.state = init_fn(seed=seed)
+            self.frame = None
+            if self.step_one is not None:
+                self.step_one(init_fn(seed=seed), FrameInputs.idle())
+            self._finish_init(jax)
+            return
         if self.batch_frames > 1:
             from .step import derive_traversal_bounds, make_scan_step_fn
 
@@ -148,7 +197,9 @@ class InteractiveLoop:
             # frame on a scratch state populates the jit cache without
             # touching self.state.
             self.step_one(init_state(cfg, seed), FrameInputs.idle())
+        self._finish_init(jax)
 
+    def _finish_init(self, jax):
         # Device-side thumbnail for the terminal display: fetching the
         # full frame over a remote-dispatch tunnel costs seconds per
         # transfer (PERF.md rule 4 territory); the terminal needs only

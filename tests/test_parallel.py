@@ -588,3 +588,40 @@ def test_dryrun_reexec_has_recursion_guard(monkeypatch):
     monkeypatch.setenv("_MMX_DRYRUN_CHILD", "1")
     with pytest.raises(RuntimeError, match="bootstrap is broken"):
         g._reexec_on_virtual_cpu_mesh(8)
+
+
+def test_interactive_loop_sharded_bands(monkeypatch):
+    """play --sharded-bands: InteractiveLoop drives the tile-sharded
+    engine (and its scan-batched variant) — frames must assemble to the
+    full screen and the state must advance finite, with stdin headless
+    (idle input path)."""
+    import io
+    import sys
+
+    from mirror_maze_tpu.runtime.loop import InteractiveLoop
+
+    n_tile = min(2, len(jax.devices()))
+    cfg = EngineConfig(
+        maze=MazeConfig(width=4, height=4),
+        camera=CameraConfig(spawn=(-5.0, 0.0, -15.0)),
+        tracer=TracerConfig(bounce_limit=2, mirror_limit=2),
+        screen=ScreenConfig(width=32, height=16 * n_tile,
+                            samples_per_pixel=2,
+                            chunks_per_frame=4 * n_tile),
+        intersector="brute",
+    )
+    scene = upload_scene(build_scene(cfg.maze))
+
+    # stdin is typically not a tty under pytest; force the headless
+    # branch deterministically either way.
+    monkeypatch.setattr(sys, "stdin", io.StringIO())
+
+    for batch in (1, 3):
+        loop = InteractiveLoop(scene, cfg, seed=0, batch_frames=batch,
+                               sharded_bands=n_tile)
+        loop.run(max_frames=6, display=None, watchdog_interval=4)
+        assert int(loop.state.frame) >= 6
+        f = np.asarray(loop.frame)
+        assert f.shape == (cfg.screen.height, cfg.screen.width, 3)
+        assert f.dtype == np.uint8
+        assert np.isfinite(np.asarray(loop.state.screen)).all()
