@@ -87,7 +87,6 @@ def cmd_demo(args) -> int:
 
     import numpy as np
 
-    from .runtime.loop import run_scripted
     from .runtime.state import FrameInputs, init_state
     from .runtime.step import make_step
     from .utils.imageio import write_png

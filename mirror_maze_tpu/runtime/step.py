@@ -19,7 +19,6 @@ matches the reference:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

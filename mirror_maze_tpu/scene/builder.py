@@ -17,7 +17,7 @@ reference uses `height` for both axes (`main.rs:452-455`), replicated.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mirror_maze_tpu.config import EngineConfig, MazeConfig, TracerConfig
+from mirror_maze_tpu.config import MazeConfig, TracerConfig
 from mirror_maze_tpu.render import upload_scene
 from mirror_maze_tpu.render.pallas_tracer import trace_paths_pallas
 from mirror_maze_tpu.scene import build_scene
