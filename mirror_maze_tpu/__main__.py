@@ -185,7 +185,11 @@ def cmd_multicam(args) -> int:
     n_cam = math.gcd(b, devs)
     n_tile = 1
     for t in range(devs // n_cam, 0, -1):
-        if cfg.screen.height % (t * cfg.screen.chunk_width) == 0:
+        # The batched renderer's only tiling precondition is h % n_tile
+        # == 0 (raw pixel-row bands; the chunk grid is not involved) —
+        # requiring chunk divisibility here idled devices on valid
+        # heights.
+        if cfg.screen.height % t == 0:
             n_tile = t
             break
     mesh = make_mesh(n_cam, n_tile)

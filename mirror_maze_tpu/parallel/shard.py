@@ -68,39 +68,54 @@ def make_sharded_renderer(
     assert h % n_tile == 0, (h, n_tile)
     rows_local = h // n_tile
 
-    def render_local(scene: DeviceScene, cams: Camera, key: jax.Array):
-        # Local shard: [B/n_cam] cameras x [h/n_tile] rows of each frame.
-        ci = jax.lax.axis_index("cam")
-        ti = jax.lax.axis_index("tile")
-        row0 = ti * rows_local
-        ys = row0 + jnp.arange(rows_local, dtype=jnp.int32)
-        xs = jnp.arange(w, dtype=jnp.int32)
-        gx = jnp.broadcast_to(xs[None, :], (rows_local, w))
-        gy = jnp.broadcast_to(ys[:, None], (rows_local, w))
-        pix = jnp.stack([gx, gy], axis=-1).reshape(-1, 2)
+    def build(md: int, ml: int):
+        def render_local(scene: DeviceScene, cams: Camera, key: jax.Array):
+            # Local shard: [B/n_cam] cameras x [h/n_tile] frame rows.
+            # Explicit nearest_fn so the bvh backend is honored (pallas
+            # dispatches inside render_pixels; passing a nearest_fn
+            # there would override the kernel).
+            nearest_fn = (
+                None
+                if cfg.intersector == "pallas"
+                else make_nearest_fn(scene, cfg, md, ml)
+            )
+            ci = jax.lax.axis_index("cam")
+            ti = jax.lax.axis_index("tile")
+            row0 = ti * rows_local
+            ys = row0 + jnp.arange(rows_local, dtype=jnp.int32)
+            xs = jnp.arange(w, dtype=jnp.int32)
+            gx = jnp.broadcast_to(xs[None, :], (rows_local, w))
+            gy = jnp.broadcast_to(ys[:, None], (rows_local, w))
+            pix = jnp.stack([gx, gy], axis=-1).reshape(-1, 2)
 
-        def one(i, cam_i):
-            k = jax.random.fold_in(jax.random.fold_in(key, ci * 65536 + i), ti)
-            cols = render_pixels(scene, cam_i, pix, k, cfg)
-            return cols.reshape(rows_local, w, 3)
+            def one(i, cam_i):
+                k = jax.random.fold_in(
+                    jax.random.fold_in(key, ci * 65536 + i), ti
+                )
+                cols = render_pixels(scene, cam_i, pix, k, cfg, nearest_fn)
+                return cols.reshape(rows_local, w, 3)
 
-        b_local = cams.center.shape[0]
-        frames = jax.vmap(one)(jnp.arange(b_local), cams)  # [Bl, rows, W, 3]
+            b_local = cams.center.shape[0]
+            frames = jax.vmap(one)(jnp.arange(b_local), cams)
 
-        # Global diagnostic via psum over both axes — no gather needed.
-        local_sum = jnp.sum(frames)
-        total = jax.lax.psum(jax.lax.psum(local_sum, "tile"), "cam")
-        mean_lum = total / (n_cam * b_local * h * w * 3)
-        return frames, mean_lum
+            # Global diagnostic via psum over both axes — no gather.
+            local_sum = jnp.sum(frames)
+            total = jax.lax.psum(jax.lax.psum(local_sum, "tile"), "cam")
+            mean_lum = total / (n_cam * b_local * h * w * 3)
+            return frames, mean_lum
 
-    fn = shard_map(
-        render_local,
-        mesh=mesh,
-        in_specs=(P(), P("cam"), P()),
-        out_specs=(P("cam", "tile"), P()),
-        check_vma=False,
-    )
-    return jax.jit(fn)
+        return jax.jit(shard_map(
+            render_local,
+            mesh=mesh,
+            in_specs=(P(), P("cam"), P()),
+            out_specs=(P("cam", "tile"), P()),
+            check_vma=False,
+        ))
+
+    # Same lazy traversal-bounds derivation as the engine: exact bounds
+    # come from the concrete scene at first call (the generic wrapper
+    # threads (scene, arg2, arg3) — here (scene, cams, key)).
+    return _make_lazy_bounds_step(cfg, build, None, None)
 
 
 def gather_frames(frames: jnp.ndarray) -> jnp.ndarray:

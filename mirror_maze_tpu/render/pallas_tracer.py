@@ -129,16 +129,12 @@ PLANE_TILE = 128  # planes per VMEM tile of the nearest-hit sweep
 
 
 def _morton2(x: np.ndarray, y: np.ndarray) -> np.ndarray:
-    """Interleave two 16-bit integer arrays into Morton codes."""
-    def spread(v):
-        v = v.astype(np.uint64) & np.uint64(0xFFFF)
-        v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF)
-        v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F)
-        v = (v | (v << np.uint64(2))) & np.uint64(0x33333333)
-        v = (v | (v << np.uint64(1))) & np.uint64(0x55555555)
-        return v
+    """Interleave two 16-bit integer arrays into Morton codes (the
+    shared ops/morton.py interleave — same curve as the chunk-window
+    sort, by construction)."""
+    from ..ops.morton import morton2
 
-    return spread(x) | (spread(y) << np.uint64(1))
+    return morton2(x.astype(np.uint64), y.astype(np.uint64))
 
 
 def spatial_plane_order(plane_table) -> np.ndarray:

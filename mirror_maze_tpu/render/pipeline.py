@@ -47,6 +47,18 @@ def render_pixels(
     one camera ray per pixel, then each sample adds an unnormalized
     direction jitter of scale 0.001.
     """
+    if nearest_fn is None and cfg.intersector == "bvh":
+        # Honor the bvh backend even when the caller supplies no
+        # nearest_fn (offline render_full_frame, direct calls) — it
+        # previously fell through to brute force SILENTLY. Bounds
+        # derivation needs the concrete scene, so jitted callers (the
+        # engine steps, the sharded renderer) pre-build their
+        # nearest_fn; this path runs eagerly.
+        from ..runtime.step import derive_traversal_bounds
+
+        nearest_fn = make_nearest_fn(
+            scene, cfg, *derive_traversal_bounds(scene, cfg, None, None)
+        )
     spp = cfg.screen.samples_per_pixel
     k = pixels_xy.shape[0]
     jkey, tkey = jax.random.split(key)

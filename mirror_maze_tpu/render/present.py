@@ -125,10 +125,18 @@ def _pick_lane_strip(cy: int, L: int, budget_bytes: int = 1_000_000) -> int:
     2.5 MB center); L itself when L has no 128-aligned divisor (tiny
     screens — single block is always lowerable)."""
     if L % 128 == 0:
+        narrowest = 128
         for units in range(L // 128, 0, -1):
             Lb = units * 128
-            if L % Lb == 0 and cy * Lb * 4 <= budget_bytes:
-                return Lb
+            if L % Lb == 0:
+                narrowest = Lb
+                if cy * Lb * 4 <= budget_bytes:
+                    return Lb
+        # Nothing fits the budget (very tall screens: cy alone exceeds
+        # it at Lb=128). The narrowest strip is the least-bad block —
+        # falling through to the FULL row width here guaranteed a
+        # many-MB single block that cannot lower at all.
+        return narrowest
     return L
 
 

@@ -54,19 +54,11 @@ def sort_window_morton(ids: jnp.ndarray, cfg: ScreenConfig) -> jnp.ndarray:
     Cost: one [G] argsort per frame (G = chunks/frame, ~8k at config 5)
     — noise next to the trace. Enabled by ScreenConfig.sort_chunk_window.
     """
+    from ..ops.morton import morton2
+
     cx = (ids % cfg.chunks_x).astype(jnp.uint32)
     cy = (ids // cfg.chunks_x).astype(jnp.uint32)
-
-    def spread(v):  # interleave 16 -> 32 bits
-        v = v & jnp.uint32(0xFFFF)
-        v = (v | (v << 8)) & jnp.uint32(0x00FF00FF)
-        v = (v | (v << 4)) & jnp.uint32(0x0F0F0F0F)
-        v = (v | (v << 2)) & jnp.uint32(0x33333333)
-        v = (v | (v << 1)) & jnp.uint32(0x55555555)
-        return v
-
-    code = spread(cx) | (spread(cy) << 1)
-    return ids[jnp.argsort(code)]
+    return ids[jnp.argsort(morton2(cx, cy))]
 
 
 def chunk_origin_xy(ids: jnp.ndarray, cfg: ScreenConfig) -> jnp.ndarray:

@@ -54,6 +54,24 @@ def run_scripted(
     return st, frame
 
 
+def _lead_first_frame(k: int, inp: FrameInputs):
+    """[k]-leading input pytree: frame 0 = the polled input, idle tail.
+    Built IN-JIT (broadcast + where) — eager per-leaf stacking would pay
+    several device dispatches per launch on a latency-bound remote link,
+    defeating the batching (PERF.md rule 2/4)."""
+    import jax
+    import jax.numpy as jnp
+
+    first = jnp.arange(k) == 0
+
+    def lead(x):
+        rep = jnp.broadcast_to(x, (k,) + jnp.shape(x))
+        mask = first.reshape((k,) + (1,) * jnp.ndim(x))
+        return jnp.where(mask, rep, jnp.zeros_like(rep))
+
+    return jax.tree.map(lead, inp)
+
+
 class InteractiveLoop:
     """Interactive terminal driver with the reference's control scheme:
     WASD to move (`main.rs:786-815`), continuous mouse-x yaw via SGR 1006
@@ -126,20 +144,17 @@ class InteractiveLoop:
             mesh = make_mesh(1, sharded_bands)
             init1, step1 = make_sharded_engine(cfg, mesh)
             if self.batch_frames > 1:
-                from .step import stack_inputs
-
                 k = self.batch_frames
                 initn, scann = make_sharded_scan_engine(cfg, mesh, k)
-                idle = FrameInputs.idle()
 
-                def stepk(state, inp):
-                    # First frame = the polled input, idle tail — same
-                    # batch semantics as the single-chip scan path.
-                    return scann(
-                        scene, state, stack_inputs([inp] + [idle] * (k - 1))
-                    )
+                # First frame = the polled input, idle tail — same batch
+                # semantics as the single-chip scan path, with the lead
+                # pytree built inside the jit like that path.
+                def batched_sh(scene_, state, inp):
+                    return scann(scene_, state, _lead_first_frame(k, inp))
 
-                self.step = stepk
+                scan_sh = jax.jit(batched_sh, donate_argnums=(1,))
+                self.step = lambda st, inp: scan_sh(scene, st, inp)
                 self.step_one = (
                     (lambda st, inp: step1(scene, st, inp))
                     if self.adaptive else None
@@ -165,20 +180,10 @@ class InteractiveLoop:
             k = self.batch_frames
 
             # The [k]-leading input pytree is built INSIDE the jitted
-            # program (first frame = the polled input, idle tail = the
-            # broadcast zeroed after frame 0): one launch per batch, no
+            # program (_lead_first_frame): one launch per batch, no
             # eager per-leaf device ops on the latency-bound loop.
             def batched(scene_, state, inp):
-                import jax.numpy as jnp
-
-                first = jnp.arange(k) == 0
-
-                def lead(x):
-                    rep = jnp.broadcast_to(x, (k,) + jnp.shape(x))
-                    mask = first.reshape((k,) + (1,) * jnp.ndim(x))
-                    return jnp.where(mask, rep, jnp.zeros_like(rep))
-
-                return scan_fn(scene_, state, jax.tree.map(lead, inp))
+                return scan_fn(scene_, state, _lead_first_frame(k, inp))
 
             scan = jax.jit(batched, donate_argnums=(1,))
             self.step = lambda state, inp: scan(scene, state, inp)
@@ -270,7 +275,22 @@ class InteractiveLoop:
                     self._carry = data[i:]
                     break
                 if data[i + 1] != ord("["):
-                    i += 1  # lone ESC / alt-key: ignore
+                    if data[i + 1] == ord("O"):
+                        # SS3 (application cursor mode): ESC O C/D are
+                        # the arrow keys — honor them like CSI arrows.
+                        if i + 2 >= n:
+                            self._carry = data[i:]
+                            break
+                        if data[i + 2] == ord("C"):
+                            dx += self.YAW_STEP
+                        elif data[i + 2] == ord("D"):
+                            dx -= self.YAW_STEP
+                        i += 3
+                        continue
+                    # Alt chord: terminals send ESC + char atomically.
+                    # Consume BOTH bytes — skipping only the ESC made
+                    # Alt+Q quit the session and Alt+W walk.
+                    i += 2
                     continue
                 j = i + 2
                 while j < n and not 0x40 <= data[j] <= 0x7E:

@@ -154,3 +154,56 @@ def test_brute_matches_bvh_on_real_scene(rng):
     # Indices may differ only where two planes are coincident; distances equal.
     same = np.asarray(i_b) == np.asarray(i_v)
     assert same.mean() > 0.95
+
+
+def test_bvh_backend_honored_without_explicit_nearest_fn(monkeypatch):
+    """Regression: render_pixels/render_full_frame with
+    intersector='bvh' and no nearest_fn silently fell through to brute
+    force — the CLI's offline render never exercised the traversal."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mirror_maze_tpu.config import (
+        CameraConfig,
+        EngineConfig,
+        MazeConfig,
+        ScreenConfig,
+        TracerConfig,
+    )
+    from mirror_maze_tpu.render import make_camera, upload_scene
+    from mirror_maze_tpu.render import intersect as intersect_mod
+    from mirror_maze_tpu.render import pipeline as pipeline_mod
+    from mirror_maze_tpu.scene import build_scene
+
+    cfg = EngineConfig(
+        maze=MazeConfig(width=4, height=4),
+        tracer=TracerConfig(bounce_limit=2, mirror_limit=2),
+        camera=CameraConfig(spawn=(-5.0, 0.0, -15.0)),
+        screen=ScreenConfig(width=16, height=8, samples_per_pixel=2),
+        intersector="bvh",
+    )
+    dev = upload_scene(build_scene(cfg.maze))
+    cam = make_camera(cfg.camera, 2.0)
+    pix = jnp.stack(
+        jnp.meshgrid(jnp.arange(8), jnp.arange(8), indexing="xy"), -1
+    ).reshape(-1, 2)
+
+    calls = {"bvh": 0}
+    real = intersect_mod.nearest_hit_bvh
+
+    def spy(*a, **k):
+        calls["bvh"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(pipeline_mod, "nearest_hit_bvh", spy)
+    out_bvh = np.asarray(
+        pipeline_mod.render_pixels(dev, cam, pix, jax.random.PRNGKey(0), cfg)
+    )
+    assert calls["bvh"] > 0, "bvh intersector silently fell through"
+
+    brute = cfg.replace(intersector="brute")
+    out_brute = np.asarray(
+        pipeline_mod.render_pixels(dev, cam, pix, jax.random.PRNGKey(0), brute)
+    )
+    np.testing.assert_array_equal(out_bvh, out_brute)  # exactness holds

@@ -214,3 +214,28 @@ def test_mouse_reentry_reanchors_instead_of_spinning():
     assert float(inp.mouse_dx) == 0.0
     inp = loop._parse_input(b"\x1b[<35;198;5M")          # normal motion
     assert float(inp.mouse_dx) == -2 * InteractiveLoop.MOUSE_PX_PER_CELL
+
+
+def test_alt_chords_and_ss3_arrows():
+    """Alt chords arrive as ESC+char: both bytes must be consumed (a
+    skipped-ESC-only parser made Alt+Q quit and Alt+W walk). SS3
+    application-cursor arrows (ESC O C/D) must act like CSI arrows."""
+    from mirror_maze_tpu.runtime.loop import InteractiveLoop
+
+    loop = InteractiveLoop.__new__(InteractiveLoop)
+    loop._last_mouse_x = None
+    loop._carry = b""
+
+    inp = loop._parse_input(b"\x1bq\x1bw\x1ba")   # Alt+Q / Alt+W / Alt+A
+    assert not any(bool(k) for k in inp.keys)
+    assert float(inp.mouse_dx) == 0.0
+
+    inp = loop._parse_input(b"\x1bOC")            # SS3 right arrow
+    assert float(inp.mouse_dx) == InteractiveLoop.YAW_STEP
+    inp = loop._parse_input(b"\x1bOD")            # SS3 left arrow
+    assert float(inp.mouse_dx) == -InteractiveLoop.YAW_STEP
+    # Truncated SS3 carries to the next poll.
+    inp = loop._parse_input(b"\x1bO")
+    assert float(inp.mouse_dx) == 0.0
+    inp = loop._parse_input(b"C")
+    assert float(inp.mouse_dx) == InteractiveLoop.YAW_STEP

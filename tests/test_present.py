@@ -66,3 +66,18 @@ def test_pick_lane_strip():
     # tiny screens: no 128-aligned divisor -> single full-width block
     assert _pick_lane_strip(4, 144) == 144
     assert _pick_lane_strip(4, 384) == 384
+
+
+def test_pick_lane_strip_over_budget_returns_narrowest():
+    """Regression: when no 128-multiple strip fit the VMEM budget (very
+    tall screens), the fallthrough returned the FULL row width — a
+    many-MB single block guaranteed not to lower. It must return the
+    narrowest 128-multiple strip instead."""
+    from mirror_maze_tpu.render.present import _pick_lane_strip
+
+    # cy huge: even Lb=128 exceeds the budget -> narrowest, not L.
+    assert _pick_lane_strip(4096, 1280 * 48) == 128
+    # Normal screens keep the largest in-budget divisor behavior.
+    assert _pick_lane_strip(4, 768) == 768
+    # Non-128-aligned tiny rows still fall back to L.
+    assert _pick_lane_strip(4, 96) == 96
