@@ -168,3 +168,47 @@ def test_random_config_space_steps_finite_or_raises_cleanly(rng):
         assert frame.shape == (h, w, 3)
         built += 1
     assert built >= 8  # the space isn't degenerate
+
+
+def test_random_config_space_pallas_backend(rng):
+    """Config-space fuzz on the PALLAS backend (TPU-semantics
+    interpreter): random small geometries must build, step, and stay
+    finite — catches config-dependent kernel packing/layout breakage
+    that fixed-size tests miss."""
+    from mirror_maze_tpu.config import (
+        CameraConfig,
+        EngineConfig,
+        MazeConfig,
+        ScreenConfig,
+        TracerConfig,
+    )
+    from mirror_maze_tpu.render import upload_scene
+    from mirror_maze_tpu.runtime.state import FrameInputs, init_state
+    from mirror_maze_tpu.runtime.step import make_step
+    from mirror_maze_tpu.scene import build_scene
+
+    import numpy as np
+
+    for trial in range(3):
+        w = int(rng.integers(2, 8)) * 4
+        h = int(rng.integers(2, 8)) * 4
+        cfg = EngineConfig(
+            maze=MazeConfig(width=int(rng.integers(2, 5)),
+                            height=int(rng.integers(2, 5))),
+            tracer=TracerConfig(bounce_limit=int(rng.integers(1, 3)),
+                                mirror_limit=int(rng.integers(1, 3)),
+                                block_rows=[1, 2, 4][int(rng.integers(0, 3))]),
+            camera=CameraConfig(spawn=(-5.0, 0.0, -12.0)),
+            screen=ScreenConfig(
+                width=w, height=h, samples_per_pixel=int(rng.integers(1, 3)),
+                chunks_per_frame=int(rng.integers(1, (w // 4) * (h // 4) + 1)),
+                sort_chunk_window=bool(rng.integers(0, 2)),
+            ),
+            intersector="pallas",
+        )
+        scene = upload_scene(build_scene(cfg.maze))
+        step = make_step(scene, cfg)
+        st = init_state(cfg, seed=trial)
+        st, frame = step(st, FrameInputs.make(w=True, mouse_dx=2.0))
+        assert np.isfinite(np.asarray(st.screen)).all(), cfg
+        assert frame.shape == (h, w, 3)
