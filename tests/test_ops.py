@@ -117,3 +117,23 @@ def test_batched_shapes(shape, rng):
     a = rng.normal(size=shape).astype(np.float32)
     assert vm.norm(a).shape == shape[:-1]
     assert vm.normalize(a).shape == shape
+
+
+def test_morton_shared_interleave_known_values_and_dtypes():
+    """ops/morton.py is the single interleave behind BOTH Morton orders
+    (chunk-window sort, plane-tile clustering): known codes, and numpy
+    uint64 vs jax uint32 agreement on 16-bit coordinates."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mirror_maze_tpu.ops.morton import morton2
+
+    x = np.array([0, 1, 0, 3, 65535], dtype=np.uint64)
+    y = np.array([0, 0, 1, 5, 65535], dtype=np.uint64)
+    codes = morton2(x, y)
+    assert codes.tolist() == [0, 1, 2, 0b100111, (1 << 32) - 1]
+
+    jx = jnp.asarray(x, jnp.uint32)
+    jy = jnp.asarray(y, jnp.uint32)
+    jcodes = np.asarray(morton2(jx, jy)).astype(np.uint64)
+    assert np.array_equal(jcodes, codes)
