@@ -625,3 +625,54 @@ def test_interactive_loop_sharded_bands(monkeypatch):
         assert f.shape == (cfg.screen.height, cfg.screen.width, 3)
         assert f.dtype == np.uint8
         assert np.isfinite(np.asarray(loop.state.screen)).all()
+
+
+def test_interactive_loop_sharded_adaptive_hot_input():
+    """Sharded play with batch_frames > 1 and LIVE key input: the
+    adaptive path must serve hot frames via the per-frame sharded twin
+    and the camera must actually move (keys land, not idle-dropped)."""
+    import os
+    import pty
+    import sys
+
+    from mirror_maze_tpu.runtime.loop import InteractiveLoop
+
+    n_tile = min(2, len(jax.devices()))
+    cfg = EngineConfig(
+        maze=MazeConfig(width=4, height=4),
+        camera=CameraConfig(spawn=(-5.0, 0.0, -15.0)),
+        tracer=TracerConfig(bounce_limit=2, mirror_limit=2),
+        screen=ScreenConfig(width=32, height=16 * n_tile,
+                            samples_per_pixel=2,
+                            chunks_per_frame=4 * n_tile),
+        intersector="brute",
+    )
+    scene = upload_scene(build_scene(cfg.maze))
+    loop = InteractiveLoop(scene, cfg, seed=0, batch_frames=4,
+                           sharded_bands=n_tile)
+    calls = {"one": 0}
+    real_one = loop.step_one
+
+    def one(st, inp):
+        calls["one"] += 1
+        return real_one(st, inp)
+
+    loop.step_one = one
+    z0 = float(np.asarray(loop.state.cam_center)[2])
+
+    master, slave = pty.openpty()
+    old_stdin = sys.stdin
+    try:
+        import tty as tty_mod
+
+        tty_mod.setcbreak(slave)
+        sys.stdin = os.fdopen(slave, "r", closefd=False)
+        os.write(master, b"www")
+        loop.run(max_frames=3, display=None, watchdog_interval=None)
+    finally:
+        sys.stdin = old_stdin
+        os.close(master)
+        os.close(slave)
+    assert calls["one"] >= 1                       # hot path used
+    z1 = float(np.asarray(loop.state.cam_center)[2])
+    assert z1 > z0                                 # walked forward
