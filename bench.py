@@ -88,15 +88,13 @@ def main() -> None:
         # The check runs ONE fixed configuration; combining it with
         # geometry/preset/profile flags would silently ignore them and
         # mislead ("--validate --preset scale" does NOT validate scale).
+        # Ask the parser for each flag's default rather than keeping a
+        # parallel hardcoded copy: default drift would otherwise break
+        # this guard silently, and a newly added flag is covered
+        # automatically.
         ignored = [
-            name for name, default in (
-                ("width", 1920), ("height", 1080), ("spp", 64),
-                ("mirror_limit", 8), ("bounce_limit", 5), ("maze", 10),
-                ("frames", 60), ("launches", 3), ("intersector", None),
-                ("lane_chunk", None), ("block_rows", None),
-                ("sort_window", None), ("preset", None),
-                ("sharded_bands", None), ("profile", None),
-            ) if getattr(args, name) != default
+            name for name, val in sorted(vars(args).items())
+            if name != "validate" and val != p.get_default(name)
         ]
         if ignored:
             p.error(

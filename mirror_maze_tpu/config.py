@@ -176,6 +176,20 @@ class ScreenConfig:
         # unique indices (render/accumulate.py). Both are only valid while
         # one window never repeats a chunk, i.e. window size <= total
         # chunks — enforce the precondition instead of assuming it.
+        # The fused Pallas present kernel shifts +-3*chunk_width lanes
+        # and reads at most one 128-lane halo block across strip
+        # borders (render/present.py); wider chunks must use the XLA
+        # present path. Caught here so the error names the knob instead
+        # of surfacing as an out-of-bounds slice at kernel trace time.
+        if self.pallas_present and self.feedback_blur and (
+            3 * self.chunk_width > 128
+        ):
+            raise ValueError(
+                f"chunk_width={self.chunk_width} exceeds the fused "
+                "present kernel's halo (needs 3*chunk_width <= 128, "
+                "i.e. chunk_width <= 42); set pallas_present=False to "
+                "use the XLA blur+quantize path at this chunk size"
+            )
         if (
             self.chunks_per_frame is not None
             and self.chunks_per_frame > self.total_chunks

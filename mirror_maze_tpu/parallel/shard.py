@@ -138,7 +138,7 @@ from typing import NamedTuple
 from ..config import ScreenConfig
 from ..render.accumulate import (
     cm_to_spatial,
-    quantize_8bit,
+    present_stage,
     scatter_chunk_rows,
     to_display,
 )
@@ -380,17 +380,13 @@ def _engine_locals(cfg: EngineConfig, mesh: Mesh):
         # transposes); by default the fused pallas kernel with embedded
         # halo rows (_present_with_halo), else the XLA form. The spatial
         # view is built only for display.
-        if cfg.screen.feedback_blur:
-            if cfg.screen.pallas_present:
-                screen = _present_with_halo(
-                    screen, band, quantize=cfg.screen.quantize_8bit
-                )
-            else:
-                screen = _blur_with_halo_cm(screen, band)
-                if cfg.screen.quantize_8bit:
-                    screen = quantize_8bit(screen)
-        elif cfg.screen.quantize_8bit:
-            screen = quantize_8bit(screen)
+        screen = present_stage(
+            screen, band,
+            lambda scr, quantize: _present_with_halo(
+                scr, band, quantize=quantize
+            ),
+            lambda scr: _blur_with_halo_cm(scr, band),
+        )
         spatial = cm_to_spatial(screen, band)
 
         new_state = ShardedEngineState(
@@ -421,8 +417,26 @@ def _make_lazy_bounds_step(cfg, build_step, max_depth, max_leaf):
         if bounds_cache and bounds_cache[0][0] is scene:
             bounds = bounds_cache[0][1]
         else:
+            needs_scene = (
+                cfg.intersector == "bvh"
+                and (max_depth is None or max_leaf is None)
+            )
+            if needs_scene and isinstance(
+                jax.tree_util.tree_leaves(scene)[0], jax.core.Tracer
+            ):
+                raise ValueError(
+                    "traversal bounds for the 'bvh' intersector must be "
+                    "derived from a CONCRETE scene, but this step is "
+                    "being traced (e.g. wrapped in an outer jax.jit) "
+                    "with the scene as a tracer. Derive bounds eagerly "
+                    "(runtime/step.py derive_traversal_bounds) and pass "
+                    "max_depth/max_leaf to the engine constructor."
+                )
             bounds = derive_traversal_bounds(scene, cfg, max_depth, max_leaf)
-            bounds_cache[:] = [(scene, bounds)]
+            if not isinstance(
+                jax.tree_util.tree_leaves(scene)[0], jax.core.Tracer
+            ):
+                bounds_cache[:] = [(scene, bounds)]
         if bounds not in steps:
             steps[bounds] = build_step(*bounds)
         return steps[bounds](scene, state, inputs)

@@ -148,3 +148,25 @@ def quantize_8bit(screen: jnp.ndarray) -> jnp.ndarray:
 def to_display(screen: jnp.ndarray) -> jnp.ndarray:
     """uint8 frame for presentation/IO."""
     return jnp.round(jnp.clip(screen, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
+def present_stage(screen, screen_cfg, pallas_fn, xla_blur_fn):
+    """The present-policy dispatch (`shaders.metal:214-225` + RGBA8
+    write semantics), shared by the single-chip step (runtime/step.py)
+    and the sharded band step (parallel/shard.py) so the two engines
+    cannot drift: blur -> fused pallas kernel if configured, else XLA
+    blur + quantize; no blur -> quantize alone. Only the blur
+    implementations differ between callers (the sharded ones embed
+    ppermute'd band halos), so they arrive as the two callables:
+    ``pallas_fn(screen, quantize=bool)`` and ``xla_blur_fn(screen)``.
+    """
+    if screen_cfg.feedback_blur:
+        if screen_cfg.pallas_present:
+            return pallas_fn(screen, quantize=screen_cfg.quantize_8bit)
+        screen = xla_blur_fn(screen)
+        if screen_cfg.quantize_8bit:
+            screen = quantize_8bit(screen)
+        return screen
+    if screen_cfg.quantize_8bit:
+        return quantize_8bit(screen)
+    return screen

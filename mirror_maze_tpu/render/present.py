@@ -170,6 +170,16 @@ def present_pallas(
     Lb = _pick_lane_strip(chunks_y, L)
     n_blocks = L // Lb
     halo = min(128, Lb)
+    if 3 * cw > halo:
+        # The x-neighbor shifts are +-3*cw lanes; at strip borders they
+        # read from the fixed-width halo input blocks. Without this
+        # check a too-wide chunk slices past the halo and dies deep in
+        # kernel tracing with an opaque out-of-bounds error.
+        raise ValueError(
+            f"present_pallas needs 3*chunk_width <= {halo} halo lanes "
+            f"(chunk_width {cw} -> {3 * cw}); use chunk_width <= "
+            f"{halo // 3} or the XLA present path (pallas_present=False)"
+        )
     x2d = cm.reshape(chunks_y, L)
 
     kern = functools.partial(

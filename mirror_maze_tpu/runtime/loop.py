@@ -141,11 +141,20 @@ class InteractiveLoop:
                 make_sharded_scan_engine,
             )
 
+            from .step import derive_traversal_bounds
+
             mesh = make_mesh(1, sharded_bands)
-            init1, step1 = make_sharded_engine(cfg, mesh)
+            # Traversal bounds MUST be derived here, from the concrete
+            # scene: the batched path below wraps the engine in an outer
+            # jit, under which the lazy per-scene derivation would see
+            # tracer arrays (np.asarray on a tracer raises).
+            bounds = derive_traversal_bounds(scene, cfg, None, None)
+            init1, step1 = make_sharded_engine(cfg, mesh, *bounds)
             if self.batch_frames > 1:
                 k = self.batch_frames
-                initn, scann = make_sharded_scan_engine(cfg, mesh, k)
+                initn, scann = make_sharded_scan_engine(
+                    cfg, mesh, k, *bounds
+                )
 
                 # First frame = the polled input, idle tail — same batch
                 # semantics as the single-chip scan path, with the lead
@@ -241,7 +250,10 @@ class InteractiveLoop:
             # startup — CPython then sets sys.stdin to None): no raw
             # mode, no key pump — the loop runs idle frames. Reading
             # here would spin on EOF (select reports readable, read
-            # returns '').
+            # returns ''). Idle frames are NOT input: clear the flag so
+            # a stale hot window from a previous run() cannot re-arm
+            # itself forever and pin adaptive play at per-frame stepping.
+            self._had_input = False
             return FrameInputs.idle()
 
         # Native event pump (native/term_present.cpp mmx_term_poll): one
@@ -263,6 +275,7 @@ class InteractiveLoop:
         (``ESC [ < b ; x ; y M|m``) integrated into a pixel mouse_dx like
         the reference's MouseMoved arm (`main.rs:922-928`), arrow keys as
         discrete yaw. Truncated escape sequences carry to the next poll."""
+        carried = len(self._carry)
         data = self._carry + pending
         self._carry = b""
         a = s = d = w = False
@@ -272,7 +285,14 @@ class InteractiveLoop:
             b = data[i]
             if b == 0x1B:
                 if i + 1 >= n:
-                    self._carry = data[i:]
+                    # Trailing ESC: either a truncated escape sequence
+                    # (continuation bytes land next poll) or a bare ESC
+                    # keypress. Carry it ONCE; if it was already carried
+                    # and nothing followed within a whole frame's poll
+                    # interval, it is a bare ESC — drop it rather than
+                    # letting it sit in _carry forever.
+                    if i >= carried:
+                        self._carry = data[i:]
                     break
                 if data[i + 1] != ord("["):
                     if data[i + 1] == ord("O"):
@@ -287,10 +307,17 @@ class InteractiveLoop:
                             dx -= self.YAW_STEP
                         i += 3
                         continue
-                    # Alt chord: terminals send ESC + char atomically.
-                    # Consume BOTH bytes — skipping only the ESC made
-                    # Alt+Q quit the session and Alt+W walk.
-                    i += 2
+                    # Alt chord: terminals send ESC + char atomically,
+                    # i.e. within ONE poll's drain. Consume BOTH bytes —
+                    # skipping only the ESC made Alt+Q quit the session
+                    # and Alt+W walk. But if the ESC was CARRIED from a
+                    # previous poll, the following char arrived a frame
+                    # later and is a real keypress after a bare ESC tap:
+                    # drop only the ESC so the key is not eaten.
+                    if i < carried:
+                        i += 1
+                    else:
+                        i += 2
                     continue
                 j = i + 2
                 while j < n and not 0x40 <= data[j] <= 0x7E:
@@ -372,9 +399,13 @@ class InteractiveLoop:
 
         wd = Watchdog(watchdog_interval) if watchdog_interval else None
         # Fresh input-decoder state per run: a stale mouse anchor from a
-        # previous run() would turn the first event into a spurious yaw.
+        # previous run() would turn the first event into a spurious yaw,
+        # and a stale adaptive hot window (keys held when the previous
+        # run ended) would force per-frame stepping for up to a second.
         self._last_mouse_x = None
         self._carry = b""
+        self._had_input = False
+        self._active_until = 0
         # Headless stdin (pipe, /dev/null, CI): skip raw mode and the
         # mouse pump entirely — _poll_keys returns idle frames — instead
         # of dying on tcgetattr(Inappropriate ioctl for device).

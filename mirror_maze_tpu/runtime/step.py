@@ -29,7 +29,7 @@ from ..ops import quat as quat_ops
 from ..render.accumulate import (
     cm_to_spatial,
     feedback_blur_cm,
-    quantize_8bit,
+    present_stage,
     scatter_chunk_rows,
     to_display,
 )
@@ -183,19 +183,13 @@ def make_step_fn(
         # blur, no 25 MB transposes); by default the fused pallas kernel
         # (render/present.py), else the XLA form (feedback_blur_cm). The
         # spatial view is built only for display.
-        if cfg.screen.feedback_blur:
-            if cfg.screen.pallas_present:
-                from ..render.present import present
+        from ..render.present import present
 
-                screen = present(
-                    screen, cfg.screen, quantize=cfg.screen.quantize_8bit
-                )
-            else:
-                screen = feedback_blur_cm(screen, cfg.screen)
-                if cfg.screen.quantize_8bit:
-                    screen = quantize_8bit(screen)
-        elif cfg.screen.quantize_8bit:
-            screen = quantize_8bit(screen)
+        screen = present_stage(
+            screen, cfg.screen,
+            lambda scr, quantize: present(scr, cfg.screen, quantize=quantize),
+            lambda scr: feedback_blur_cm(scr, cfg.screen),
+        )
         spatial = cm_to_spatial(screen, cfg.screen)
 
         new_state = EngineState(

@@ -197,6 +197,46 @@ def test_mouse_x10_fallback_frames_never_inject_keys():
     assert float(inp.mouse_dx) == 2 * InteractiveLoop.MOUSE_PX_PER_CELL
 
 
+def test_bare_esc_tap_does_not_eat_the_next_keypress():
+    """Regression: a bare ESC tap is carried to the next poll (it may be
+    a truncated escape sequence); the Alt-chord arm then consumed ESC
+    PLUS the next byte, so the user's following real keystroke — arriving
+    a frame later — was silently eaten ('w' didn't walk, 'q' didn't
+    quit). A carried ESC followed by a fresh key must drop only the ESC;
+    a true Alt chord (ESC+char in ONE drain) stays consumed; a bare ESC
+    followed by silence must not sit in the carry forever."""
+    from mirror_maze_tpu.runtime.loop import InteractiveLoop
+
+    loop = InteractiveLoop.__new__(InteractiveLoop)  # parser-only instance
+    loop._last_mouse_x = None
+    loop._carry = b""
+
+    # True Alt chord: ESC+'w' atomically in one drain — consumed, no walk.
+    inp = loop._parse_input(b"\x1bw")
+    assert not any(bool(k) for k in inp.keys)
+    assert loop._carry == b""
+
+    # Bare ESC tap: carried once...
+    inp = loop._parse_input(b"\x1b")
+    assert loop._carry == b"\x1b"
+    assert not any(bool(k) for k in inp.keys)
+    # ...then the NEXT poll's real keypress must land.
+    inp = loop._parse_input(b"w")
+    assert bool(inp.keys[3])
+    assert loop._carry == b""
+
+    # Bare ESC followed by an empty poll drains instead of sticking.
+    loop._parse_input(b"\x1b")
+    loop._parse_input(b"")
+    assert loop._carry == b""
+
+    # A split CSI sequence still reassembles across the carry.
+    loop._parse_input(b"\x1b[<35;10;5M")     # anchor at x=10
+    loop._parse_input(b"\x1b[<35;1")
+    inp = loop._parse_input(b"4;5M")
+    assert float(inp.mouse_dx) == 4 * InteractiveLoop.MOUSE_PX_PER_CELL
+
+
 def test_mouse_reentry_reanchors_instead_of_spinning():
     """Terminal mouse reports are ABSOLUTE positions; events stop at the
     window edge. Regression: pointer re-entry far from the exit column

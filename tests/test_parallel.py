@@ -627,6 +627,66 @@ def test_interactive_loop_sharded_bands(monkeypatch):
         assert np.isfinite(np.asarray(loop.state.screen)).all()
 
 
+def test_interactive_loop_sharded_batched_bvh(monkeypatch):
+    """Regression: sharded play with batch_frames > 1 and the bvh
+    intersector died at trace — the outer jit wrapped the lazy
+    traversal-bounds derivation, which then saw TRACER scene arrays
+    (np.asarray on a tracer raises). InteractiveLoop must derive bounds
+    eagerly from the concrete scene and pass them through."""
+    import io
+    import sys
+
+    from mirror_maze_tpu.runtime.loop import InteractiveLoop
+
+    n_tile = min(2, len(jax.devices()))
+    cfg = EngineConfig(
+        maze=MazeConfig(width=4, height=4),
+        camera=CameraConfig(spawn=(-5.0, 0.0, -15.0)),
+        tracer=TracerConfig(bounce_limit=2, mirror_limit=2),
+        screen=ScreenConfig(width=32, height=16 * n_tile,
+                            samples_per_pixel=2,
+                            chunks_per_frame=4 * n_tile),
+        intersector="bvh",
+    )
+    scene = upload_scene(build_scene(cfg.maze))
+    monkeypatch.setattr(sys, "stdin", io.StringIO())
+    loop = InteractiveLoop(scene, cfg, seed=0, batch_frames=3,
+                           sharded_bands=n_tile)
+    loop.run(max_frames=3, display=None, watchdog_interval=None)
+    f = np.asarray(loop.frame)
+    assert f.shape == (cfg.screen.height, cfg.screen.width, 3)
+    assert np.isfinite(np.asarray(loop.state.screen)).all()
+
+
+def test_lazy_bounds_step_rejects_tracer_scene_clearly():
+    """The sharded engines derive bvh traversal bounds lazily from the
+    CONCRETE scene; if a caller re-wraps the step in an outer jit, the
+    derivation must fail with an actionable error naming the fix, not a
+    raw TracerArrayConversionError from np.asarray."""
+    import pytest
+
+    from mirror_maze_tpu.parallel.shard import make_mesh, make_sharded_engine
+    from mirror_maze_tpu.runtime.state import FrameInputs
+
+    n_tile = min(2, len(jax.devices()))
+    cfg = EngineConfig(
+        maze=MazeConfig(width=4, height=4),
+        camera=CameraConfig(spawn=(-5.0, 0.0, -15.0)),
+        tracer=TracerConfig(bounce_limit=1, mirror_limit=1),
+        screen=ScreenConfig(width=32, height=16 * n_tile,
+                            samples_per_pixel=1,
+                            chunks_per_frame=2 * n_tile),
+        intersector="bvh",
+    )
+    scene = upload_scene(build_scene(cfg.maze))
+    mesh = make_mesh(1, n_tile)
+    init_fn, step_fn = make_sharded_engine(cfg, mesh)  # no explicit bounds
+    state = init_fn(seed=0)
+    outer = jax.jit(step_fn)
+    with pytest.raises(ValueError, match="CONCRETE scene"):
+        outer(scene, state, FrameInputs.idle())
+
+
 def test_interactive_loop_sharded_adaptive_hot_input():
     """Sharded play with batch_frames > 1 and LIVE key input: the
     adaptive path must serve hot frames via the per-frame sharded twin
@@ -676,3 +736,18 @@ def test_interactive_loop_sharded_adaptive_hot_input():
     assert calls["one"] >= 1                       # hot path used
     z1 = float(np.asarray(loop.state.cam_center)[2])
     assert z1 > z0                                 # walked forward
+
+    # Regression: a SECOND run() inherited the previous run's hot window
+    # (_had_input/_active_until), and a headless second run could then
+    # re-arm it every frame — pinning the session at per-frame stepping
+    # and defeating the batch-latency amortization. A fresh headless run
+    # must step batched from frame 0.
+    import io
+
+    calls_after_first = calls["one"]
+    sys.stdin = io.StringIO()
+    try:
+        loop.run(max_frames=4, display=None, watchdog_interval=None)
+    finally:
+        sys.stdin = old_stdin
+    assert calls["one"] == calls_after_first       # no single-stepping

@@ -24,6 +24,10 @@ from mirror_maze_tpu.render.present import _pick_lane_strip, present
     (1920, 96, 4),   # full 1080p width
     (32, 28, 4),     # Cy=7: prime strip height
     (24, 12, 2),     # non-default chunk width
+    (168, 84, 42),   # widest fused-path chunk (3*42 = 126 <= 128 halo
+                     # lanes), single strip (L not 128-divisible)
+    (1344, 84, 42),  # widest chunk, MULTI-strip: border shifts read 126
+                     # of the 128 halo lanes
 ])
 def test_present_matches_xla_blur_bitwise(w, h, cw):
     cfg = ScreenConfig(width=w, height=h, chunk_width=cw)
@@ -39,6 +43,18 @@ def test_present_matches_xla_blur_bitwise(w, h, cw):
         ref = np.asarray(jax.jit(ref_fn)(cm))
         got = np.asarray(present(cm, cfg, quantize=quantize))
         np.testing.assert_array_equal(got, ref)
+
+
+def test_present_rejects_chunks_wider_than_the_halo():
+    """Chunks with 3*chunk_width beyond the halo lanes must be a clear
+    ValueError at the kernel entry (regression: an opaque out-of-bounds
+    slice deep in kernel tracing). ScreenConfig rejects such configs on
+    the fused path already; this guards direct/exotic callers."""
+    cfg = ScreenConfig(width=192, height=96, chunk_width=48,
+                       pallas_present=False)
+    cm = jnp.zeros((cfg.total_chunks, 48 * 48 * 3), jnp.float32)
+    with pytest.raises(ValueError, match="halo lanes"):
+        present(cm, cfg, quantize=False)
 
 
 def test_cm_blur_matches_spatial_blur_bitwise():

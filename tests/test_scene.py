@@ -109,6 +109,24 @@ def test_screen_must_tile_exactly():
     ScreenConfig(width=32, height=16)  # exact tiling passes
 
 
+def test_pallas_present_chunk_width_guard():
+    """The fused present kernel's x-neighbor shifts are +-3*chunk_width
+    lanes within a 128-lane strip halo. A wider chunk must be a clean
+    config error naming the knob (it previously surfaced as an opaque
+    out-of-bounds slice deep in kernel tracing), and the XLA present
+    path must still accept the same geometry."""
+    import pytest
+
+    from mirror_maze_tpu.config import ScreenConfig
+
+    with pytest.raises(ValueError, match="pallas_present"):
+        ScreenConfig(width=960, height=480, chunk_width=48)
+    # Same geometry on the XLA present path: accepted.
+    ScreenConfig(width=960, height=480, chunk_width=48, pallas_present=False)
+    # Widest fused-path chunk (3*42 = 126 <= 128): accepted.
+    ScreenConfig(width=840, height=420, chunk_width=42)
+
+
 def test_random_config_space_steps_finite_or_raises_cleanly(rng):
     """Config-space fuzz: any randomly drawn (validated) engine config
     must build, step, and stay finite; invalid geometry must be a clean
