@@ -315,20 +315,32 @@ def _validate(jax) -> None:
             "frac_gt_0.05": float((d > 0.05).mean()),
             "frac_nonzero": float((d > 0.0).mean()),
         }
-        # Gates: bvh is the same arithmetic (exact everywhere). pallas
-        # on the CPU interpreter is exact except measure-zero tie
-        # pixels (one-hot SUM vs pick-one — docstring), so any spread
-        # of small nonzero diffs is a REAL regression there; hardware
-        # additionally carries ~2^-16-relative approximations on every
-        # pixel (bounded mean/p999).
+        # Gates. On CPU all three backends are exact arithmetic: bvh
+        # must match brute bitwise, pallas (exact interpreter) except
+        # measure-zero tie pixels (one-hot SUM vs pick-one — docstring).
+        # On HARDWARE the backends approximate differently: brute's
+        # [R,3]x[3,P] hit tests ride the XLA-TPU matmul whose f32
+        # inputs are truncated to bf16, while bvh's gathered per-ray
+        # FMAs are exact f32 — near an edge/tie margin the two
+        # legitimately pick different hits (measured: 8 of 12,288
+        # pixels flip a faint-ceiling hit, each a full 0.14 jump), so
+        # bvh gates on flip FRACTION, not max. pallas on hardware is
+        # near-exact since the split-precision one-hot select
+        # (pallas_tracer._pack_group): measured max 1.2e-7 — one f32
+        # ulp — vs ~8e-5 before, so its gate is tight, with the same
+        # measure-zero flip allowance.
         if backend == "bvh":
-            ok = stats["max"] == 0.0
+            ok = (
+                stats["max"] == 0.0
+                if on_cpu
+                else stats["frac_nonzero"] < 1e-3 and stats["mean"] < 1e-3
+            )
         elif on_cpu:
             ok = stats["frac_nonzero"] < 1e-3 and stats["mean"] < 1e-3
         else:
             ok = (
-                stats["mean"] < 1e-3
-                and stats["p999"] < 0.05
+                stats["mean"] < 1e-4
+                and stats["p999"] < 1e-3
                 and stats["frac_gt_0.05"] < 1e-3
             )
         result[backend] = stats

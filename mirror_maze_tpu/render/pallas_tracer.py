@@ -29,7 +29,8 @@ kernel swept the plane table with a scalar fori_loop at ~45 VPU ops per
   followed by a sublane min-reduction for the nearest t.
 - The hit plane's properties (normal/albedo/emission/mirror flag) are
   selected without gathers by a second matmul: the one-hot nearest mask
-  [P, B] contracted against the property table [16, P] on the MXU.
+  [P, B] contracted against the property table [32, P] on the MXU
+  (split-precision rows: bf16-exact hi + f32 residual, folded after).
 - Invalid / padding planes are encoded directly in W (numerator -1,
   denominator 0 => t = -inf, always rejected) so no validity lane-ops
   are spent.
@@ -168,7 +169,7 @@ MODE_QUANTITIES = {0: 6, 1: 4, 2: 2}
 
 def _pack_group(t: jnp.ndarray, mode: int, tile: int = PLANE_TILE):
     """Pack one kind-homogeneous [Pk, 32] sub-table into tiled matmul
-    operands: (W [T, q*PT, 8], propsT [T, 16, PT], aabbs [T, 8]) with
+    operands: (W [T, q*PT, 8], propsT [T, 32, PT], aabbs [T, 8]) with
     q = MODE_QUANTITIES[mode] and PT = min(Pk8, tile). Row blocks
     of W within a tile, in units of PT (modes keep a prefix of this):
       0: numerator   = d - O.n        -> coeffs [-n, d | 0]
@@ -228,7 +229,25 @@ def _pack_group(t: jnp.ndarray, mode: int, tile: int = PLANE_TILE):
         ],
         axis=1,
     )                                                          # [P8, 16]
-    props_t = props.reshape(n_tiles, pt, PROP_WIDTH).transpose(0, 2, 1)
+    # SPLIT-PRECISION select operand: on hardware the MXU truncates f32
+    # matmul inputs to bf16 (single-pass; measured bitwise on v5e), so a
+    # plain props operand returns bf16(property) — up to 2^-8 relative
+    # error on every selected normal/albedo/emission whose value is not
+    # bf16-exact (the generated maze's axis-aligned normals and snapped
+    # constants mostly are; arbitrary scenes are not — measured as a
+    # systematic ~1e-3..1e-2 luminance error on random quad soups,
+    # PERF.md "hardware numerics"). Storing bf16-exact hi rows plus f32
+    # residual rows and selecting BOTH through the same one-hot recovers
+    # ~2^-17 relative precision for free: 32 rows is still one MXU
+    # M-tile, so the pass count (the stage's whole cost) is unchanged,
+    # and the fold-back is one VPU add. hi is bf16-representable so its
+    # product is exact; the residual (exact in f32 by Sterbenz — hi is
+    # within 2^-8 of props) only suffers its OWN bf16 truncation,
+    # leaving ~2^-17 total. Under the exact CPU interpreter
+    # hi + residual == props bitwise, so goldens are unchanged.
+    hi = props.astype(jnp.bfloat16).astype(jnp.float32)
+    props = jnp.concatenate([hi, props - hi], axis=1)          # [P8, 32]
+    props_t = props.reshape(n_tiles, pt, 2 * PROP_WIDTH).transpose(0, 2, 1)
     return w, props_t, aabbs
 
 
@@ -338,7 +357,7 @@ def _pcg_uniform_pair(state):
 def _tracer_kernel(
     seed_ref,     # SMEM [1] int32
     *refs,        # per group: (aabb SMEM [T,8], W VMEM [T,q*PT,8],
-                  #             propsT VMEM [T,16,PT], order SMEM [T]);
+                  #             propsT VMEM [T,32,PT], order SMEM [T]);
                   # then g_ref, out_ref
     group_meta: tuple,   # static ((mode, n_tiles, pt), ...) per group
     max_segments: int,
@@ -466,9 +485,12 @@ def _tracer_kernel(
             tmin_c = jnp.min(tv_c, axis=0, keepdims=True)  # [1, chunk]
             thresh = jnp.where(tmin_c < BIG, tmin_c, -1.0)
             onehot = (tv_c <= thresh).astype(jnp.float32)
-            sels.append(
-                jnp.dot(props_t, onehot, preferred_element_type=jnp.float32)
-            )
+            # propsT carries split-precision rows (bf16-exact hi +
+            # f32 residual, _pack_group): select both halves through
+            # the one one-hot dot and fold on the VPU, recovering the
+            # precision the MXU's bf16 input truncation drops.
+            s = jnp.dot(props_t, onehot, preferred_element_type=jnp.float32)
+            sels.append(s[:PROP_WIDTH] + s[PROP_WIDTH:])
             tmins.append(tmin_c)
         if len(tmins) == 1:
             return tmins[0], sels[0]
@@ -523,7 +545,7 @@ def _tracer_kernel(
         # each lane a finite tmin before the multi-tile slab skip below,
         # making the t-bound cull effective from the first tile.
         # ONE fused [sum q*PT, 8] x [8, B] dot for every single-tile
-        # group, ONE concatenated min/one-hot, ONE [16, sum PT] select
+        # group, ONE concatenated min/one-hot, ONE [32, sum PT] select
         # dot: the W/props concatenations are loop-invariant (hoistable)
         # and the tv concat is a handful of vreg copies — far cheaper
         # than paying per-group MXU dot round-trips on the critical path.
@@ -533,7 +555,7 @@ def _tracer_kernel(
             )
             props_cat = jnp.concatenate(
                 [refs[4 * gi + 2][0] for gi, _ in single], axis=1
-            )                                          # [16, sum PT]
+            )                                          # [32, sum PT]
             tmin, sel = dense_nearest(
                 w_cat, tuple((m[0], m[2]) for _, m in single), props_cat, g
             )

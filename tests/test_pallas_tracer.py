@@ -358,9 +358,47 @@ def test_pack_tables_tiling_shapes():
         w, pt, aabbs = groups[0]
         tiles = max(1, -(-((p + 7) // 8 * 8) // PLANE_TILE))
         assert w.shape[0] == pt.shape[0] == aabbs.shape[0] == tiles
-        assert w.shape[2] == 8 and pt.shape[1] == 16
+        # 32 prop rows: 16 bf16-exact hi + 16 f32 residual (the
+        # split-precision select operand; one MXU M-tile either way)
+        assert w.shape[2] == 8 and pt.shape[1] == 32
         assert w.shape[1] == MODE_QUANTITIES[0] * pt.shape[2]
         assert aabbs.shape[1] == 8
+
+
+def test_props_split_precision_reconstructs_exactly(rng):
+    """The select operand's 32 prop rows are (bf16-exact hi, f32
+    residual). hi must round-trip bf16 unchanged — so the MXU's f32
+    input truncation (single-pass on v5e, measured bitwise) is a no-op
+    on it — and hi + residual must equal the f32 properties BITWISE, so
+    the exact CPU interpreter (and every golden) is unchanged. On
+    hardware the fold recovers ~2^-17 select precision; the plain f32
+    operand returned bf16(property) — a measured ~1e-3..1e-2 systematic
+    luminance error on scenes with non-bf16-exact materials."""
+    from mirror_maze_tpu.render.pallas_tracer import (
+        PLANE_WIDTH,
+        pack_intersection_tables,
+    )
+
+    p = 37
+    table = rng.uniform(-3, 3, (p, PLANE_WIDTH)).astype(np.float32)
+    table[:, 19] = 1.0
+    table[:, 26] = 0.0
+    w, pt, aabbs = pack_intersection_tables(jnp.asarray(table))[0]
+    props_t = np.asarray(pt)                       # [T, 32, PT]
+    hi, lo = props_t[:, :16], props_t[:, 16:]
+    hi_rt = np.asarray(
+        jnp.asarray(hi).astype(jnp.bfloat16).astype(jnp.float32)
+    )
+    np.testing.assert_array_equal(hi, hi_rt)       # hi is bf16-exact
+
+    # hi + lo reconstructs the f32 properties bitwise (live rows).
+    expected = np.zeros((props_t.shape[0] * props_t.shape[2], 16), np.float32)
+    expected[:p, 0:3] = table[:, 0:3]              # normal
+    expected[:p, 3:6] = table[:, 12:15]            # albedo
+    expected[:p, 6:9] = table[:, 15:18]            # emission
+    expected[:p, 9] = table[:, 18]                 # is_mirror
+    got = (hi + lo).transpose(0, 2, 1).reshape(-1, 16)
+    np.testing.assert_array_equal(got[:p], expected[:p])
 
 
 def test_pack_tables_tile_by_mode_override(rng):

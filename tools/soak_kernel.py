@@ -1,9 +1,45 @@
 """Kernel exactness soak (PERF.md "Kernel exactness soak"): pallas vs
-jnp over many random scenes on the exact TPU-semantics interpreter.
-Run: PYTHONPATH=/root/repo python tools/soak_kernel.py [n_scenes]
-One-off soak: pallas-vs-jnp exact agreement over many random scenes."""
+the jnp reference tracer over many random quad-soup scenes.
+
+Run: PYTHONPATH="/root/repo:$PYTHONPATH" python tools/soak_kernel.py \
+        [n_scenes] [--tpu]
+
+Default (CPU): the exact TPU-semantics interpreter — agreement gate is
+EXACT (1e-4 absolute per-ray luminance, >=99% of rays per scene; the
+known slack class is grazing-edge/nearest-t ties).
+
+--tpu: the same generator's scenes on REAL hardware (Mosaic), compared
+against the jnp tracer computed ON THE CPU BACKEND of the same process
+(the exact reference — the jnp tracer run on the TPU drifts itself:
+XLA-TPU matmuls truncate f32 inputs to bf16). Hardware residuals, both
+measured (PERF.md "hardware numerics on arbitrary scenes"):
+- value error ~2^-17 relative on selected properties (the
+  split-precision one-hot select; before it, plain f32 props returned
+  bf16(property) — a systematic ~1e-3..1e-2 luminance error);
+- 0-2 per-mille of rays take a DIFFERENT (valid) path: the hit-test
+  matmul's bf16-truncated geometry flips accept decisions whose margin
+  is below ~2^-9 relative in t, or below ~2^-9 * |x.w| absolutely in
+  the edge coordinates. Generated mazes sit far from both margins;
+  random soups are built to crowd them.
+Gate: >=97% of rays within 1e-3, per scene. rows_per_block draws from
+{8, 16} — hardware requires multiples of 8 (wide (8, B/8) ray-state
+layout). 1024 rays/scene (one hardware block — padding makes fewer
+free). Each scene is a fresh compile (~4 s + tunnel latency over the
+axon link), so hardware soaks default to fewer scenes.
+"""
+import sys
+
+argv = [a for a in sys.argv[1:]]
+USE_TPU = "--tpu" in argv
+if USE_TPU:
+    argv.remove("--tpu")
+
 import jax
-jax.config.update("jax_platforms", "cpu")
+
+if not USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/mmx_jax_cache")
+
 import jax.numpy as jnp
 import numpy as np
 from mirror_maze_tpu.config import TracerConfig
@@ -14,8 +50,12 @@ from mirror_maze_tpu.scene.builder import Scene
 
 KEY = jax.random.PRNGKey(0)
 fails = []
-import sys
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+N = int(argv[0]) if argv else (12 if USE_TPU else 40)
+TOL = 1e-3 if USE_TPU else 1e-4
+GATE = 0.97 if USE_TPU else 0.99
+ROWS = [8, 16] if USE_TPU else [1, 2, 4]
+NR = 1024 if USE_TPU else 130
+CPU = jax.devices("cpu")[0] if USE_TPU else None
 for seed in range(N):
     r = np.random.default_rng(1000 + seed)
     n = int(r.integers(15, 300))
@@ -37,22 +77,29 @@ for seed in range(N):
     dev = upload_scene(scene)
     cfg = TracerConfig(bounce_limit=1, mirror_limit=int(r.integers(1, 4)))
     rr = np.random.default_rng(seed)
-    nr = 130
-    o = jnp.asarray(rr.uniform(-25, 25, (nr, 3)).astype(np.float32))
-    d = rr.normal(size=(nr, 3)).astype(np.float32)
+    o = jnp.asarray(rr.uniform(-25, 25, (NR, 3)).astype(np.float32))
+    d = rr.normal(size=(NR, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     d = jnp.asarray(d)
     anchor = jnp.asarray(rr.uniform(-5, 5, (3,)).astype(np.float32))
-    rows = int(r.choice([1, 2, 4]))
-    lj = np.asarray(trace_paths(dev, o, d, KEY, cfg))
+    rows = int(r.choice(ROWS))
+    if USE_TPU:
+        dev_c = jax.device_put(dev, CPU)
+        with jax.default_device(CPU):
+            lj = np.asarray(trace_paths(
+                dev_c, jax.device_put(o, CPU), jax.device_put(d, CPU),
+                jax.device_put(KEY, CPU), cfg))
+    else:
+        lj = np.asarray(trace_paths(dev, o, d, KEY, cfg))
     lp = np.asarray(trace_paths_pallas(
         dev.plane_table, o, d, jnp.int32(seed), cfg, rows_per_block=rows,
         tables=dev.mxu_tables, anchor=anchor))
     per_ray = np.abs(lj - lp).max(axis=1)
-    agree = (per_ray < 1e-4).mean()
-    status = "OK" if agree >= 0.99 else "FAIL"
+    agree = (per_ray < TOL).mean()
+    status = "OK" if agree >= GATE else "FAIL"
     if status == "FAIL":
         fails.append((seed, n, rows, float(agree)))
-    print(f"seed {seed:2d} n={n:3d} rows={rows} agree={agree:.4f} {status}",
-          flush=True)
-print("FAILURES:", fails)
+    print(f"seed {seed:2d} n={n:3d} rows={rows:2d} agree={agree:.4f} "
+          f"max={per_ray.max():.2e} {status}", flush=True)
+print(f"backend={jax.default_backend()} rays={NR} tol={TOL} gate={GATE} "
+      f"FAILURES:", fails)
