@@ -263,15 +263,17 @@ def config_bvh() -> EngineConfig:
     whose BVH machinery (build + host collision) SURVEY.md's build order
     introduces.
 
-    The DEFAULT intersector here is pallas: the literal port of the
-    reference's per-ray stack traversal (`render/intersect.py
-    nearest_hit_bvh`) measures ~0.03 Mrays/s on TPU — ~5000x slower than
-    the dense tile path at this scene scale (PERF.md "bvh row") —
-    because data-dependent stack walks are hostile to 8x128 vector
-    lanes. It remains available as a CORRECTNESS/parity backend via
-    ``--intersector bvh`` (exactness-tested against brute force), and
-    the BVH itself stays load-bearing for host collision + the scene
-    AABB tile skip."""
+    The DEFAULT intersector here is pallas: the reference's per-ray
+    stack traversal (`render/intersect.py nearest_hit_bvh`, rebuilt
+    around packed row gathers — 27x its first version) measures
+    ~0.8 Mrays/s on TPU — still ~190x slower than the dense tile path
+    at this scene scale (PERF.md "bvh row") — because data-dependent
+    walks are hostile to 8x128 vector lanes. It remains available as a
+    CORRECTNESS/parity backend via ``--intersector bvh``
+    (exactness-tested against brute force; on hardware it is also the
+    most EXACT backend — its gathered FMAs are full f32 while the
+    matmul paths truncate), and the BVH itself stays load-bearing for
+    host collision + the scene AABB tile skip."""
     return EngineConfig(
         maze=MazeConfig(width=8, height=8),
         tracer=TracerConfig(bounce_limit=5, mirror_limit=4),

@@ -47,27 +47,6 @@ def ray_aabb(
     return jnp.where(hit, tn, BIG)
 
 
-def ray_plane_gathered(
-    o: jnp.ndarray, d: jnp.ndarray, scene: DeviceScene,
-    pid: jnp.ndarray, t_min: float,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Ray-rect test against per-ray gathered plane ids [R] -> (t, ok)."""
-    n = scene.normal[pid]
-    denom = jnp.sum(d * n, axis=-1)
-    t = (scene.d[pid] - jnp.sum(o * n, axis=-1)) / denom
-    x = o + t[..., None] * d
-    s1 = jnp.sum(x * scene.w1[pid], axis=-1) - scene.b1[pid]
-    s2 = jnp.sum(x * scene.w2[pid], axis=-1) - scene.b2[pid]
-    ok = (
-        scene.valid[pid]
-        & (denom != 0.0)
-        & (t > t_min)
-        & (s1 >= 0.0) & (s1 <= 1.0)
-        & (s2 >= 0.0) & (s2 <= 1.0)
-    )
-    return t, ok
-
-
 def nearest_hit_brute(
     scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, t_min: float
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -97,15 +76,6 @@ def nearest_hit_brute(
     return jnp.min(t, axis=-1), idx
 
 
-def _push(stack, sp, node, mask):
-    """Masked push onto per-ray stacks. stack [R, S], sp [R], node [R]."""
-    r = jnp.arange(stack.shape[0])
-    slot = jnp.minimum(sp, stack.shape[1] - 1)
-    new_col = jnp.where(mask, node, stack[r, slot])
-    stack = stack.at[r, slot].set(new_col)
-    return stack, sp + mask.astype(sp.dtype)
-
-
 @partial(jax.jit, static_argnames=("t_min", "max_depth", "max_leaf"))
 def nearest_hit_bvh(
     scene: DeviceScene,
@@ -117,52 +87,129 @@ def nearest_hit_bvh(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Vectorized ordered stack traversal (`shaders.metal:115-156`).
 
-    Every ray walks its own path: gathers node data by id, descends the
-    nearer child first, pushes the farther child when also hit, and tests
-    up to max_leaf primitives per leaf under masks. Rays whose stacks empty
-    go inactive; the while_loop exits when all are done.
+    Every ray walks its own path: descends the nearer child first,
+    pushes the farther child when also hit, and tests up to max_leaf
+    primitives per leaf under masks. Rays whose work runs out go
+    inactive; the while_loop exits when all are done.
+
+    TPU memory layout (the first version gathered ~25 separate [R]
+    columns per iteration and ran gather-bound): per-iteration state is
+    fetched by THREE row gathers — node ints [M, 2] (count, left_first),
+    BOTH children's AABBs packed at the parent row [M, 12], and one
+    leaf-ordered plane-constant row [N, 14] per slot (prim indirection
+    pre-resolved, the plane id riding along as an f32 column) — plus one
+    [R, S] pop gather. The nearer child is followed DIRECTLY (only the
+    far child is pushed), halving stack traffic. Visit order, tie
+    behavior (first-visited strictly-closer wins), and all acceptance
+    arithmetic are identical to the reference traversal, so results
+    match `nearest_hit_brute` exactly (tested).
     """
     n_rays = o.shape[0]
+    r = jnp.arange(n_rays)
+    m = scene.bvh_min.shape[0]
+    inv = 1.0 / d  # loop-invariant slab reciprocals (bitwise = ray_aabb's)
+
+    # Packed traversal operands — built from the DeviceScene fields here
+    # (cheap: O(M + N) concats), hoisted out of the loop by XLA.
+    # left_first indexes prim slots for leaves, so clip for the (masked)
+    # child-box rows.
+    lc_all = jnp.clip(scene.bvh_left_first, 0, m - 1)
+    rc_all = jnp.clip(scene.bvh_left_first + 1, 0, m - 1)
+    nodebox = jnp.concatenate(
+        [scene.bvh_min[lc_all], scene.bvh_max[lc_all],
+         scene.bvh_min[rc_all], scene.bvh_max[rc_all]], axis=-1
+    )                                                          # [M, 12]
+    nodeint = jnp.stack(
+        [scene.bvh_count, scene.bvh_left_first], axis=-1
+    )                                                          # [M, 2]
+    pid_all = scene.bvh_prim
+    plane = jnp.concatenate(
+        [scene.normal[pid_all], scene.d[pid_all][:, None],
+         scene.w1[pid_all], scene.b1[pid_all][:, None],
+         scene.w2[pid_all], scene.b2[pid_all][:, None],
+         scene.valid[pid_all].astype(jnp.float32)[:, None],
+         pid_all.astype(jnp.float32)[:, None]], axis=-1
+    )                                                          # [N, 14]
+    n_slots = plane.shape[0]
+
+    def slab(bmin, bmax, t_cur):
+        # Same arithmetic as ray_aabb (inv hoisted — identical value).
+        t1 = (bmin - o) * inv
+        t2 = (bmax - o) * inv
+        tn = jnp.max(jnp.minimum(t1, t2), axis=-1)
+        tf = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        hit = (tf >= tn) & (tn < t_cur) & (tf > 0.0)
+        return jnp.where(hit, tn, BIG)
+
     t0 = jnp.full((n_rays,), BIG, dtype=jnp.float32)
     idx0 = jnp.zeros((n_rays,), dtype=jnp.int32)
     stack0 = jnp.zeros((n_rays, max_depth + 2), dtype=jnp.int32)
-    sp0 = jnp.ones((n_rays,), dtype=jnp.int32)  # root pre-pushed at slot 0
+    sp0 = jnp.zeros((n_rays,), dtype=jnp.int32)
+    cur0 = jnp.zeros((n_rays,), dtype=jnp.int32)   # start at the root
+    live0 = jnp.ones((n_rays,), dtype=bool)
 
     def cond(st):
-        return jnp.any(st[3] > 0)
+        return jnp.any(st[5])
 
     def body(st):
-        t, idx, stack, sp = st
-        live = sp > 0
-        r = jnp.arange(n_rays)
-        cur = stack[r, jnp.maximum(sp - 1, 0)]
-        sp = jnp.where(live, sp - 1, sp)
-
-        ct = scene.bvh_count[cur]
-        lf = scene.bvh_left_first[cur]
+        t, idx, stack, sp, cur, live = st
+        ni = nodeint[cur]                          # [R, 2]
+        ct, lf = ni[:, 0], ni[:, 1]
         is_leaf = ct >= 1
 
-        # Leaf: masked loop over primitive slots (`shaders.metal:128`).
+        # Leaf: masked loop over primitive slots (`shaders.metal:128`);
+        # arithmetic identical to ray_plane_gathered on the packed row.
         for k in range(max_leaf):
-            slot = lf + jnp.minimum(k, jnp.maximum(ct - 1, 0))
-            pid = scene.bvh_prim[slot]
-            tk, ok = ray_plane_gathered(o, d, scene, pid, t_min)
+            slot = jnp.clip(
+                lf + jnp.minimum(k, jnp.maximum(ct - 1, 0)), 0, n_slots - 1
+            )
+            pk = plane[slot]                       # [R, 14]
+            nrm = pk[:, 0:3]
+            denom = jnp.sum(d * nrm, axis=-1)
+            tk = (pk[:, 3] - jnp.sum(o * nrm, axis=-1)) / denom
+            x = o + tk[..., None] * d
+            s1 = jnp.sum(x * pk[:, 4:7], axis=-1) - pk[:, 7]
+            s2 = jnp.sum(x * pk[:, 8:11], axis=-1) - pk[:, 11]
+            ok = (
+                (pk[:, 12] > 0.0)
+                & (denom != 0.0)
+                & (tk > t_min)
+                & (s1 >= 0.0) & (s1 <= 1.0)
+                & (s2 >= 0.0) & (s2 <= 1.0)
+            )
             upd = live & is_leaf & (k < ct) & ok & (tk < t)
             t = jnp.where(upd, tk, t)
-            idx = jnp.where(upd, pid, idx)
+            idx = jnp.where(upd, pk[:, 13].astype(jnp.int32), idx)
 
-        # Interior: ordered descent (`shaders.metal:134-154`).
-        lc, rc = lf, lf + 1
-        d1 = ray_aabb(o, d, t, scene.bvh_min[lc], scene.bvh_max[lc])
-        d2 = ray_aabb(o, d, t, scene.bvh_min[rc], scene.bvh_max[rc])
-        near = jnp.where(d1 <= d2, lc, rc)
-        far = jnp.where(d1 <= d2, rc, lc)
+        # Interior: ordered descent (`shaders.metal:134-154`) — follow
+        # the near child directly; push only the far child.
+        boxes = nodebox[cur]                       # [R, 12]
+        d1 = slab(boxes[:, 0:3], boxes[:, 3:6], t)
+        d2 = slab(boxes[:, 6:9], boxes[:, 9:12], t)
+        near = jnp.where(d1 <= d2, lf, lf + 1)
+        far = jnp.where(d1 <= d2, lf + 1, lf)
         dn = jnp.minimum(d1, d2)
         df = jnp.maximum(d1, d2)
         interior = live & ~is_leaf
-        stack, sp = _push(stack, sp, far, interior & (dn < BIG) & (df < BIG))
-        stack, sp = _push(stack, sp, near, interior & (dn < BIG))
-        return t, idx, stack, sp
+        go_near = interior & (dn < BIG)
+        push_far = go_near & (df < BIG)
 
-    t, idx, _, _ = jax.lax.while_loop(cond, body, (t0, idx0, stack0, sp0))
+        slot_p = jnp.minimum(sp, stack.shape[1] - 1)
+        stack = stack.at[r, slot_p].set(
+            jnp.where(push_far, far, stack[r, slot_p])
+        )
+        sp = sp + push_far.astype(sp.dtype)
+
+        # Advance: near child, else pop the most recent far, else done.
+        need_pop = live & ~go_near                 # incl. every leaf visit
+        can_pop = need_pop & (sp > 0)
+        sp = jnp.where(can_pop, sp - 1, sp)
+        popped = stack[r, jnp.maximum(sp, 0)]
+        cur = jnp.where(go_near, near, jnp.where(can_pop, popped, cur))
+        live = live & (go_near | can_pop)
+        return t, idx, stack, sp, cur, live
+
+    t, idx, *_ = jax.lax.while_loop(
+        cond, body, (t0, idx0, stack0, sp0, cur0, live0)
+    )
     return t, idx
