@@ -97,15 +97,16 @@ def nearest_hit_bvh(
     fetched by THREE row gathers — node ints [M, 2] (count, left_first),
     BOTH children's AABBs packed at the parent row [M, 12], and one
     leaf-ordered plane-constant row [N, 14] per slot (prim indirection
-    pre-resolved, the plane id riding along as an f32 column) — plus one
-    [R, S] pop gather. The nearer child is followed DIRECTLY (only the
-    far child is pushed), halving stack traffic. Visit order, tie
+    pre-resolved, the plane id riding along as an f32 column). The
+    stack itself is stack-major [S, R] with one-hot level select/merge
+    (no scatter/gather at all — see the inline comment), and the nearer
+    child is followed DIRECTLY (only the far child is pushed). Visit
+    order, tie
     behavior (first-visited strictly-closer wins), and all acceptance
     arithmetic are identical to the reference traversal, so results
     match `nearest_hit_brute` exactly (tested).
     """
     n_rays = o.shape[0]
-    r = jnp.arange(n_rays)
     m = scene.bvh_min.shape[0]
     inv = 1.0 / d  # loop-invariant slab reciprocals (bitwise = ray_aabb's)
 
@@ -143,7 +144,14 @@ def nearest_hit_bvh(
 
     t0 = jnp.full((n_rays,), BIG, dtype=jnp.float32)
     idx0 = jnp.zeros((n_rays,), dtype=jnp.int32)
-    stack0 = jnp.zeros((n_rays, max_depth + 2), dtype=jnp.int32)
+    # Stack-MAJOR [S, R] with one-hot select/merge: a per-ray [R, S]
+    # stack needs an R-index scatter per push and gather per pop, and
+    # TPU scatter/gather cost is per-INDEX (PERF.md, the chunk-major
+    # screen lesson). S is tiny (exact derived depth + 2), so a level
+    # mask + where is ~4S pure-VPU elementwise ops instead.
+    n_levels = max_depth + 2
+    stack0 = jnp.zeros((n_levels, n_rays), dtype=jnp.int32)
+    levels = jnp.arange(n_levels, dtype=jnp.int32)[:, None]   # [S, 1]
     sp0 = jnp.zeros((n_rays,), dtype=jnp.int32)
     cur0 = jnp.zeros((n_rays,), dtype=jnp.int32)   # start at the root
     live0 = jnp.ones((n_rays,), dtype=bool)
@@ -194,17 +202,17 @@ def nearest_hit_bvh(
         go_near = interior & (dn < BIG)
         push_far = go_near & (df < BIG)
 
-        slot_p = jnp.minimum(sp, stack.shape[1] - 1)
-        stack = stack.at[r, slot_p].set(
-            jnp.where(push_far, far, stack[r, slot_p])
-        )
+        slot_p = jnp.minimum(sp, n_levels - 1)
+        put = (levels == slot_p[None, :]) & push_far[None, :]
+        stack = jnp.where(put, far[None, :], stack)
         sp = sp + push_far.astype(sp.dtype)
 
         # Advance: near child, else pop the most recent far, else done.
         need_pop = live & ~go_near                 # incl. every leaf visit
         can_pop = need_pop & (sp > 0)
         sp = jnp.where(can_pop, sp - 1, sp)
-        popped = stack[r, jnp.maximum(sp, 0)]
+        take = levels == jnp.maximum(sp, 0)[None, :]
+        popped = jnp.sum(jnp.where(take, stack, 0), axis=0)
         cur = jnp.where(go_near, near, jnp.where(can_pop, popped, cur))
         live = live & (go_near | can_pop)
         return t, idx, stack, sp, cur, live
