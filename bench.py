@@ -107,8 +107,23 @@ def main() -> None:
 
         cfg = NAMED_CONFIGS[args.preset]()
     else:
+        from mirror_maze_tpu.config import CameraConfig
+
+        # Keep the spawn INSIDE the world: the default (-5, 0, -45)
+        # fits mazes >= 10x10 but sits OUTSIDE smaller worlds, where it
+        # benches black frames whose rays mostly die after one segment
+        # (measured: the bvh backend "ran" 8x faster on that
+        # nothing-workload). Move it only when outside, to the same
+        # half-cell-inset position the 10x10 default has; mazes >= 10
+        # (incl. config 5) keep the exact recorded camera.
+        maze = MazeConfig(width=args.maze, height=args.maze)
+        cam = CameraConfig()
+        if abs(cam.spawn[2]) >= maze.world_half_extent:
+            spawn_z = -(maze.world_half_extent - maze.cell_size / 2.0)
+            cam = CameraConfig(spawn=(-5.0, 0.0, spawn_z))
         cfg = EngineConfig(
-            maze=MazeConfig(width=args.maze, height=args.maze),
+            maze=maze,
+            camera=cam,
             tracer=TracerConfig(
                 bounce_limit=args.bounce_limit, mirror_limit=args.mirror_limit,
             ),

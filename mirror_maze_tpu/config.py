@@ -265,9 +265,10 @@ def config_bvh() -> EngineConfig:
 
     The DEFAULT intersector here is pallas: the reference's per-ray
     stack traversal (`render/intersect.py nearest_hit_bvh`, rebuilt
-    around packed row gathers — 27x its first version) measures
-    ~0.8 Mrays/s on TPU — still ~190x slower than the dense tile path
-    at this scene scale (PERF.md "bvh row") — because data-dependent
+    around packed row gathers (27x) and a stack-major one-hot stack
+    (2.26x)) measures 0.23 Mrays/s on TPU at this config's camera
+    — still ~190x slower than the dense tile path at the same point
+    (53.9 vs 0.281 ms/frame, PERF.md "bvh row") — because data-dependent
     walks are hostile to 8x128 vector lanes. It remains available as a
     CORRECTNESS/parity backend via ``--intersector bvh``
     (exactness-tested against brute force; on hardware it is also the
