@@ -127,6 +127,33 @@ def test_bench_validate_cross_backend_agreement():
     assert result["pallas"]["mean"] < 1e-3
 
 
+def test_bench_flag_config_spawns_inside_small_maze():
+    """Regression: flag-built bench configs kept the 10x10 default
+    spawn z=-45, which is OUTSIDE a small maze's world — the benchmark
+    silently timed black frames whose rays mostly die after one segment
+    (PERF.md measurement erratum). The inset spawn must render a
+    nonzero frame; mazes >= 10x10 keep the recorded default camera."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "bench.py", "--maze", "4", "--width", "64",
+         "--height", "48", "--spp", "1", "--frames", "4", "--launches",
+         "1", "--intersector", "brute"],
+        env=env, cwd="/root/repo",
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:]
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert result["frame_checksum"] > 0.0
+
+
 def test_play_headless_stdin_degrades_gracefully(tmp_path):
     """Regression: `play` with a piped/closed stdin (CI, scripts) died
     on tcgetattr(Inappropriate ioctl for device). It must run idle
