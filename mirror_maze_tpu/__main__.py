@@ -52,9 +52,27 @@ def _build(args):
             )
     if args.seed is not None:
         overrides["maze"] = dataclasses.replace(cfg.maze, seed=args.seed)
+    camera_overrides = {}
+    for flag, field in (("spawn", "spawn"), ("look", "look_dir")):
+        val = getattr(args, flag, None)
+        if val:
+            parts = [float(x) for x in val.split(",")]
+            if len(parts) != 3:
+                raise SystemExit(f"--{flag} wants X,Y,Z (got {val!r})")
+            camera_overrides[field] = tuple(parts)
+    if camera_overrides:
+        overrides["camera"] = dataclasses.replace(
+            cfg.camera, **camera_overrides
+        )
     if overrides:
         cfg = cfg.replace(**overrides)
-    scene = build_scene(cfg.maze)
+    if getattr(args, "scene", None):
+        from .scene import load_scene
+
+        scene = load_scene(args.scene)
+        print(f"loaded scene {args.scene} ({scene.num_planes} planes)")
+    else:
+        scene = build_scene(cfg.maze)
     noise = None
     if getattr(args, "noise_png", None):
         from .utils.noise import load_noise_png
@@ -258,6 +276,15 @@ def main(argv=None) -> int:
                              "— bit-exact resume via --load-state")
         sp.add_argument("--load-state", default=None,
                         help="resume play from a saved state checkpoint")
+        sp.add_argument("--scene", default=None,
+                        help="render a saved scene (.npz from "
+                             "scene.save_scene) instead of generating "
+                             "the maze; custom worlds usually also want "
+                             "--spawn/--look")
+        sp.add_argument("--spawn", default=None, metavar="X,Y,Z",
+                        help="camera spawn position override")
+        sp.add_argument("--look", default=None, metavar="X,Y,Z",
+                        help="camera look direction override")
         sp.add_argument("--noise-png", default=None,
                         help="PNG to use as the RNG noise texture (e.g. "
                              "the reference's textures/noiseTexture-2.png"

@@ -48,8 +48,14 @@ def from_look_dir(look: jnp.ndarray) -> jnp.ndarray:
     default = jnp.array([0.0, 0.0, 1.0], dtype=look.dtype)
     look_n = normalize(look)
     axis = cross(jnp.broadcast_to(default, look_n.shape), look_n)
-    axis_n = normalize(axis)
-    half_theta = jnp.arcsin(norm(axis)) / 2.0
+    # A look exactly along the reference forward has a zero rotation
+    # axis; plain normalize() would emit a NaN quaternion (0/0) that
+    # poisons every ray. Guard the denominator so the parallel case
+    # yields the exact identity quaternion instead (the step's
+    # finite-guard already recovers yaw from an axis-less quat).
+    mag = norm(axis)
+    axis_n = axis / jnp.where(mag > 0, mag, 1.0)[..., None]
+    half_theta = jnp.arcsin(mag) / 2.0
     s = jnp.sin(half_theta)[..., None]
     c = jnp.cos(half_theta)[..., None]
     return jnp.concatenate([axis_n * s, c], axis=-1)

@@ -175,3 +175,38 @@ def test_play_headless_stdin_degrades_gracefully(tmp_path):
     )
     assert proc.returncode == 0, proc.stdout[-2000:]
     assert os.path.exists(out)
+
+
+def test_render_cli_custom_scene_with_camera_overrides(tmp_path):
+    """--scene renders a saved quad soup instead of the generated maze;
+    --spawn/--look point the camera at it (a custom world almost never
+    matches the maze's default spawn)."""
+    from mirror_maze_tpu.__main__ import main
+    from mirror_maze_tpu.scene import save_scene
+    from mirror_maze_tpu.scene.builder import Scene
+    from mirror_maze_tpu.utils.imageio import read_png
+
+    # One warm light panel 5 units down +z, nothing else: any lit pixel
+    # proves the loaded soup (not a maze) is what rendered.
+    scene = Scene(
+        origin=np.float32([[-4.0, -3.0, 5.0]]),
+        v=np.float32([[8.0, 0.0, 0.0]]),
+        u=np.float32([[0.0, 6.0, 0.0]]),
+        color=np.float32([[0.0, 0.0, 0.0]]),
+        is_mirror=np.array([False]),
+        emission=np.float32([[1.0, 0.8, 0.3, 2.0]]),
+        grid=np.zeros((1, 1), np.uint8),
+    )
+    path = str(tmp_path / "panel.npz")
+    save_scene(path, scene)
+    out = str(tmp_path / "panel.png")
+    rc = main(["render", "--config", "v0", "--scene", path,
+               "--spawn", "0,0,0", "--look", "0,0,1",
+               "--width", "48", "--height", "32", "--spp", "2",
+               "--out", out])
+    assert rc == 0
+    img = np.asarray(read_png(out))
+    assert img.shape == (32, 48, 3)
+    # The panel spans most of the view frustum at z=5; its warm light
+    # must dominate the frame against the black miss background.
+    assert img[:, :, 0].mean() > 40

@@ -137,3 +137,20 @@ def test_morton_shared_interleave_known_values_and_dtypes():
     jy = jnp.asarray(y, jnp.uint32)
     jcodes = np.asarray(morton2(jx, jy)).astype(np.uint64)
     assert np.array_equal(jcodes, codes)
+
+
+def test_from_look_dir_parallel_to_forward_is_identity():
+    """A look direction exactly along the reference forward (0,0,1) has a
+    zero rotation axis; from_look_dir must return the exact identity
+    quaternion, not the NaN an unguarded normalize(0) produces (past
+    bug: `--look 0,0,1` rendered black)."""
+    from mirror_maze_tpu.ops import quat as quat_ops
+
+    q = np.asarray(quat_ops.from_look_dir(jnp.float32([0.0, 0.0, 1.0])))
+    assert np.array_equal(q, [0.0, 0.0, 0.0, 1.0])
+    # Scaled parallel looks too.
+    q2 = np.asarray(quat_ops.from_look_dir(jnp.float32([0.0, 0.0, 7.5])))
+    assert np.array_equal(q2, [0.0, 0.0, 0.0, 1.0])
+    # And the near-parallel case still matches the reference convention.
+    q3 = np.asarray(quat_ops.from_look_dir(jnp.float32([0.1, 0.0, 1.0])))
+    assert np.all(np.isfinite(q3)) and abs(q3[1]) > 0.01

@@ -302,3 +302,55 @@ def test_custom_scene_drives_the_full_engine():
         # z=10 minus the 0.5 player half-extent caps z below 9.5 anyway,
         # and forward progress must have happened.
         assert c[2] > 0.5, c
+
+
+def test_scene_npz_roundtrip_bit_exact(tmp_path):
+    """save_scene/load_scene must round-trip every field bit-exactly —
+    the scene analog of the engine-state checkpoint guarantee."""
+    from mirror_maze_tpu.config import MazeConfig
+    from mirror_maze_tpu.scene import build_scene, load_scene, save_scene
+
+    scene = build_scene(MazeConfig(width=6, height=6, seed=11))
+    path = str(tmp_path / "world.npz")
+    save_scene(path, scene)
+    back = load_scene(path)
+    for name in ("origin", "v", "u", "color", "is_mirror", "emission",
+                 "grid", "kind"):
+        a, b = getattr(scene, name), getattr(back, name)
+        assert a.dtype == b.dtype, name
+        assert np.array_equal(a, b), name
+
+
+def test_scene_npz_optional_and_invalid_fields(tmp_path):
+    """Archives of just the six plane arrays load (kind/grid default);
+    missing required fields and wrong shapes fail with named errors, not
+    opaque upload-time shape errors."""
+    import pytest
+
+    from mirror_maze_tpu.scene import load_scene
+
+    n = 3
+    fields = dict(
+        origin=np.zeros((n, 3), np.float32),
+        v=np.tile(np.float32([1, 0, 0]), (n, 1)),
+        u=np.tile(np.float32([0, 1, 0]), (n, 1)),
+        color=np.full((n, 3), 0.5, np.float32),
+        is_mirror=np.zeros(n, bool),
+        emission=np.zeros((n, 4), np.float32),
+    )
+    bare = str(tmp_path / "bare.npz")
+    np.savez(bare, **fields)
+    s = load_scene(bare)
+    assert s.num_planes == n
+    assert np.array_equal(s.kind, np.zeros(n, np.uint8))
+    assert s.grid.shape == (1, 1)
+
+    missing = str(tmp_path / "missing.npz")
+    np.savez(missing, **{k: v for k, v in fields.items() if k != "color"})
+    with pytest.raises(ValueError, match="color"):
+        load_scene(missing)
+
+    bad = str(tmp_path / "bad.npz")
+    np.savez(bad, **{**fields, "emission": np.zeros((n, 3), np.float32)})
+    with pytest.raises(ValueError, match="emission"):
+        load_scene(bad)
