@@ -38,7 +38,7 @@ inline double half_area(V3 lo, V3 hi) {
 
 struct Builder {
   int n;
-  std::vector<V3> lo_pts;   // per-prim min over its 3 growth corners
+  std::vector<V3> lo_pts;   // per-prim min over its 4 growth corners
   std::vector<V3> hi_pts;   // per-prim max
   std::vector<V3> centers;
   std::vector<int64_t> prim_index;
@@ -200,8 +200,14 @@ void* mmx_bvh_build(const float* origin, const float* u, const float* v,
     V3 o = {origin[3 * i], origin[3 * i + 1], origin[3 * i + 2]};
     V3 cu = {o.x + u[3 * i], o.y + u[3 * i + 1], o.z + u[3 * i + 2]};
     V3 cv = {o.x + v[3 * i], o.y + v[3 * i + 1], o.z + v[3 * i + 2]};
-    b->lo_pts[i] = vmin(o, vmin(cu, cv));
-    b->hi_pts[i] = vmax(o, vmax(cu, cv));
+    // Fourth corner (o + u) + v — same double-sum order as the Python
+    // twin. The reference grows over only three corners
+    // (main.rs:95-97), which misses rotated quads' far-corner triangle
+    // (see scene/bvh.py docstring); four-corner growth is identical
+    // for its axis-aligned quads.
+    V3 cuv = {cu.x + v[3 * i], cu.y + v[3 * i + 1], cu.z + v[3 * i + 2]};
+    b->lo_pts[i] = vmin(vmin(o, cuv), vmin(cu, cv));
+    b->hi_pts[i] = vmax(vmax(o, cuv), vmax(cu, cv));
     // center = origin + (u + v) / 2 (main.rs:69-71)
     b->centers[i] = {o.x + (cu.x - o.x + cv.x - o.x) * 0.5,
                      o.y + (cu.y - o.y + cv.y - o.y) * 0.5,

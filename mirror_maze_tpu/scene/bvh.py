@@ -7,8 +7,14 @@ sorted per axis and prefix/suffix AABBs give every candidate's cost in one
 vectorized pass.
 
 Semantics preserved from the reference:
-- node bounds grow over exactly three quad corners: origin, origin+u,
-  origin+v (`main.rs:91-101`) — sufficient for axis-aligned quads;
+- node bounds grow over the quad corners. DELIBERATE FIX vs the
+  reference: `main.rs:91-101` grows over only THREE corners (origin,
+  origin+u, origin+v), which is tight for its axis-aligned maze quads
+  but MISSES the far-corner triangle of a rotated quad — the traversal
+  and host collision then skip real geometry (found by the rotated
+  Cornell-box blocks, tests/test_examples.py). We grow over all four;
+  for axis-aligned quads min/max over four corners equals the
+  reference's three, so maze BVHs are bit-identical to before;
 - every primitive centroid on every axis is a split candidate, cost =
   count * half-surface-area per side (`main.rs:118-129, 180-211`);
 - candidates with an empty side evaluate to 1e30, matching the reference
@@ -117,15 +123,20 @@ def build_bvh(
             raise RuntimeError("native BVH builder unavailable")
 
     n = origin.shape[0]
-    # Three growth corners per quad (`main.rs:95-97`) and centroids
-    # (`main.rs:69-71`: origin + (u + v) / 2). Promote to float64 BEFORE
-    # the adds — the C++ twin (bvh_builder.cpp) sums in double, and a
-    # float32 rounding on e.g. -49.9 + 9.9 can flip the strict-< SAH
-    # partition, diverging the two builders' topology.
+    # All FOUR growth corners per quad (the reference uses three,
+    # `main.rs:95-97` — see the module docstring for why that is a bug
+    # for rotated quads) and centroids (`main.rs:69-71`:
+    # origin + (u + v) / 2). Promote to float64 BEFORE the adds — the
+    # C++ twin (bvh_builder.cpp) sums in double, and a float32 rounding
+    # on e.g. -49.9 + 9.9 can flip the strict-< SAH partition,
+    # diverging the two builders' topology.
     origin64 = np.asarray(origin, np.float64)
     u64 = np.asarray(u, np.float64)
     v64 = np.asarray(v, np.float64)
-    pts = np.stack([origin64, origin64 + u64, origin64 + v64], axis=1)
+    pts = np.stack(
+        [origin64, origin64 + u64, origin64 + v64,
+         origin64 + u64 + v64], axis=1
+    )
     centers = origin64 + 0.5 * (u64 + v64)
 
     prim_index = np.arange(n, dtype=np.int64)

@@ -279,3 +279,26 @@ def test_alt_chords_and_ss3_arrows():
     assert float(inp.mouse_dx) == 0.0
     inp = loop._parse_input(b"C")
     assert float(inp.mouse_dx) == InteractiveLoop.YAW_STEP
+
+
+def test_native_matches_numpy_on_rotated_quads():
+    """The twins must stay bit-identical on NON-axis-aligned geometry
+    too (both grow node bounds over all four quad corners — the
+    reference's 3-corner growth is a documented fixed bug,
+    scene/bvh.py)."""
+    r = np.random.default_rng(11)
+    n = 200
+    th = r.uniform(0, np.pi, n)
+    u = np.stack([3 * np.cos(th), r.uniform(-1, 1, n), 3 * np.sin(th)], -1)
+    v = np.stack([-2 * np.sin(th), r.uniform(1, 3, n), 2 * np.cos(th)], -1)
+    o = r.uniform(-50, 50, (n, 3)).astype(np.float32)
+    u = u.astype(np.float32)
+    v = v.astype(np.float32)
+    a = build_bvh(o, u, v, backend="numpy")
+    b = build_bvh_native(o, u, v)
+    assert b is not None
+    np.testing.assert_array_equal(a.left_first, b.left_first)
+    np.testing.assert_array_equal(a.count, b.count)
+    np.testing.assert_array_equal(a.prim_index, b.prim_index)
+    np.testing.assert_array_equal(a.aabb_min, b.aabb_min)
+    np.testing.assert_array_equal(a.aabb_max, b.aabb_max)
