@@ -47,17 +47,66 @@ def ray_aabb(
     return jnp.where(hit, tn, BIG)
 
 
+def sphere_ts(
+    scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, t_min: float
+) -> jnp.ndarray:
+    """Per-(ray, sphere) hit distances [R, S]; BIG where missed.
+
+    The reference carries a ray-sphere intersector as DEAD code
+    (`shaders.metal:69-85` — never dispatched, and with a sign bug: its
+    half-chord is sqrt(r^2 + p^2) where circle geometry needs
+    sqrt(r^2 - p^2)). This is the corrected near-root quadratic in the
+    engine's MXU-friendly affine form: with b = d.o - d.c and
+    q = |o|^2 - 2 o.c + (|c|^2 - r^2), a hit needs disc = b^2 - q > 0
+    and t = -b - sqrt(disc) > t_min. Near root only: rays starting
+    inside a sphere pass through (same convention as the reference's
+    near-root-only dead code). Both b and q are contractions against
+    per-sphere constants — the same quantities the pallas kernel's
+    sphere group computes on the MXU (mode 3, pallas_tracer.py).
+    """
+    sdo = jnp.sum(o * d, axis=-1, keepdims=True)       # [R, 1]
+    soo = jnp.sum(o * o, axis=-1, keepdims=True)
+    b = sdo - d @ scene.sph_center.T                   # [R, S]
+    # q via one [R,4]x[4,S] contraction mirroring the kernel's W row
+    # (-2c | c2r2), so the summation order matches the MXU quantity.
+    w1 = jnp.concatenate(
+        [-2.0 * scene.sph_center, scene.sph_c2r2[:, None]], axis=-1
+    )                                                  # [S, 4]
+    ones = jnp.ones_like(o[..., :1])
+    q = soo + jnp.concatenate([o, ones], axis=-1) @ w1.T
+    disc = b * b - q
+    ts = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+    ok = (disc > 0.0) & (ts > t_min)
+    return jnp.where(ok, ts, BIG)
+
+
+def _merge_spheres(scene, o, d, t_min, t, idx):
+    """Fold sphere hits into a plane-backend (t, idx) result; sphere i
+    reports index num_planes + i. Strictly-closer wins, so an exact
+    plane/sphere tie keeps the plane (measure-zero)."""
+    ts = sphere_ts(scene, o, d, t_min)
+    ts_min = jnp.min(ts, axis=-1)
+    s_idx = jnp.argmin(ts, axis=-1).astype(jnp.int32)
+    better = ts_min < t
+    return (
+        jnp.where(better, ts_min, t),
+        jnp.where(better, scene.num_planes + s_idx, idx),
+    )
+
+
 def nearest_hit_brute(
     scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, t_min: float
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """All-planes nearest hit. o, d: [R, 3] -> (t [R], idx [R]).
+    """All-primitives nearest hit. o, d: [R, 3] -> (t [R], idx [R]).
 
     The plane equation t = (c - o.n)/(d.n) and both edge projections expand
     into ray-matrix contractions against precomputed per-plane constants, so
     the whole scene test is six [R,3]x[3,P] matmuls + elementwise selects.
     Ties pick the lowest plane index (the reference's pick among coincident
     planes is BVH-traversal-order dependent; any consistent rule matches one
-    valid reference ordering).
+    valid reference ordering). Scenes with spheres fold them in via
+    ``sphere_ts``; sphere i is index num_planes + i (statically absent
+    for sphere-free scenes — the generated mazes trace unchanged).
     """
     on = o @ scene.normal.T          # [R, P]
     dn = d @ scene.normal.T
@@ -73,7 +122,10 @@ def nearest_hit_brute(
     )
     t = jnp.where(ok, t, BIG)
     idx = jnp.argmin(t, axis=-1).astype(jnp.int32)
-    return jnp.min(t, axis=-1), idx
+    t = jnp.min(t, axis=-1)
+    if scene.num_spheres:
+        return _merge_spheres(scene, o, d, t_min, t, idx)
+    return t, idx
 
 
 @partial(jax.jit, static_argnames=("t_min", "max_depth", "max_leaf"))
@@ -220,4 +272,9 @@ def nearest_hit_bvh(
     t, idx, *_ = jax.lax.while_loop(
         cond, body, (t0, idx0, stack0, sp0, cur0, live0)
     )
+    if scene.num_spheres:
+        # Spheres sit outside the plane BVH (their count is small and
+        # scene-author-controlled); one dense pass after the traversal —
+        # exactly the brute backend's fold, so both backends agree.
+        return _merge_spheres(scene, o, d, t_min, t, idx)
     return t, idx

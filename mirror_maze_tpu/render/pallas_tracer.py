@@ -163,8 +163,11 @@ def spatial_plane_order_key(plane_table) -> np.ndarray:
 
 # Quantities per W tile by test mode (closed-world specialization):
 # mode 0 (full rect test) needs all 6; mode 1 (along-wall only) needs 4;
-# mode 2 (plane test only) needs numer/denom.
-MODE_QUANTITIES = {0: 6, 1: 4, 2: 2}
+# mode 2 (plane test only) needs numer/denom. Mode 3 is the SPHERE
+# group (render/intersect.py sphere_ts): the quadratic's b and q terms
+# are affine in (o, d), so they ride the same fused MXU dot as the
+# plane quantities — 2 rows per sphere.
+MODE_QUANTITIES = {0: 6, 1: 4, 2: 2, 3: 2}
 
 
 def _pack_group(t: jnp.ndarray, mode: int, tile: int = PLANE_TILE):
@@ -251,22 +254,113 @@ def _pack_group(t: jnp.ndarray, mode: int, tile: int = PLANE_TILE):
     return w, props_t, aabbs
 
 
-def pack_intersection_tables(plane_table, tile_by_mode=None):
+SPHERE_WIDTH = 12  # columns of the sphere table (build_sphere_table)
+
+
+def build_sphere_table(scene) -> np.ndarray:
+    """Pack Scene sphere arrays into the kernel's [S, 12] table:
+    0:3 center, 3 inv_r, 4 |c|^2 - r^2, 5:8 albedo, 8:11 premultiplied
+    emission, 11 is_mirror. c2r2 is summed in float64 then rounded once
+    (the same constant upload_scene derives for the jnp backends)."""
+    c = np.asarray(scene.sph_center, np.float32)
+    r = np.asarray(scene.sph_radius, np.float32)
+    em = np.asarray(scene.sph_emission, np.float32)
+    t = np.zeros((c.shape[0], SPHERE_WIDTH), np.float32)
+    t[:, 0:3] = c
+    t[:, 3] = 1.0 / r
+    t[:, 4] = (
+        np.sum(c.astype(np.float64) ** 2, axis=-1)
+        - r.astype(np.float64) ** 2
+    ).astype(np.float32)
+    t[:, 5:8] = np.asarray(scene.sph_color, np.float32)
+    t[:, 8:11] = em[:, :3] * em[:, 3:4]
+    t[:, 11] = np.asarray(scene.sph_is_mirror).astype(np.float32)
+    return t
+
+
+def _pack_sphere_group(t: jnp.ndarray, tile: int = PLANE_TILE):
+    """Pack the [S, 12] sphere table into tiled matmul operands
+    (W [T, 2*PT, 8], propsT [T, 32, PT], aabbs [T, 8]) — the mode-3
+    analog of _pack_group. W row blocks per tile (quantity-major):
+      0: b-part  = -D.c                 -> coeffs [0, 0      | -c, 0]
+      1: q-part  = -2 O.c + (|c|^2-r^2) -> coeffs [-2c, c2r2 | 0, 0]
+    so with the per-ray scalars s_do = D.O and s_oo = |O|^2 the hit
+    test is b = s_do + A0, disc = b^2 - (s_oo + A1),
+    t = -b - sqrt(disc), accepted when disc > 0 and t > t_min
+    (render/intersect.py sphere_ts — the corrected form of the
+    reference's dead sphere intersector, `shaders.metal:69-85`).
+    Padding rows get q-constant +BIG: disc = b^2 - (s_oo + BIG) < 0
+    for any live ray, so they never hit. Property rows: 0:3 CENTER
+    (the normal is reconstructed post-select as (hit - c) * inv_r),
+    3:6 albedo, 6:9 emission, 9 is_mirror, 10 inv_r, 11 is_sphere=1.
+    """
+    s = t.shape[0]
+    pt = min(_round_up(s, 8), tile)
+    n_tiles = -(-_round_up(s, 8) // pt)
+    s8 = n_tiles * pt
+    valid = jnp.arange(s8)[:, None] < s
+    t = jnp.pad(t, ((0, s8 - s), (0, 0)))
+
+    c = t[:, 0:3]
+    lo = jnp.where(valid, c - 1.0 / jnp.where(valid, t[:, 3:4], 1.0), BIG)
+    hi = jnp.where(valid, c + 1.0 / jnp.where(valid, t[:, 3:4], 1.0), -BIG)
+    lo = lo.reshape(n_tiles, pt, 3)
+    hi = hi.reshape(n_tiles, pt, 3)
+    aabbs = jnp.concatenate(
+        [lo.min(axis=1) - 1e-2, hi.max(axis=1) + 1e-2,
+         jnp.zeros((n_tiles, 2))], axis=1
+    ).astype(jnp.float32)                                      # [T, 8]
+
+    z3 = jnp.zeros((s8, 3), jnp.float32)
+    z1 = jnp.zeros((s8, 1), jnp.float32)
+    c2r2 = jnp.where(valid, t[:, 4:5], BIG)
+    quantities = [
+        jnp.concatenate([z3, z1, -c, z1], axis=1),             # b-part
+        jnp.concatenate([-2.0 * c, c2r2, z3, z1], axis=1),     # q-part
+    ]
+    q = jnp.stack([x.reshape(n_tiles, pt, 8) for x in quantities], axis=1)
+    w = q.reshape(n_tiles, 2 * pt, 8)
+
+    vf = valid.astype(jnp.float32)
+    props = jnp.concatenate(
+        [
+            c * vf,                # center (normal reconstruction)
+            t[:, 5:8],             # albedo
+            t[:, 8:11],            # emission (premultiplied)
+            t[:, 11:12],           # is_mirror
+            t[:, 3:4] * vf,        # inv_r
+            vf,                    # is_sphere flag
+            jnp.zeros((s8, PROP_WIDTH - 12), jnp.float32),
+        ],
+        axis=1,
+    )                                                          # [S8, 16]
+    hi_p = props.astype(jnp.bfloat16).astype(jnp.float32)
+    props = jnp.concatenate([hi_p, props - hi_p], axis=1)      # [S8, 32]
+    props_t = props.reshape(n_tiles, pt, 2 * PROP_WIDTH).transpose(0, 2, 1)
+    return w, props_t, aabbs
+
+
+def pack_intersection_tables(plane_table, tile_by_mode=None,
+                             sphere_table=None):
     """Derive the kernel's matmul operands from the [P, 32] plane table.
 
-    Returns a 3-tuple indexed by closed-world test mode (Scene.kind):
-    entry k is None when the scene has no kind-k planes, else the tiled
-    (W, propsT, aabbs) operands from _pack_group — tiles of at most
-    PLANE_TILE planes (overridable per mode via ``tile_by_mode``, a
-    {mode: tile} dict) so [planes, rays] intermediates stay
-    VMEM-resident at ANY scene size (config 5's 64x64 maze has
-    thousands of planes).
+    Returns a 4-tuple indexed by test mode: entries 0-2 by closed-world
+    plane kind (Scene.kind), entry 3 the sphere group. Entry k is None
+    when the scene has no mode-k primitives, else the tiled
+    (W, propsT, aabbs) operands from _pack_group/_pack_sphere_group —
+    tiles of at most PLANE_TILE primitives (overridable per mode via
+    ``tile_by_mode``, a {mode: tile} dict) so [prims, rays]
+    intermediates stay VMEM-resident at ANY scene size (config 5's
+    64x64 maze has thousands of planes).
     The tuple's None/operand structure is static under jit; the kind
     partition itself requires a CONCRETE table (it is done once at scene
     upload — see DeviceScene.mxu_tables).
 
     Mode semantics (see scene/builder.py Scene.kind): 0 = full 2-edge
-    rectangle test, 1 = along-wall edge test only, 2 = plane test only.
+    rectangle test, 1 = along-wall edge test only, 2 = plane test only,
+    3 = spheres (``sphere_table``, a concrete [S, 12] array from
+    build_sphere_table; None or empty for plane-only scenes — whose
+    operand structure, and therefore traced kernel, is unchanged).
     Tables without kind info (column 26 zero) land entirely in mode 0,
     preserving the unspecialized behavior.
     """
@@ -280,6 +374,13 @@ def pack_intersection_tables(plane_table, tile_by_mode=None):
         else:
             tile = (tile_by_mode or {}).get(mode, PLANE_TILE)
             groups.append(_pack_group(jnp.asarray(rows), mode, tile))
+    if sphere_table is not None and np.asarray(sphere_table).shape[0]:
+        tile = (tile_by_mode or {}).get(3, PLANE_TILE)
+        groups.append(
+            _pack_sphere_group(jnp.asarray(sphere_table), tile)
+        )
+    else:
+        groups.append(None)
     return tuple(groups)
 
 
@@ -413,13 +514,27 @@ def _tracer_kernel(
     one_row = jnp.ones(shape, jnp.float32)
     zero_row = jnp.zeros(shape, jnp.float32)
 
-    def tile_tv_from_a(mode, pt, a):
+    def tile_tv_from_a(mode, pt, a, sdo=None, soo=None):
         """[PT, B] elementwise hit tests over precomputed dot products
-        a [q*PT, B]. Returns tv [PT, B] = t where the tile's plane is
-        hit, else BIG. The edge test is specialized by the tile's
+        a [q*PT, B]. Returns tv [PT, B] = t where the tile's primitive
+        is hit, else BIG. The edge test is specialized by the tile's
         closed-world mode (Scene.kind): 0 tests both quad edges, 1 only
         the along-wall edge (vertical extent guaranteed by
-        floor/ceiling), 2 none (world-closing planes)."""
+        floor/ceiling), 2 none (world-closing planes). Mode 3 is the
+        SPHERE quadratic (render/intersect.py sphere_ts): a carries the
+        MXU halves b-part = -D.c and q-part = -2 O.c + c2r2; the
+        ray-quadratic scalars ``sdo`` = D.O and ``soo`` = |O|^2 (shared
+        by every sphere, [1, chunk] rows) complete b and q. Near root
+        only, matching the jnp backends' arithmetic term-for-term.
+        Padding spheres carry q-constant +BIG, so disc < 0 rejects them
+        with no validity lane work (the mode-3 analog of the plane
+        groups' poisoned numer/denom)."""
+        if mode == 3:
+            bq = sdo + a[0 * pt:1 * pt]
+            q = soo + a[1 * pt:2 * pt]
+            disc = bq * bq - q
+            t = -bq - jnp.sqrt(jnp.maximum(disc, 0.0))
+            return jnp.where((disc > 0.0) & (t > t_min), t, BIG)
         numer = a[0 * pt:1 * pt]
         denom = a[1 * pt:2 * pt]
 
@@ -452,7 +567,7 @@ def _tracer_kernel(
             ok = t > t_min
         return jnp.where(ok, t, BIG)
 
-    def dense_nearest(w, specs, props_t, g):
+    def dense_nearest(w, specs, props_t, g, sdo=None, soo=None):
         """Dense nearest-hit over one packed (W, propsT) operand pair:
         MXU dot, mode-specialized hit tests, sublane min-reduce, and a
         one-hot property-select matmul (no gathers — the hit index
@@ -475,11 +590,19 @@ def _tracer_kernel(
         tmins, sels = [], []
         for c0 in range(0, b, lane_chunk):
             gc = jax.lax.slice_in_dim(g, c0, c0 + lane_chunk, axis=1)
+            chunk = lambda x: (
+                None if x is None
+                else jax.lax.slice_in_dim(x, c0, c0 + lane_chunk, axis=1)
+            )
+            sdo_c, soo_c = chunk(sdo), chunk(soo)
             a_c = jnp.dot(w, gc, preferred_element_type=jnp.float32)
             tvs, off = [], 0
             for mode, pt in specs:
                 q = MODE_QUANTITIES[mode]
-                tvs.append(tile_tv_from_a(mode, pt, a_c[off:off + q * pt]))
+                tvs.append(
+                    tile_tv_from_a(mode, pt, a_c[off:off + q * pt],
+                                   sdo_c, soo_c)
+                )
                 off += q * pt
             tv_c = tvs[0] if len(tvs) == 1 else jnp.concatenate(tvs, axis=0)
             tmin_c = jnp.min(tv_c, axis=0, keepdims=True)  # [1, chunk]
@@ -499,11 +622,14 @@ def _tracer_kernel(
             jnp.concatenate(sels, axis=1),
         )
 
-    def nearest_tile(mode, pt, w, props_t, g, tmin_in, sel_in):
+    def nearest_tile(mode, pt, w, props_t, g, tmin_in, sel_in,
+                     sdo=None, soo=None):
         """One plane tile's dense_nearest merged with the running
         winner by a strict-< test: ties ACROSS tiles keep the earlier
         winner (measure-zero, see dense_nearest)."""
-        tile_tmin, sel = dense_nearest(w, ((mode, pt),), props_t, g)
+        tile_tmin, sel = dense_nearest(
+            w, ((mode, pt),), props_t, g, sdo, soo
+        )
         better = tile_tmin < tmin_in                          # [1, B]
         return (
             jnp.minimum(tile_tmin, tmin_in),
@@ -523,6 +649,18 @@ def _tracer_kernel(
         g = jnp.concatenate(
             [ox, oy, oz, one_row, dx, dy, dz, zero_row], axis=0
         )                                                     # [8, B]
+        # Ray-quadratic scalars for the sphere group (mode 3): D.O and
+        # |O|^2, shared by EVERY sphere, so they are computed once per
+        # nearest() call instead of riding per-sphere rows. Statically
+        # absent for sphere-free scenes — the traced plane-only kernel
+        # is unchanged. Term order matches render/intersect.py
+        # sphere_ts (x + y + z left-to-right) for interpreter-exact
+        # cross-backend agreement.
+        if any(m[0] == 3 for m in group_meta):
+            sdo = ox * dx + oy * dy + oz * dz                 # [1, B]
+            soo = ox * ox + oy * oy + oz * oz
+        else:
+            sdo = soo = None
         single = [(gi, m) for gi, m in enumerate(group_meta) if m[1] == 1]
         # Multi-tile groups run LARGEST first: the group with the most
         # tiles (full-height walls in generated mazes) has the tightest
@@ -557,7 +695,8 @@ def _tracer_kernel(
                 [refs[4 * gi + 2][0] for gi, _ in single], axis=1
             )                                          # [32, sum PT]
             tmin, sel = dense_nearest(
-                w_cat, tuple((m[0], m[2]) for _, m in single), props_cat, g
+                w_cat, tuple((m[0], m[2]) for _, m in single), props_cat,
+                g, sdo, soo,
             )
         else:
             tmin = jnp.full(shape, BIG, jnp.float32)
@@ -615,7 +754,8 @@ def _tracer_kernel(
 
                 def run(cc):
                     new_tmin, new_sel = nearest_tile(
-                        mode, pt, w_ref[ti], props_ref[ti], g, cc[0], cc[1]
+                        mode, pt, w_ref[ti], props_ref[ti], g,
+                        cc[0], cc[1], sdo, soo,
                     )
                     return (new_tmin, new_sel, cc[2] + 1, wide(new_tmin))
 
@@ -641,6 +781,20 @@ def _tracer_kernel(
         cr, cg, cb = wide(sel[3:4]), wide(sel[4:5]), wide(sel[5:6])
         er, eg, eb = wide(sel[6:7]), wide(sel[7:8]), wide(sel[8:9])
         mir = wide(sel[9:10])
+        if any(m[0] == 3 for m in group_meta):
+            # Sphere winners carry their CENTER in sel rows 0:3 (a
+            # position-dependent normal cannot ride the one-hot select);
+            # reconstruct n = (hit - c) * inv_r with the same o + d*t
+            # arithmetic the origin update below uses, matching the jnp
+            # tracer term-for-term (render/tracer.py). sel row 10 is
+            # inv_r, row 11 the is_sphere flag (zero for planes and for
+            # no-hit lanes, whose sel is all zero — those lanes keep the
+            # plane path and are dead or masked downstream anyway).
+            inv_r = wide(sel[10:11])
+            is_sph = wide(sel[11:12]) > 0.0
+            nx = jnp.where(is_sph, (ox + dx * t - nx) * inv_r, nx)
+            ny = jnp.where(is_sph, (oy + dy * t - ny) * inv_r, ny)
+            nz = jnp.where(is_sph, (oz + dz * t - nz) * inv_r, nz)
 
         hit = alive & (t < BIG)
         if sky[3] != 0.0:
@@ -773,7 +927,7 @@ def _tracer_kernel(
     ),
 )
 def _trace_padded(
-    tables: tuple,              # pack_intersection_tables() 3-tuple
+    tables: tuple,              # pack_intersection_tables() 4-tuple
     g_all: jnp.ndarray,         # [8, R] component-major padded rays
     seed: jnp.ndarray,          # [1] int32
     anchor: jnp.ndarray,        # [3] f32 near-to-far tile-order anchor

@@ -42,11 +42,24 @@ class DeviceScene(NamedTuple):
     # Leaf AABBs for the collision query (scene/collision.py).
     leaf_min: jnp.ndarray   # [L, 3]
     leaf_max: jnp.ndarray   # [L, 3]
+    # Sphere primitives (Scene.sph_*; zero-length for generated mazes).
+    # sph_c2r2 = |center|^2 - radius^2 is precomputed ONCE here so the
+    # jnp tracers and the pallas kernel consume the identical f32
+    # constant (their hit tests agree bit-for-bit where the arithmetic
+    # order matches).
+    sph_center: jnp.ndarray     # [S, 3]
+    sph_radius: jnp.ndarray     # [S]
+    sph_inv_r: jnp.ndarray      # [S] 1 / radius
+    sph_c2r2: jnp.ndarray       # [S] |center|^2 - radius^2
+    sph_color: jnp.ndarray      # [S, 3]
+    sph_is_mirror: jnp.ndarray  # [S] bool
+    sph_emission: jnp.ndarray   # [S, 4]
     # Packed [P, 32] table for the Pallas wavefront kernel
     # (render/pallas_tracer.py PLANE_COLS), Morton-ordered within each
     # closed-world test kind, plus its derived matmul operand groups
-    # (pack_intersection_tables) computed once at upload: a 3-tuple
-    # indexed by kind, each None or (W, propsT, tile AABBs).
+    # (pack_intersection_tables) computed once at upload: a 4-tuple
+    # indexed by test mode (kinds 0-2, entry 3 the sphere group), each
+    # None or (W, propsT, tile AABBs).
     plane_table: jnp.ndarray
     mxu_tables: tuple
     # Noise texture [S, S] float32 in [0,1) — the reference's RNG seed
@@ -57,13 +70,17 @@ class DeviceScene(NamedTuple):
     def num_planes(self) -> int:
         return self.normal.shape[0]
 
+    @property
+    def num_spheres(self) -> int:
+        return self.sph_center.shape[0]
+
 
 def upload_scene(
     scene: Scene, bvh: BVH | None = None, noise: np.ndarray | None = None
 ) -> DeviceScene:
     """Build derived constants + BVH and place everything on device."""
     from ..utils.noise import generate_noise
-    from .pallas_tracer import pack_intersection_tables
+    from .pallas_tracer import build_sphere_table, pack_intersection_tables
 
     if bvh is None:
         bvh = build_bvh(scene.origin, scene.u, scene.v)
@@ -72,9 +89,34 @@ def upload_scene(
     der = scene.derived()
     table = _ordered_plane_table(der, scene)
     mxu_tables = jax.tree.map(
-        jnp.asarray, pack_intersection_tables(table)
+        jnp.asarray,
+        pack_intersection_tables(
+            table,
+            sphere_table=(
+                build_sphere_table(scene) if scene.num_spheres else None
+            ),
+        ),
     )
     leaf_min, leaf_max = bvh.leaf_boxes()
+    # Collision sees spheres as their bounding boxes appended to the BVH
+    # leaf-box set — the same conservative AABB-vs-AABB predicate the
+    # reference uses for all collision (`main.rs:237-244` on node boxes).
+    center = np.asarray(scene.sph_center, np.float32)
+    radius = np.asarray(scene.sph_radius, np.float32)
+    if scene.num_spheres:
+        leaf_min = np.concatenate(
+            [leaf_min, center - radius[:, None]], axis=0
+        )
+        leaf_max = np.concatenate(
+            [leaf_max, center + radius[:, None]], axis=0
+        )
+    # float64 squares/sums, rounded once to f32 (the bvh builder's
+    # promote-before-add lesson): every backend then shares this exact
+    # constant instead of re-rounding its own.
+    c2r2 = (
+        np.sum(center.astype(np.float64) ** 2, axis=-1)
+        - radius.astype(np.float64) ** 2
+    ).astype(np.float32)
     as_dev = lambda a: jnp.asarray(a)
     return DeviceScene(
         normal=as_dev(der.normal),
@@ -94,6 +136,13 @@ def upload_scene(
         bvh_prim=as_dev(bvh.prim_index),
         leaf_min=as_dev(leaf_min.astype(np.float32)),
         leaf_max=as_dev(leaf_max.astype(np.float32)),
+        sph_center=as_dev(center),
+        sph_radius=as_dev(radius),
+        sph_inv_r=as_dev((1.0 / radius).astype(np.float32)),
+        sph_c2r2=as_dev(c2r2),
+        sph_color=as_dev(np.asarray(scene.sph_color, np.float32)),
+        sph_is_mirror=as_dev(np.asarray(scene.sph_is_mirror, bool)),
+        sph_emission=as_dev(np.asarray(scene.sph_emission, np.float32)),
         plane_table=as_dev(table),
         mxu_tables=mxu_tables,
         noise=as_dev(np.asarray(noise, dtype=np.float32)),

@@ -73,15 +73,45 @@ def trace_paths(
             lambda i, s: jax.random.fold_in(jax.random.fold_in(key, i), s)
         )(idx_ints, seed_ints)
 
+    n_planes = scene.num_planes
+    n_sph = scene.num_spheres
+    if n_sph:
+        # Primitive-indexed property tables over planes ++ spheres
+        # (nearest_fn reports sphere i as index n_planes + i). Loop
+        # invariant; hoisted by XLA. Statically absent for sphere-free
+        # scenes, whose traced program is unchanged.
+        albedo_all = jnp.concatenate([scene.color, scene.sph_color], 0)
+        em_all = jnp.concatenate([scene.emission, scene.sph_emission], 0)
+        mir_all = jnp.concatenate([scene.is_mirror, scene.sph_is_mirror], 0)
+
     def body(it, st):
         o, d, thr, light, mh, dc, alive = st
         t, idx = nearest_fn(o, d)
         hit = alive & (t < BIG)
 
-        n = scene.normal[idx]
-        albedo = scene.color[idx]
-        em = scene.emission[idx]
-        mir = scene.is_mirror[idx]
+        if n_sph:
+            albedo = albedo_all[idx]
+            em = em_all[idx]
+            mir = mir_all[idx]
+            # Sphere normals are position-dependent: (hit - c) * 1/r,
+            # the same arithmetic the pallas kernel applies after its
+            # one-hot select. Gathers are clipped so each side reads a
+            # valid row; the where picks the meaningful one.
+            si = idx - n_planes
+            is_s = si >= 0
+            sc = scene.sph_center[jnp.clip(si, 0, n_sph - 1)]
+            inv_r = scene.sph_inv_r[jnp.clip(si, 0, n_sph - 1)]
+            hit_p = o + d * t[..., None]
+            n = jnp.where(
+                is_s[..., None],
+                (hit_p - sc) * inv_r[..., None],
+                scene.normal[jnp.minimum(idx, n_planes - 1)],
+            )
+        else:
+            n = scene.normal[idx]
+            albedo = scene.color[idx]
+            em = scene.emission[idx]
+            mir = scene.is_mirror[idx]
         side = -jnp.sign(dot(d, n))
 
         # Branch masks (`shaders.metal:311, 324`): diffuse material or any

@@ -51,14 +51,44 @@ class Scene:
     # Defaults to all-zero (full tests everywhere): always correct, just
     # unspecialized — so hand-built test scenes need not set it.
     kind: np.ndarray | None = None  # [N] uint8
+    # Sphere primitives (custom scenes only; generated mazes have none).
+    # The reference carries a sphere intersector as dead code
+    # (`shaders.metal:69-85` — never dispatched, and buggy: its
+    # half-chord is sqrt(r^2 + p^2) where the circle geometry needs
+    # sqrt(r^2 - p^2)); here spheres are first-class on every backend.
+    # One-sided from OUTSIDE: only the near root t = -b - sqrt(disc) is
+    # accepted (> t_min), so rays starting inside a sphere pass through
+    # — the same convention as the reference's near-root-only dead code.
+    sph_center: np.ndarray | None = None    # [S, 3] float32
+    sph_radius: np.ndarray | None = None    # [S] float32, > 0
+    sph_color: np.ndarray | None = None     # [S, 3] albedo
+    sph_is_mirror: np.ndarray | None = None  # [S] bool
+    sph_emission: np.ndarray | None = None  # [S, 4] rgb + strength
 
     def __post_init__(self):
         if self.kind is None:
             self.kind = np.zeros(self.origin.shape[0], dtype=np.uint8)
+        if self.sph_center is None:
+            self.sph_center = np.zeros((0, 3), dtype=np.float32)
+        s = self.sph_center.shape[0]
+        if self.sph_radius is None:
+            self.sph_radius = np.ones(s, dtype=np.float32)
+        if self.sph_color is None:
+            self.sph_color = np.full((s, 3), 0.5, dtype=np.float32)
+        if self.sph_is_mirror is None:
+            self.sph_is_mirror = np.zeros(s, dtype=bool)
+        if self.sph_emission is None:
+            self.sph_emission = np.zeros((s, 4), dtype=np.float32)
+        if s and not np.all(np.asarray(self.sph_radius) > 0):
+            raise ValueError("sphere radii must be positive")
 
     @property
     def num_planes(self) -> int:
         return self.origin.shape[0]
+
+    @property
+    def num_spheres(self) -> int:
+        return self.sph_center.shape[0]
 
     def derived(self) -> "SceneDerived":
         return SceneDerived.from_scene(self)
@@ -69,10 +99,21 @@ class SceneDerived:
     """Precomputed per-plane intersection constants.
 
     The reference kernel recomputes normalize(cross(v, u)) and the edge
-    projections per ray-plane test (`shaders.metal:51-67`). On TPU we hoist
-    them: with w1 = v/|v|^2, w2 = u/|u|^2 the in-rectangle test
-    0 <= dot(X-origin, v)/|v| <= |v| becomes 0 <= dot(X, w1) - b1 <= 1 —
-    pure FMAs over precomputed constants.
+    PROJECTIONS per ray-plane test (`shaders.metal:51-67`):
+    0 <= dot(X-origin, v)/|v| <= |v|. That projection test is exact only
+    for ORTHOGONAL edge pairs — every quad the reference ever builds —
+    and for skewed parallelograms accepts a sheared region that extends
+    OUTSIDE the quad's corner AABB, silently diverging from any
+    AABB-based culling (the BVH traversal, the pallas per-tile skip).
+    We instead hoist the exact DUAL BASIS of (u, v): with
+    w1 = (u x n) / dot(u x n, v) and w2 = (v x n) / dot(v x n, u) the
+    in-parallelogram test is 0 <= dot(X, wi) - bi <= 1 — the same pure
+    FMAs over precomputed constants, but the accepted region is the true
+    parallelogram {origin + a*u + b*v : a, b in [0, 1]} for ANY edge
+    pair. For orthogonal quads the duals reduce algebraically to the
+    reference's v/|v|^2, u/|u|^2 (u x n is parallel to v when u.v = 0),
+    so generated-maze output is unchanged. Duals are computed in float64
+    and rounded once.
 
     Degenerate planes (zero-extent wall runs, see scene/maze.py) get
     valid=False and normal/w rows of zeros, keeping NaNs out of the arrays.
@@ -80,9 +121,9 @@ class SceneDerived:
 
     normal: np.ndarray   # [N, 3] unit normal (= normalize(cross(v, u)))
     d: np.ndarray        # [N] plane offset: dot(origin, normal)
-    w1: np.ndarray       # [N, 3] v / |v|^2
+    w1: np.ndarray       # [N, 3] dual of v: (u x n) / dot(u x n, v)
     b1: np.ndarray       # [N] dot(origin, w1)
-    w2: np.ndarray       # [N, 3] u / |u|^2
+    w2: np.ndarray       # [N, 3] dual of u: (v x n) / dot(v x n, u)
     b2: np.ndarray       # [N] dot(origin, w2)
     color: np.ndarray    # [N, 3]
     is_mirror: np.ndarray  # [N] bool
@@ -91,24 +132,39 @@ class SceneDerived:
 
     @staticmethod
     def from_scene(s: Scene) -> "SceneDerived":
-        v, u = s.v, s.u
-        n = np.cross(v, u)
+        v64 = np.asarray(s.v, np.float64)
+        u64 = np.asarray(s.u, np.float64)
+        n = np.cross(v64, u64)
         n_len = np.linalg.norm(n, axis=-1)
-        v2 = np.sum(v * v, axis=-1)
-        u2 = np.sum(u * u, axis=-1)
+        v2 = np.sum(v64 * v64, axis=-1)
+        u2 = np.sum(u64 * u64, axis=-1)
         valid = (n_len > 0) & (v2 > 0) & (u2 > 0)
         safe = np.where(valid, n_len, 1.0)
         normal = n / safe[:, None]
         normal = np.where(valid[:, None], normal, 0.0)
-        w1 = v / np.where(valid, v2, 1.0)[:, None]
-        w2 = u / np.where(valid, u2, 1.0)[:, None]
+        # Dual-basis denominators: dot(u x n, v) = |u x v|^2 / |n_raw|
+        # (> 0) and dot(v x n, u) = -|u x v|^2 / |n_raw| — both nonzero
+        # exactly when the quad is non-degenerate, so `valid` already
+        # guards them.
+        uxn = np.cross(u64, n)
+        vxn = np.cross(v64, n)
+        d1 = np.sum(uxn * v64, axis=-1)
+        d2 = np.sum(vxn * u64, axis=-1)
+        w1 = uxn / np.where(valid, d1, 1.0)[:, None]
+        w2 = vxn / np.where(valid, d2, 1.0)[:, None]
+        # Round the duals to their stored f32 BEFORE deriving b, so the
+        # kernels' s(origin) = dot(origin, w_f32) - b is ~0 with the
+        # constants they actually use.
+        w1 = np.where(valid[:, None], w1, 0.0).astype(np.float32)
+        w2 = np.where(valid[:, None], w2, 0.0).astype(np.float32)
+        o64 = np.asarray(s.origin, np.float64)
         return SceneDerived(
             normal=normal.astype(np.float32),
-            d=np.sum(s.origin * normal, axis=-1).astype(np.float32),
-            w1=w1.astype(np.float32),
-            b1=np.sum(s.origin * w1, axis=-1).astype(np.float32),
-            w2=w2.astype(np.float32),
-            b2=np.sum(s.origin * w2, axis=-1).astype(np.float32),
+            d=np.sum(o64 * normal, axis=-1).astype(np.float32),
+            w1=w1,
+            b1=np.sum(o64 * w1.astype(np.float64), axis=-1).astype(np.float32),
+            w2=w2,
+            b2=np.sum(o64 * w2.astype(np.float64), axis=-1).astype(np.float32),
             color=s.color,
             is_mirror=s.is_mirror,
             emission=s.emission,

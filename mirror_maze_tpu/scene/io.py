@@ -25,9 +25,27 @@ _PLANE_FIELDS = (
     ("kind", np.uint8, ()),
 )
 
+# Per-sphere fields (all optional as a block: pre-sphere archives load
+# with zero spheres, and sphere-free scenes write no sphere arrays, so
+# files round-trip compatibly in both directions).
+_SPHERE_FIELDS = (
+    ("sph_center", np.float32, (3,)),
+    ("sph_radius", np.float32, ()),
+    ("sph_color", np.float32, (3,)),
+    ("sph_is_mirror", np.bool_, ()),
+    ("sph_emission", np.float32, (4,)),
+)
+
 
 def save_scene(path: str, scene: Scene) -> None:
     """Write a scene (generated or hand-built) to a compressed .npz."""
+    sphere = (
+        {
+            name: np.asarray(getattr(scene, name), dtype=dt)
+            for name, dt, _ in _SPHERE_FIELDS
+        }
+        if scene.num_spheres else {}
+    )
     np.savez_compressed(
         path,
         grid=np.asarray(scene.grid),
@@ -35,6 +53,7 @@ def save_scene(path: str, scene: Scene) -> None:
             name: np.asarray(getattr(scene, name), dtype=dt)
             for name, dt, _ in _PLANE_FIELDS
         },
+        **sphere,
     )
 
 
@@ -69,6 +88,22 @@ def load_scene(path: str) -> Scene:
                     "'origin')"
                 )
             arrays[name] = a
+        if "sph_center" in z:
+            s = z["sph_center"].shape[0]
+            for name, dt, trail in _SPHERE_FIELDS:
+                if name not in z:
+                    raise ValueError(
+                        f"scene file {path!r} has spheres but lacks "
+                        f"{name!r} — not a save_scene archive"
+                    )
+                a = np.asarray(z[name], dtype=dt)
+                if a.shape != (s, *trail):
+                    raise ValueError(
+                        f"scene file {path!r}: field {name!r} has shape "
+                        f"{a.shape}, want {(s, *trail)} (s={s} spheres "
+                        "from 'sph_center')"
+                    )
+                arrays[name] = a
         grid = (
             np.asarray(z["grid"], dtype=np.uint8)
             if "grid" in z else np.zeros((1, 1), np.uint8)
