@@ -119,8 +119,19 @@ class _Soup:
         )
 
 
-def build_cornell_box():
-    """The Cornell box as an engine `Scene` (15 quads)."""
+def build_cornell_box(variant="blocks"):
+    """The Cornell box as an engine `Scene`.
+
+    variant="blocks": the classic two rotated boxes (17 quads).
+    variant="spheres": the two-sphere variant — a tall MIRROR sphere
+    left-back and a diffuse white sphere right-front, both resting on
+    the floor (`Scene.sph_*` primitives: the engine's sphere support is
+    the corrected, first-classed form of the reference's dead
+    `ray_sphere_intersect`, `shaders.metal:69-85` — see docs/API.md
+    "Custom scenes"). Sphere normals are position-dependent, so this
+    variant exercises the Pallas kernel's post-select normal
+    reconstruction on a real image.
+    """
     s = _Soup()
     height = FLOOR_Y - CEIL_Y                      # 10
     up = (0.0, -height, 0.0)
@@ -138,6 +149,20 @@ def build_cornell_box():
     # Area light: a panel just under the ceiling, centered.
     s.quad((-2.0, CEIL_Y + 0.01, -1.75), (0, 0, 3.5), (4.0, 0, 0),
            (0.0, 0.0, 0.0), emission=(*LIGHT_RGB, LIGHT_STRENGTH))
+    if variant == "spheres":
+        import dataclasses
+
+        r_mirror, r_diff = 2.2, 1.5
+        return dataclasses.replace(
+            s.scene(),
+            # Resting on the floor: +y is down, so center y = floor - r.
+            sph_center=np.float32([[-2.0, FLOOR_Y - r_mirror, 1.8],
+                                   [2.0, FLOOR_Y - r_diff, -1.7]]),
+            sph_radius=np.float32([r_mirror, r_diff]),
+            sph_color=np.float32([(0, 0, 0), WHITE]),  # mirror: no tint
+            sph_is_mirror=np.array([True, False]),
+            sph_emission=np.zeros((2, 4), np.float32),
+        )
     # Short diffuse block (right-front), tall MIRROR block (left-back).
     s.block(2.0, -1.7, 1.5, 1.5, 3.0, -17.0, WHITE)
     s.block(-2.0, 1.8, 1.5, 1.5, 6.0, 17.0, WHITE, mirror=True)
@@ -152,6 +177,10 @@ def main(argv=None) -> int:
                    choices=["brute", "bvh", "pallas"])
     p.add_argument("--out", default="cornell.png")
     p.add_argument("--save-scene", default="cornell.npz")
+    p.add_argument("--variant", default="blocks",
+                   choices=["blocks", "spheres"],
+                   help="two rotated boxes (classic) or the two-sphere "
+                        "variant (mirror + diffuse spheres)")
     args = p.parse_args(argv)
 
     import jax
@@ -165,10 +194,11 @@ def main(argv=None) -> int:
     from mirror_maze_tpu.scene import save_scene
     from mirror_maze_tpu.utils.imageio import write_png
 
-    scene = build_cornell_box()
+    scene = build_cornell_box(args.variant)
     if args.save_scene:
         save_scene(args.save_scene, scene)
-        print(f"wrote {args.save_scene} ({scene.num_planes} planes)")
+        print(f"wrote {args.save_scene} ({scene.num_planes} planes, "
+              f"{scene.num_spheres} spheres)")
 
     cfg = EngineConfig(
         camera=CameraConfig(spawn=(0.0, -3.0, -10.0), look_dir=(0, 0, 1)),

@@ -468,9 +468,24 @@ def _tracer_kernel(
     t_min: float,
     sky: tuple,          # static (r, g, b, strength, lighting_factor)
     lane_chunk: int,     # dense_nearest chunk width (lanes)
+    exact_rcp: bool,     # exact reciprocals (interpret mode; see _rcp)
 ):
     g_ref = refs[-2]     # VMEM [8, B] ray block: ox,oy,oz,1,dx,dy,dz,seed
     out_ref = refs[-1]   # VMEM out [8, B] rows 0..2 = gathered light
+    # Reciprocal selector. On HARDWARE the approximate VPU reciprocal is
+    # ~2^-16 relative (measured, PERF.md "hardware numerics") — far
+    # inside every margin this kernel relies on. The TPU-semantics
+    # INTERPRETER emulates it at ~2^-8 (measured max 3.9e-3 relative),
+    # i.e. the interpreter is COARSER than the chip: edge-margin hits
+    # within ~2e-3 of a boundary flip on CPU but not on hardware, and
+    # the slab skip's 1e-3 conservative widening is narrower than the
+    # interpreter's rcp error. Interpret runs therefore use exact
+    # division, which is CLOSER to hardware behavior, keeping the CPU
+    # suite's pallas-vs-jnp exactness property honest.
+    if exact_rcp:
+        _rcp = lambda x: 1.0 / x
+    else:
+        _rcp = lambda x: pl.reciprocal(x, approx=True)
     pid = pl.program_id(0)
     b = g_ref.shape[1]
     shape = (1, b)
@@ -538,8 +553,10 @@ def _tracer_kernel(
         numer = a[0 * pt:1 * pt]
         denom = a[1 * pt:2 * pt]
 
-        # t = numer/denom via the APPROXIMATE reciprocal, no Newton
-        # step: measured on v5e the approx rcp is ~2^-16 relative, so t
+        # t = numer/denom via _rcp: on hardware the APPROXIMATE
+        # reciprocal, no Newton step (exact division under the
+        # interpreter — see _rcp above): measured on v5e the approx
+        # rcp is ~2^-16 relative, so t
         # (and the hit position advanced with it) is within ~0.5 mm at
         # the world's largest distances — far below anything visible,
         # and 2 VPU ops/plane cheaper. Do NOT "fix" this by
@@ -551,7 +568,7 @@ def _tracer_kernel(
         # every comparison below rejects it (-inf/NaN via t > t_min;
         # +inf never beats a real hit and equals-BIG columns are
         # discarded by the thresh < BIG guard).
-        t = numer * pl.reciprocal(denom, approx=True)
+        t = numer * _rcp(denom)
         # In-rectangle iff min(s, 1-s) >= 0 for each tested edge.
         if mode == 0:
             s1 = a[2 * pt:3 * pt] + t * a[3 * pt:4 * pt]
@@ -709,9 +726,9 @@ def _tracer_kernel(
         # huge-but-finite slab distances (never 0*inf=NaN).
         oxw, oyw, ozw, dxw, dyw, dzw, alive_w = wide_state
         clamp = lambda r: jnp.clip(r, -BIG, BIG)
-        idx = clamp(pl.reciprocal(dxw, approx=True))
-        idy = clamp(pl.reciprocal(dyw, approx=True))
-        idz = clamp(pl.reciprocal(dzw, approx=True))
+        idx = clamp(_rcp(dxw))
+        idy = clamp(_rcp(dyw))
+        idz = clamp(_rcp(dzw))
         # The skip compares tn against the running best hit, which the
         # dense passes produce in LANE layout; a WIDE copy rides along
         # in the carry and is refreshed only when a tile actually runs
@@ -727,8 +744,9 @@ def _tracer_kernel(
             # live lane's ray can enter the tile's AABB closer than its
             # current best hit. The accept test widens tn/tf by a
             # relative 1e-3 on top of the absolute AABB inflation,
-            # dominating the approximate-reciprocal error (~2^-12
-            # relative) at any distance — strictly conservative.
+            # dominating the hardware approximate-reciprocal error
+            # (~2^-16 relative; exact under the interpreter — _rcp) at
+            # any distance — strictly conservative.
             def tile_body(ti, c, aabb_ref=aabb_ref, w_ref=w_ref,
                           props_ref=props_ref, order_ref=order_ref,
                           mode=mode, pt=pt):
@@ -986,6 +1004,7 @@ def _trace_padded(
         t_min=t_min,
         sky=sky,
         lane_chunk=lane_chunk,
+        exact_rcp=interpret,
     )
     ray_spec = pl.BlockSpec(
         (8, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM

@@ -81,6 +81,17 @@ class Scene:
             self.sph_emission = np.zeros((s, 4), dtype=np.float32)
         if s and not np.all(np.asarray(self.sph_radius) > 0):
             raise ValueError("sphere radii must be positive")
+        # Leading-dim consistency: catches dataclasses.replace() that
+        # sets sph_center but inherits another sphere count's arrays.
+        for f in ("sph_radius", "sph_color", "sph_is_mirror",
+                  "sph_emission"):
+            if getattr(self, f).shape[0] != s:
+                raise ValueError(
+                    f"{f} has {getattr(self, f).shape[0]} rows but "
+                    f"sph_center has {s} — pass all sphere fields "
+                    "together (replace() keeps old arrays, it does not "
+                    "re-default them)"
+                )
 
     @property
     def num_planes(self) -> int:

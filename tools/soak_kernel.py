@@ -1,5 +1,6 @@
 """Kernel exactness soak (PERF.md "Kernel exactness soak"): pallas vs
-the jnp reference tracer over many random quad-soup scenes.
+the jnp reference tracer over many random quad-soup scenes (every odd
+seed also carries a random SPHERE group — the kernel's mode-3 path).
 
 Run: PYTHONPATH="/root/repo:$PYTHONPATH" python tools/soak_kernel.py \
         [n_scenes] [--tpu]
@@ -68,12 +69,27 @@ for seed in range(N):
     em = np.concatenate(
         [r.uniform(0, 1, (n, 3)),
          (r.random((n, 1)) < 0.4) * r.uniform(0, 3, (n, 1))], axis=1)
+    # Half the scenes carry a random sphere group (the pallas mode-3
+    # path, incl. multi-tile once s > PLANE_TILE) — soaked with the
+    # same gates as the quads.
+    s = int(r.integers(1, 160)) if seed % 2 else 0
+    sph = dict(
+        sph_center=r.uniform(-20, 20, (s, 3)).astype(np.float32),
+        sph_radius=r.uniform(0.3, 2.0, s).astype(np.float32),
+        sph_color=r.uniform(0, 1, (s, 3)).astype(np.float32),
+        sph_is_mirror=r.random(s) < 0.3,
+        sph_emission=np.concatenate(
+            [r.uniform(0, 1, (s, 3)),
+             (r.random((s, 1)) < 0.4) * r.uniform(0, 3, (s, 1))],
+            axis=1).astype(np.float32),
+    ) if s else {}
     scene = Scene(
         origin=origin.astype(np.float32), v=v.astype(np.float32),
         u=u.astype(np.float32),
         color=r.uniform(0, 1, (n, 3)).astype(np.float32),
         is_mirror=r.random(n) < float(r.uniform(0, 0.5)),
-        emission=em.astype(np.float32), grid=np.zeros((1, 1), np.uint8))
+        emission=em.astype(np.float32), grid=np.zeros((1, 1), np.uint8),
+        **sph)
     dev = upload_scene(scene)
     cfg = TracerConfig(bounce_limit=1, mirror_limit=int(r.integers(1, 4)))
     rr = np.random.default_rng(seed)
@@ -99,7 +115,7 @@ for seed in range(N):
     status = "OK" if agree >= GATE else "FAIL"
     if status == "FAIL":
         fails.append((seed, n, rows, float(agree)))
-    print(f"seed {seed:2d} n={n:3d} rows={rows:2d} agree={agree:.4f} "
-          f"max={per_ray.max():.2e} {status}", flush=True)
+    print(f"seed {seed:2d} n={n:3d} s={s:3d} rows={rows:2d} "
+          f"agree={agree:.4f} max={per_ray.max():.2e} {status}", flush=True)
 print(f"backend={jax.default_backend()} rays={NR} tol={TOL} gate={GATE} "
       f"FAILURES:", fails)
