@@ -113,12 +113,21 @@ def nearest_hit_brute(
     t = (scene.d[None, :] - on) / dn
     s1 = (o @ scene.w1.T) + t * (d @ scene.w1.T) - scene.b1[None, :]
     s2 = (o @ scene.w2.T) + t * (d @ scene.w2.T) - scene.b2[None, :]
+    # Upper acceptance bound by primitive class: quads test each
+    # barycentric-style coordinate against 1; triangles (kind 3) test
+    # their SUM — s1/s2 are the true barycentric coordinates of the
+    # (u, v) edge pair, so s1 + s2 <= 1 cuts the parallelogram along
+    # its diagonal (scene/builder.py Scene.kind).
     ok = (
         scene.valid[None, :]
         & (dn != 0.0)
         & (t > t_min)
-        & (s1 >= 0.0) & (s1 <= 1.0)
-        & (s2 >= 0.0) & (s2 <= 1.0)
+        & (s1 >= 0.0) & (s2 >= 0.0)
+        & jnp.where(
+            scene.is_tri[None, :],
+            s1 + s2 <= 1.0,
+            (s1 <= 1.0) & (s2 <= 1.0),
+        )
     )
     t = jnp.where(ok, t, BIG)
     idx = jnp.argmin(t, axis=-1).astype(jnp.int32)
@@ -148,7 +157,7 @@ def nearest_hit_bvh(
     columns per iteration and ran gather-bound): per-iteration state is
     fetched by THREE row gathers — node ints [M, 2] (count, left_first),
     BOTH children's AABBs packed at the parent row [M, 12], and one
-    leaf-ordered plane-constant row [N, 14] per slot (prim indirection
+    leaf-ordered plane-constant row [N, 15] per slot (prim indirection
     pre-resolved, the plane id riding along as an f32 column). The
     stack itself is stack-major [S, R] with one-hot level select/merge
     (no scatter/gather at all — see the inline comment), and the nearer
@@ -181,8 +190,9 @@ def nearest_hit_bvh(
          scene.w1[pid_all], scene.b1[pid_all][:, None],
          scene.w2[pid_all], scene.b2[pid_all][:, None],
          scene.valid[pid_all].astype(jnp.float32)[:, None],
-         pid_all.astype(jnp.float32)[:, None]], axis=-1
-    )                                                          # [N, 14]
+         pid_all.astype(jnp.float32)[:, None],
+         scene.is_tri[pid_all].astype(jnp.float32)[:, None]], axis=-1
+    )                                                          # [N, 15]
     n_slots = plane.shape[0]
 
     def slab(bmin, bmax, t_cur):
@@ -234,8 +244,12 @@ def nearest_hit_bvh(
                 (pk[:, 12] > 0.0)
                 & (denom != 0.0)
                 & (tk > t_min)
-                & (s1 >= 0.0) & (s1 <= 1.0)
-                & (s2 >= 0.0) & (s2 <= 1.0)
+                & (s1 >= 0.0) & (s2 >= 0.0)
+                & jnp.where(
+                    pk[:, 14] > 0.0,            # triangle (kind 3)
+                    s1 + s2 <= 1.0,
+                    (s1 <= 1.0) & (s2 <= 1.0),
+                )
             )
             upd = live & is_leaf & (k < ct) & ok & (tk < t)
             t = jnp.where(upd, tk, t)

@@ -118,6 +118,14 @@ def build_plane_table(der, scene=None) -> np.ndarray:
         corners = np.stack([o, o + u, o + v, o + u + v], axis=1)  # [P,4,3]
         t[:, 20:23] = corners.min(axis=1)
         t[:, 23:26] = corners.max(axis=1)
+        # Triangles (kind 3) span only the three corners o, o+u, o+v —
+        # dropping the parallelogram's far corner keeps their tile
+        # AABBs tight (better slab-skip culling on dense meshes).
+        tri = np.asarray(scene.kind) == 3
+        if tri.any():
+            c3 = corners[:, :3]
+            t[tri, 20:23] = c3.min(axis=1)[tri]
+            t[tri, 23:26] = c3.max(axis=1)[tri]
         t[:, 26] = np.asarray(scene.kind, np.float32)
     return t
 
@@ -166,8 +174,11 @@ def spatial_plane_order_key(plane_table) -> np.ndarray:
 # mode 2 (plane test only) needs numer/denom. Mode 3 is the SPHERE
 # group (render/intersect.py sphere_ts): the quadratic's b and q terms
 # are affine in (o, d), so they ride the same fused MXU dot as the
-# plane quantities — 2 rows per sphere.
-MODE_QUANTITIES = {0: 6, 1: 4, 2: 2, 3: 2}
+# plane quantities — 2 rows per sphere. Mode 4 is the TRIANGLE group
+# (Scene.kind == 3): the same 6 plane quantities as mode 0, with the
+# barycentric acceptance s1 >= 0, s2 >= 0, s1 + s2 <= 1 in place of
+# the quad's per-edge [0, 1] tests.
+MODE_QUANTITIES = {0: 6, 1: 4, 2: 2, 3: 2, 4: 6}
 
 
 def _pack_group(t: jnp.ndarray, mode: int, tile: int = PLANE_TILE):
@@ -344,8 +355,10 @@ def pack_intersection_tables(plane_table, tile_by_mode=None,
                              sphere_table=None):
     """Derive the kernel's matmul operands from the [P, 32] plane table.
 
-    Returns a 4-tuple indexed by test mode: entries 0-2 by closed-world
-    plane kind (Scene.kind), entry 3 the sphere group. Entry k is None
+    Returns a 5-tuple indexed by test mode: entries 0-2 by closed-world
+    plane kind (Scene.kind), entry 3 the sphere group, entry 4 the
+    TRIANGLE group (plane rows of kind 3, packed like mode 0 but with
+    the barycentric acceptance — see tile_tv_from_a). Entry k is None
     when the scene has no mode-k primitives, else the tiled
     (W, propsT, aabbs) operands from _pack_group/_pack_sphere_group —
     tiles of at most PLANE_TILE primitives (overridable per mode via
@@ -360,7 +373,8 @@ def pack_intersection_tables(plane_table, tile_by_mode=None,
     rectangle test, 1 = along-wall edge test only, 2 = plane test only,
     3 = spheres (``sphere_table``, a concrete [S, 12] array from
     build_sphere_table; None or empty for plane-only scenes — whose
-    operand structure, and therefore traced kernel, is unchanged).
+    operand structure, and therefore traced kernel, is unchanged),
+    4 = triangles (kind-3 plane rows).
     Tables without kind info (column 26 zero) land entirely in mode 0,
     preserving the unspecialized behavior.
     """
@@ -379,6 +393,12 @@ def pack_intersection_tables(plane_table, tile_by_mode=None,
         groups.append(
             _pack_sphere_group(jnp.asarray(sphere_table), tile)
         )
+    else:
+        groups.append(None)
+    tri_rows = t[kinds == 3]
+    if tri_rows.shape[0]:
+        tile = (tile_by_mode or {}).get(4, PLANE_TILE)
+        groups.append(_pack_group(jnp.asarray(tri_rows), 4, tile))
     else:
         groups.append(None)
     return tuple(groups)
@@ -535,7 +555,8 @@ def _tracer_kernel(
         is hit, else BIG. The edge test is specialized by the tile's
         closed-world mode (Scene.kind): 0 tests both quad edges, 1 only
         the along-wall edge (vertical extent guaranteed by
-        floor/ceiling), 2 none (world-closing planes). Mode 3 is the
+        floor/ceiling), 2 none (world-closing planes), 4 the TRIANGLE
+        barycentric test (s1, s2 >= 0, s1 + s2 <= 1). Mode 3 is the
         SPHERE quadratic (render/intersect.py sphere_ts): a carries the
         MXU halves b-part = -D.c and q-part = -2 O.c + c2r2; the
         ray-quadratic scalars ``sdo`` = D.O and ``soo`` = |O|^2 (shared
@@ -576,6 +597,17 @@ def _tracer_kernel(
             m = jnp.minimum(
                 jnp.minimum(s1, 1.0 - s1), jnp.minimum(s2, 1.0 - s2)
             )
+            ok = (m >= 0.0) & (t > t_min)
+        elif mode == 4:
+            # Triangle (Scene.kind 3): s1/s2 are the barycentric
+            # coordinates of the (u, v) edge pair, so in-triangle iff
+            # min(s1, s2, 1 - (s1 + s2)) >= 0. 1 - (s1 + s2) >= 0 is
+            # sign-exact for the rounded sum (Sterbenz near 1, rounding
+            # monotone elsewhere), so this matches the jnp backends'
+            # s1 + s2 <= 1.0 decision bit-for-bit.
+            s1 = a[2 * pt:3 * pt] + t * a[3 * pt:4 * pt]
+            s2 = a[4 * pt:5 * pt] + t * a[5 * pt:6 * pt]
+            m = jnp.minimum(jnp.minimum(s1, s2), 1.0 - (s1 + s2))
             ok = (m >= 0.0) & (t > t_min)
         elif mode == 1:
             s1 = a[2 * pt:3 * pt] + t * a[3 * pt:4 * pt]
@@ -945,7 +977,7 @@ def _tracer_kernel(
     ),
 )
 def _trace_padded(
-    tables: tuple,              # pack_intersection_tables() 4-tuple
+    tables: tuple,              # pack_intersection_tables() 5-tuple
     g_all: jnp.ndarray,         # [8, R] component-major padded rays
     seed: jnp.ndarray,          # [1] int32
     anchor: jnp.ndarray,        # [3] f32 near-to-far tile-order anchor

@@ -33,6 +33,11 @@ class DeviceScene(NamedTuple):
     is_mirror: jnp.ndarray  # [N] bool
     emission: jnp.ndarray   # [N, 4]
     valid: jnp.ndarray      # [N] bool
+    # Triangle flag (Scene.kind == 3): the jnp intersectors switch the
+    # in-primitive acceptance from the quad's per-edge [0, 1] test to
+    # the barycentric s1 >= 0, s2 >= 0, s1 + s2 <= 1 (the pallas kernel
+    # carries the same split statically as its mode-4 group).
+    is_tri: jnp.ndarray     # [N] bool
     # Flat BVH (`main.rs:74-81` layout: interior count==0, children adjacent).
     bvh_min: jnp.ndarray        # [M, 3]
     bvh_max: jnp.ndarray        # [M, 3]
@@ -129,6 +134,7 @@ def upload_scene(
         is_mirror=as_dev(der.is_mirror),
         emission=as_dev(der.emission),
         valid=as_dev(der.valid),
+        is_tri=as_dev(np.asarray(scene.kind) == 3),
         bvh_min=as_dev(bvh.aabb_min),
         bvh_max=as_dev(bvh.aabb_max),
         bvh_left_first=as_dev(bvh.left_first),

@@ -48,6 +48,15 @@ class Scene:
     #     vertical extent crosses floor/ceiling first at smaller t;
     # 2 = world-closing plane (floor/ceiling/outer boundary), no edge
     #     test — an in-world ray's nearest crossing is always inside.
+    # 3 = TRIANGLE: the primitive is the half-parallelogram
+    #     {origin + a*u + b*v : a, b >= 0, a + b <= 1} — (u, v) are the
+    #     two edges from the shared corner, and the dual-basis
+    #     projections s1/s2 (SceneDerived) are exactly its barycentric
+    #     coordinates, so acceptance is s1 >= 0, s2 >= 0, s1 + s2 <= 1.
+    #     Beyond the reference (whose only primitive is the quad,
+    #     `shaders.metal:51-67`): triangles make arbitrary meshes
+    #     first-class on every backend (scene/mesh.py builds them from
+    #     vertex/face arrays and OBJ files).
     # Defaults to all-zero (full tests everywhere): always correct, just
     # unspecialized — so hand-built test scenes need not set it.
     kind: np.ndarray | None = None  # [N] uint8

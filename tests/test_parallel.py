@@ -813,3 +813,61 @@ def test_sharded_renderer_sphere_scene_all_backends():
         dev, cams, jax.random.PRNGKey(7))
     assert np.isfinite(np.asarray(frames)).all()
     assert float(mean_lum) > 0.0
+
+
+def test_sharded_renderer_triangle_mesh_all_backends():
+    """Triangle meshes ride through the sharded multi-chip renderer:
+    a maze world with a mirror icosphere dropped in (merge_scenes, so
+    quads AND kind-3 triangles share the plane arrays) rendered on the
+    cam x tile mesh must equal the unsharded render_pixels of each
+    camera (brute/bvh switch acceptance per primitive), and the pallas
+    kernel's mode-4 triangle group must run under shard_map."""
+    import dataclasses
+
+    from mirror_maze_tpu.scene.mesh import icosphere, merge_scenes, mesh_scene
+
+    maze = build_scene(MazeConfig(width=4, height=4))
+    verts, faces = icosphere(subdivisions=1, radius=1.0,
+                             center=(3.0, -2.5, 3.0))
+    ball = mesh_scene(verts, faces, color=(0.1, 0.1, 0.1), is_mirror=True)
+    scene = merge_scenes(maze, ball)
+    assert (np.asarray(scene.kind) == 3).sum() == faces.shape[0]
+    dev = upload_scene(scene)
+    assert dev.mxu_tables[4] is not None     # triangle group present
+    mesh = make_mesh(2, 2)
+    cam_cfg = CameraConfig(spawn=(3.0, -2.5, -1.0), look_dir=(0, 0, 1))
+    for intersector in ("brute", "bvh"):
+        cfg = dataclasses.replace(_cfg(), intersector=intersector,
+                                  camera=cam_cfg)
+        base = make_camera(cfg.camera, cfg.screen.width / cfg.screen.height)
+        cams = [base, base._replace(center=base.center + 0.5)]
+        frames, _ = make_sharded_renderer(cfg, mesh)(
+            dev, batch_cameras(cams), jax.random.PRNGKey(11))
+        f = np.asarray(frames)
+        assert np.isfinite(f).all() and f.max() > 0, intersector
+        h, w = cfg.screen.height, cfg.screen.width
+        rows_local = h // 2
+        for ci, cam in enumerate(cams):
+            rows = []
+            for ti in range(2):
+                ys = ti * rows_local + jnp.arange(rows_local)
+                gx = jnp.broadcast_to(jnp.arange(w)[None, :], (rows_local, w))
+                gy = jnp.broadcast_to(ys[:, None], (rows_local, w))
+                pix = jnp.stack([gx, gy], -1).reshape(-1, 2)
+                k = jax.random.fold_in(
+                    jax.random.fold_in(jax.random.PRNGKey(11), ci * 65536),
+                    ti)
+                cols = render_pixels(dev, cam, pix, k, cfg)
+                rows.append(np.asarray(cols).reshape(rows_local, w, 3))
+            np.testing.assert_allclose(
+                f[ci], np.concatenate(rows, axis=0), rtol=1e-5, atol=1e-6,
+                err_msg=intersector)
+    # Pallas: the mode-4 triangle group under shard_map (interpreted
+    # pallas_call per shard) — finite, lit frames.
+    cfg = dataclasses.replace(_cfg(), intersector="pallas", camera=cam_cfg)
+    base = make_camera(cfg.camera, cfg.screen.width / cfg.screen.height)
+    cams = batch_cameras([base, base._replace(center=base.center + 0.5)])
+    frames, mean_lum = make_sharded_renderer(cfg, mesh)(
+        dev, cams, jax.random.PRNGKey(11))
+    assert np.isfinite(np.asarray(frames)).all()
+    assert float(mean_lum) > 0.0

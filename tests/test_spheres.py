@@ -275,8 +275,9 @@ def test_sphere_free_scene_unchanged():
     static structure)."""
     dev = upload_scene(build_scene(MazeConfig(width=4, height=4)))
     assert dev.num_spheres == 0
-    assert dev.mxu_tables[3] is None
-    assert len(dev.mxu_tables) == 4
+    assert dev.mxu_tables[3] is None      # no spheres
+    assert dev.mxu_tables[4] is None      # no triangles
+    assert len(dev.mxu_tables) == 5
 
 
 def test_maze_with_spheres_renders_on_all_backends():

@@ -1,6 +1,8 @@
 """Kernel exactness soak (PERF.md "Kernel exactness soak"): pallas vs
 the jnp reference tracer over many random quad-soup scenes (every odd
-seed also carries a random SPHERE group — the kernel's mode-3 path).
+seed also carries a random SPHERE group — the kernel's mode-3 path —
+and every third seed converts a random subset of its plane rows to
+TRIANGLES, Scene.kind == 3 — the kernel's mode-4 barycentric path).
 
 Run: PYTHONPATH="/root/repo:$PYTHONPATH" python tools/soak_kernel.py \
         [n_scenes] [--tpu]
@@ -83,12 +85,19 @@ for seed in range(N):
              (r.random((s, 1)) < 0.4) * r.uniform(0, 3, (s, 1))],
             axis=1).astype(np.float32),
     ) if s else {}
+    # Every third seed turns a random subset of plane rows into
+    # TRIANGLES (kind 3, the pallas mode-4 barycentric group) — soups
+    # then mix mode-0 quads and mode-4 triangles in one kernel.
+    kind = np.zeros(n, np.uint8)
+    if seed % 3 == 0:
+        kind[r.random(n) < float(r.uniform(0.2, 0.8))] = 3
     scene = Scene(
         origin=origin.astype(np.float32), v=v.astype(np.float32),
         u=u.astype(np.float32),
         color=r.uniform(0, 1, (n, 3)).astype(np.float32),
         is_mirror=r.random(n) < float(r.uniform(0, 0.5)),
         emission=em.astype(np.float32), grid=np.zeros((1, 1), np.uint8),
+        kind=kind,
         **sph)
     dev = upload_scene(scene)
     cfg = TracerConfig(bounce_limit=1, mirror_limit=int(r.integers(1, 4)))
