@@ -162,6 +162,26 @@ def build_cornell_box(variant="blocks"):
             sph_color=np.float32([(0, 0, 0), WHITE]),  # mirror: no tint
             sph_is_mirror=np.array([True, False]),
             sph_emission=np.zeros((2, 4), np.float32),
+            sph_ior=np.zeros(2, np.float32),
+        )
+    if variant == "glass":
+        import dataclasses
+
+        # A GLASS sphere (ior 1.5, faint blue tint) center-front where
+        # it refracts the lit back of the room, next to a tall mirror
+        # block behind it — refraction and reflection in one image.
+        # Exercises the kernel's mode-5 group: Fresnel reflect/refract
+        # split, two-interface paths, far-root exits.
+        s.block(-2.0, 1.8, 1.5, 1.5, 6.0, 17.0, WHITE, mirror=True)
+        r_glass = 1.8
+        return dataclasses.replace(
+            s.scene(),
+            sph_center=np.float32([[1.6, FLOOR_Y - r_glass, -2.2]]),
+            sph_radius=np.float32([r_glass]),
+            sph_color=np.float32([(0.94, 0.97, 1.0)]),
+            sph_is_mirror=np.array([False]),
+            sph_emission=np.zeros((1, 4), np.float32),
+            sph_ior=np.float32([1.5]),
         )
     # Short diffuse block (right-front), tall MIRROR block (left-back).
     s.block(2.0, -1.7, 1.5, 1.5, 3.0, -17.0, WHITE)
@@ -178,9 +198,11 @@ def main(argv=None) -> int:
     p.add_argument("--out", default="cornell.png")
     p.add_argument("--save-scene", default="cornell.npz")
     p.add_argument("--variant", default="blocks",
-                   choices=["blocks", "spheres"],
-                   help="two rotated boxes (classic) or the two-sphere "
-                        "variant (mirror + diffuse spheres)")
+                   choices=["blocks", "spheres", "glass"],
+                   help="two rotated boxes (classic), the two-sphere "
+                        "variant (mirror + diffuse spheres), or the "
+                        "glass variant (dielectric sphere + mirror "
+                        "block: Snell refraction with Schlick Fresnel)")
     args = p.parse_args(argv)
 
     import jax

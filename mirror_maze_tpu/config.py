@@ -72,6 +72,14 @@ class TracerConfig:
     # default: the counter-based seeding is already decorrelated; on, the
     # reference's spatially-correlated grain is reproduced (pallas path).
     noise_rng: bool = False
+    # Dielectric (glass) reflect/refract split. True (default): Schlick
+    # Fresnel probability decides per interaction (physically plausible;
+    # consumes one extra RNG draw per segment on glass-bearing scenes).
+    # False: refract unless total internal reflection — fully
+    # DETERMINISTIC, the seam the cross-backend exactness tests use.
+    # Scenes without dielectrics (Scene.ior all zero) trace identically
+    # under either value (the glass stage is statically absent).
+    fresnel: bool = True
     # Rays per pallas program in units of 128 lanes (B = block_rows*128).
     # Measured on v5e with the wide (8, B/8) ray-state layout (PERF.md):
     # on Morton-sorted chunk windows wider is better — 128 wins single-

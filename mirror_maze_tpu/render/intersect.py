@@ -75,8 +75,21 @@ def sphere_ts(
     ones = jnp.ones_like(o[..., :1])
     q = soo + jnp.concatenate([o, ones], axis=-1) @ w1.T
     disc = b * b - q
-    ts = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+    root = jnp.sqrt(jnp.maximum(disc, 0.0))
+    ts = -b - root
     ok = (disc > 0.0) & (ts > t_min)
+    if scene.sph_ior is not None:
+        # GLASS spheres (ior > 0) are closed surfaces: a refracted ray
+        # travelling inside must be able to exit, so when the near root
+        # is behind t_min the FAR root -b + sqrt(disc) is accepted —
+        # smallest-positive-root semantics (the pallas kernel's mode-5
+        # group computes the identical expression). Opaque spheres keep
+        # the reference's near-root-only pass-through convention
+        # (`shaders.metal:69-85`), statically so for glass-free scenes.
+        tf = -b + root
+        far_ok = (disc > 0.0) & (tf > t_min) & (scene.sph_ior > 0.0)[None, :]
+        ts = jnp.where(ok, ts, jnp.where(far_ok, tf, ts))
+        ok = ok | far_ok
     return jnp.where(ok, ts, BIG)
 
 

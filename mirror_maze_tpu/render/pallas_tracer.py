@@ -84,6 +84,7 @@ PLANE_COLS = dict(
     is_mirror=18, valid=19,
     aabb_lo=(20, 23), aabb_hi=(23, 26),  # quad bounding box
     kind=26,  # closed-world test class (scene/builder.py Scene.kind)
+    ior=27,   # dielectric index of refraction (0 = opaque, Scene.ior)
 )
 PLANE_WIDTH = 32
 PROP_WIDTH = 16  # rows of the transposed property table
@@ -127,6 +128,7 @@ def build_plane_table(der, scene=None) -> np.ndarray:
             t[tri, 20:23] = c3.min(axis=1)[tri]
             t[tri, 23:26] = c3.max(axis=1)[tri]
         t[:, 26] = np.asarray(scene.kind, np.float32)
+        t[:, 27] = np.asarray(scene.ior, np.float32)
     return t
 
 
@@ -177,8 +179,14 @@ def spatial_plane_order_key(plane_table) -> np.ndarray:
 # plane quantities — 2 rows per sphere. Mode 4 is the TRIANGLE group
 # (Scene.kind == 3): the same 6 plane quantities as mode 0, with the
 # barycentric acceptance s1 >= 0, s2 >= 0, s1 + s2 <= 1 in place of
-# the quad's per-edge [0, 1] tests.
-MODE_QUANTITIES = {0: 6, 1: 4, 2: 2, 3: 2, 4: 6}
+# the quad's per-edge [0, 1] tests. Modes 5-7 are the GLASS groups
+# (Scene.ior > 0): 5 = glass spheres (mode-3 quadratic with
+# smallest-POSITIVE-root acceptance — a closed glass surface must be
+# exit-able from inside), 6 = glass quads (mode-0 test), 7 = glass
+# triangles (mode-4 test). Their existence in the group structure is
+# what makes the kernel's dielectric shading stage STATIC: glass-free
+# scenes compile the identical pre-dielectric program.
+MODE_QUANTITIES = {0: 6, 1: 4, 2: 2, 3: 2, 4: 6, 5: 2, 6: 6, 7: 6}
 
 
 def _pack_group(t: jnp.ndarray, mode: int, tile: int = PLANE_TILE):
@@ -239,7 +247,12 @@ def _pack_group(t: jnp.ndarray, mode: int, tile: int = PLANE_TILE):
             t[:, 12:15],   # albedo
             t[:, 15:18],   # emission (premultiplied)
             t[:, 18:19],   # is_mirror
-            jnp.zeros((p8, PROP_WIDTH - 10), jnp.float32),
+            jnp.zeros((p8, 2), jnp.float32),   # (sphere-only rows 10-11)
+            # Row 12: dielectric ior (PLANE_COLS ior). Zero on every
+            # opaque group by the kind/ior partition, so the kernel's
+            # selected row 12 is the winner's ior with no masking.
+            jnp.where(valid, t[:, 27:28], 0.0),
+            jnp.zeros((p8, PROP_WIDTH - 13), jnp.float32),
         ],
         axis=1,
     )                                                          # [P8, 16]
@@ -265,14 +278,15 @@ def _pack_group(t: jnp.ndarray, mode: int, tile: int = PLANE_TILE):
     return w, props_t, aabbs
 
 
-SPHERE_WIDTH = 12  # columns of the sphere table (build_sphere_table)
+SPHERE_WIDTH = 13  # columns of the sphere table (build_sphere_table)
 
 
 def build_sphere_table(scene) -> np.ndarray:
-    """Pack Scene sphere arrays into the kernel's [S, 12] table:
+    """Pack Scene sphere arrays into the kernel's [S, 13] table:
     0:3 center, 3 inv_r, 4 |c|^2 - r^2, 5:8 albedo, 8:11 premultiplied
-    emission, 11 is_mirror. c2r2 is summed in float64 then rounded once
-    (the same constant upload_scene derives for the jnp backends)."""
+    emission, 11 is_mirror, 12 ior (0 = opaque, Scene.sph_ior). c2r2 is
+    summed in float64 then rounded once (the same constant upload_scene
+    derives for the jnp backends)."""
     c = np.asarray(scene.sph_center, np.float32)
     r = np.asarray(scene.sph_radius, np.float32)
     em = np.asarray(scene.sph_emission, np.float32)
@@ -286,6 +300,7 @@ def build_sphere_table(scene) -> np.ndarray:
     t[:, 5:8] = np.asarray(scene.sph_color, np.float32)
     t[:, 8:11] = em[:, :3] * em[:, 3:4]
     t[:, 11] = np.asarray(scene.sph_is_mirror).astype(np.float32)
+    t[:, 12] = np.asarray(scene.sph_ior, np.float32)
     return t
 
 
@@ -341,7 +356,8 @@ def _pack_sphere_group(t: jnp.ndarray, tile: int = PLANE_TILE):
             t[:, 11:12],           # is_mirror
             t[:, 3:4] * vf,        # inv_r
             vf,                    # is_sphere flag
-            jnp.zeros((s8, PROP_WIDTH - 12), jnp.float32),
+            t[:, 12:13] * vf,      # ior (0 = opaque; mode-5 group only)
+            jnp.zeros((s8, PROP_WIDTH - 13), jnp.float32),
         ],
         axis=1,
     )                                                          # [S8, 16]
@@ -355,53 +371,72 @@ def pack_intersection_tables(plane_table, tile_by_mode=None,
                              sphere_table=None):
     """Derive the kernel's matmul operands from the [P, 32] plane table.
 
-    Returns a 5-tuple indexed by test mode: entries 0-2 by closed-world
-    plane kind (Scene.kind), entry 3 the sphere group, entry 4 the
-    TRIANGLE group (plane rows of kind 3, packed like mode 0 but with
-    the barycentric acceptance — see tile_tv_from_a). Entry k is None
-    when the scene has no mode-k primitives, else the tiled
-    (W, propsT, aabbs) operands from _pack_group/_pack_sphere_group —
-    tiles of at most PLANE_TILE primitives (overridable per mode via
-    ``tile_by_mode``, a {mode: tile} dict) so [prims, rays]
-    intermediates stay VMEM-resident at ANY scene size (config 5's
-    64x64 maze has thousands of planes).
-    The tuple's None/operand structure is static under jit; the kind
-    partition itself requires a CONCRETE table (it is done once at scene
-    upload — see DeviceScene.mxu_tables).
+    Returns an 8-tuple indexed by test mode: entries 0-2 the OPAQUE
+    planes by closed-world kind (Scene.kind), entry 3 the opaque sphere
+    group, entry 4 the opaque TRIANGLE group (plane rows of kind 3,
+    packed like mode 0 but with the barycentric acceptance — see
+    tile_tv_from_a), entries 5-7 the GLASS groups (ior > 0): 5 glass
+    spheres (smallest-positive-root acceptance), 6 glass quads (full
+    mode-0 test regardless of kind — always correct), 7 glass
+    triangles. Entry k is None when the scene has no mode-k primitives,
+    else the tiled (W, propsT, aabbs) operands from
+    _pack_group/_pack_sphere_group — tiles of at most PLANE_TILE
+    primitives (overridable per mode via ``tile_by_mode``, a
+    {mode: tile} dict) so [prims, rays] intermediates stay
+    VMEM-resident at ANY scene size (config 5's 64x64 maze has
+    thousands of planes).
+    The tuple's None/operand structure is static under jit; the
+    kind/ior partition itself requires a CONCRETE table (it is done
+    once at scene upload — see DeviceScene.mxu_tables). In particular
+    the presence of any mode-5/6/7 entry is what statically enables
+    the kernel's dielectric shading stage.
 
-    Mode semantics (see scene/builder.py Scene.kind): 0 = full 2-edge
-    rectangle test, 1 = along-wall edge test only, 2 = plane test only,
-    3 = spheres (``sphere_table``, a concrete [S, 12] array from
-    build_sphere_table; None or empty for plane-only scenes — whose
-    operand structure, and therefore traced kernel, is unchanged),
-    4 = triangles (kind-3 plane rows).
+    ``sphere_table`` is a concrete [S, 13] array from
+    build_sphere_table (None or empty for plane-only scenes — whose
+    operand structure, and therefore traced kernel, is unchanged).
     Tables without kind info (column 26 zero) land entirely in mode 0,
     preserving the unspecialized behavior.
     """
     t = np.asarray(plane_table)
     kinds = t[:, 26].astype(np.int32)
+    glass = t[:, 27] > 0.0
     groups = []
     for mode in (0, 1, 2):
-        rows = t[kinds == mode]
+        rows = t[(kinds == mode) & ~glass]
         if rows.shape[0] == 0:
             groups.append(None)
         else:
             tile = (tile_by_mode or {}).get(mode, PLANE_TILE)
             groups.append(_pack_group(jnp.asarray(rows), mode, tile))
-    if sphere_table is not None and np.asarray(sphere_table).shape[0]:
-        tile = (tile_by_mode or {}).get(3, PLANE_TILE)
-        groups.append(
-            _pack_sphere_group(jnp.asarray(sphere_table), tile)
-        )
-    else:
-        groups.append(None)
-    tri_rows = t[kinds == 3]
-    if tri_rows.shape[0]:
-        tile = (tile_by_mode or {}).get(4, PLANE_TILE)
-        groups.append(_pack_group(jnp.asarray(tri_rows), 4, tile))
-    else:
-        groups.append(None)
-    return tuple(groups)
+
+    sph = (
+        np.asarray(sphere_table)
+        if sphere_table is not None and np.asarray(sphere_table).shape[0]
+        else np.zeros((0, SPHERE_WIDTH), np.float32)
+    )
+    sph_glass = sph[:, 12] > 0.0
+    for mode, rows in ((3, sph[~sph_glass]), (5, sph[sph_glass])):
+        if rows.shape[0]:
+            tile = (tile_by_mode or {}).get(mode, PLANE_TILE)
+            groups.append(_pack_sphere_group(jnp.asarray(rows), tile))
+        else:
+            groups.append(None)
+    # Order the tuple by mode index: 0,1,2,3,4,5,6,7 — the sphere modes
+    # were appended as (3, 5); insert 4 between them, then 6 and 7.
+    mode3, mode5 = groups[3], groups[4]
+    groups = groups[:3]
+    for mode, rows in (
+        (4, t[(kinds == 3) & ~glass]),
+        (6, t[(kinds != 3) & glass]),
+        (7, t[(kinds == 3) & glass]),
+    ):
+        if rows.shape[0]:
+            tile = (tile_by_mode or {}).get(mode, PLANE_TILE)
+            groups.append(_pack_group(jnp.asarray(rows), mode, tile))
+        else:
+            groups.append(None)
+    return (groups[0], groups[1], groups[2], mode3, groups[3],
+            mode5, groups[4], groups[5])
 
 
 def _sinpi(t):
@@ -489,9 +524,14 @@ def _tracer_kernel(
     sky: tuple,          # static (r, g, b, strength, lighting_factor)
     lane_chunk: int,     # dense_nearest chunk width (lanes)
     exact_rcp: bool,     # exact reciprocals (interpret mode; see _rcp)
+    fresnel: bool,       # Schlick reflect/refract split (TracerConfig)
 ):
     g_ref = refs[-2]     # VMEM [8, B] ray block: ox,oy,oz,1,dx,dy,dz,seed
     out_ref = refs[-1]   # VMEM out [8, B] rows 0..2 = gathered light
+    # Dielectric stage present iff the scene has glass groups — a STATIC
+    # property of the group structure, so glass-free scenes compile the
+    # identical pre-dielectric program (and RNG stream).
+    has_glass = any(m[0] in (5, 6, 7) for m in group_meta)
     # Reciprocal selector. On HARDWARE the approximate VPU reciprocal is
     # ~2^-16 relative (measured, PERF.md "hardware numerics") — far
     # inside every margin this kernel relies on. The TPU-semantics
@@ -565,11 +605,18 @@ def _tracer_kernel(
         Padding spheres carry q-constant +BIG, so disc < 0 rejects them
         with no validity lane work (the mode-3 analog of the plane
         groups' poisoned numer/denom)."""
-        if mode == 3:
+        if mode in (3, 5):
             bq = sdo + a[0 * pt:1 * pt]
             q = soo + a[1 * pt:2 * pt]
             disc = bq * bq - q
-            t = -bq - jnp.sqrt(jnp.maximum(disc, 0.0))
+            root = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t = -bq - root
+            if mode == 5:
+                # Glass spheres: smallest POSITIVE root — when the near
+                # root is behind t_min (ray inside the sphere) the far
+                # root is the exit hit (render/intersect.py sphere_ts,
+                # glass branch — identical expression and acceptance).
+                t = jnp.where(t > t_min, t, -bq + root)
             return jnp.where((disc > 0.0) & (t > t_min), t, BIG)
         numer = a[0 * pt:1 * pt]
         denom = a[1 * pt:2 * pt]
@@ -591,14 +638,14 @@ def _tracer_kernel(
         # discarded by the thresh < BIG guard).
         t = numer * _rcp(denom)
         # In-rectangle iff min(s, 1-s) >= 0 for each tested edge.
-        if mode == 0:
+        if mode in (0, 6):
             s1 = a[2 * pt:3 * pt] + t * a[3 * pt:4 * pt]
             s2 = a[4 * pt:5 * pt] + t * a[5 * pt:6 * pt]
             m = jnp.minimum(
                 jnp.minimum(s1, 1.0 - s1), jnp.minimum(s2, 1.0 - s2)
             )
             ok = (m >= 0.0) & (t > t_min)
-        elif mode == 4:
+        elif mode in (4, 7):
             # Triangle (Scene.kind 3): s1/s2 are the barycentric
             # coordinates of the (u, v) edge pair, so in-triangle iff
             # min(s1, s2, 1 - (s1 + s2)) >= 0. 1 - (s1 + s2) >= 0 is
@@ -705,7 +752,7 @@ def _tracer_kernel(
         # is unchanged. Term order matches render/intersect.py
         # sphere_ts (x + y + z left-to-right) for interpreter-exact
         # cross-backend agreement.
-        if any(m[0] == 3 for m in group_meta):
+        if any(m[0] in (3, 5) for m in group_meta):
             sdo = ox * dx + oy * dy + oz * dz                 # [1, B]
             soo = ox * ox + oy * oy + oz * oz
         else:
@@ -831,7 +878,7 @@ def _tracer_kernel(
         cr, cg, cb = wide(sel[3:4]), wide(sel[4:5]), wide(sel[5:6])
         er, eg, eb = wide(sel[6:7]), wide(sel[7:8]), wide(sel[8:9])
         mir = wide(sel[9:10])
-        if any(m[0] == 3 for m in group_meta):
+        if any(m[0] in (3, 5) for m in group_meta):
             # Sphere winners carry their CENTER in sel rows 0:3 (a
             # position-dependent normal cannot ride the one-hot select);
             # reconstruct n = (hit - c) * inv_r with the same o + d*t
@@ -875,8 +922,20 @@ def _tracer_kernel(
         # diffuse (including mirror BACK faces) — diffuse = hit & ~mirror
         # is the same set as the reference's (~is_mir | side == -1).
         mirror = hit & is_mir & (side != -1.0)
-        diffuse = hit & ~mirror
-        mh_new = mh + mirror.astype(jnp.int32)
+        if has_glass:
+            # Dielectric winners (sel row 12 = ior > 0; only the glass
+            # groups carry nonzero row 12): neither mirror nor diffuse,
+            # count against the specular budget (render/tracer.py glass
+            # contract).
+            iorw = wide(sel[12:13])
+            glass = hit & (iorw > 0.0)
+            mirror = mirror & ~glass
+            diffuse = hit & ~mirror & ~glass
+            spec = mirror | glass
+        else:
+            diffuse = hit & ~mirror
+            spec = mirror
+        mh_new = mh + spec.astype(jnp.int32)
         mirror_live = mirror & (mh_new < mirror_limit)
 
         # Uniform unit vector via (z, phi) (distribution-equivalent to the
@@ -918,6 +977,56 @@ def _tracer_kernel(
         vx = jnp.where(diffuse, ux + nx * side, dx - 2.0 * dn * nx)
         vy = jnp.where(diffuse, uy + ny * side, dy - 2.0 * dn * ny)
         vz = jnp.where(diffuse, uz + nz * side, dz - 2.0 * dn * nz)
+
+        if has_glass:
+            # Dielectric scatter: Snell refraction with optional Schlick
+            # Fresnel (static `fresnel`), mirrored term-for-term from
+            # render/tracer.py's glass branch. Computed on the UNIT
+            # direction (d is exactly unit after segment 0, near-unit
+            # with camera jitter before it). Dying/over-budget glass
+            # lanes get don't-care values like every other dead lane.
+            dinv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+            dhx, dhy, dhz = dx * dinv, dy * dinv, dz * dinv
+            nex, ney, nez = nx * side, ny * side, nz * side
+            cos_i = jnp.clip(
+                -(dhx * nex + dhy * ney + dhz * nez), 0.0, 1.0
+            )
+            eta = jnp.where(
+                side > 0.0, 1.0 / jnp.maximum(iorw, 1e-6), iorw
+            )
+            sin2t = eta * eta * (1.0 - cos_i * cos_i)
+            tir = sin2t > 1.0
+            if fresnel:
+                r0 = ((1.0 - eta) / (1.0 + eta)) ** 2
+                p = 1.0 - cos_i
+                p2 = p * p
+                reflect_p = jnp.where(
+                    tir, 1.0, r0 + (1.0 - r0) * (p2 * p2 * p)
+                )
+                # One extra PCG draw per segment, taken AFTER the
+                # scatter pair — statically absent on glass-free
+                # scenes, so their streams are untouched.
+                rng, u3 = _pcg_uniform(rng)
+                do_refl = u3 < reflect_p
+            else:
+                # Deterministic seam (cross-backend exactness tests):
+                # refract unless total internal reflection.
+                do_refl = tir
+            coef = eta * cos_i - jnp.sqrt(jnp.maximum(1.0 - sin2t, 0.0))
+            dnh = dn * dinv
+            gx = jnp.where(do_refl, dhx - 2.0 * dnh * nx, eta * dhx + coef * nex)
+            gy = jnp.where(do_refl, dhy - 2.0 * dnh * ny, eta * dhy + coef * ney)
+            gz = jnp.where(do_refl, dhz - 2.0 * dnh * nz, eta * dhz + coef * nez)
+            vx = jnp.where(glass, gx, vx)
+            vy = jnp.where(glass, gy, vy)
+            vz = jnp.where(glass, gz, vz)
+            # Throughput tint by albedo (no emission pickup, no flat
+            # mirror tint on glass).
+            glass_live = glass & (mh_new < mirror_limit)
+            tr = jnp.where(glass_live, tr * cr, tr)
+            tg = jnp.where(glass_live, tg * cg, tg)
+            tb = jnp.where(glass_live, tb * cb, tb)
+
         v_inv = jax.lax.rsqrt(vx * vx + vy * vy + vz * vz)
 
         ox = ox + dx * t
@@ -928,9 +1037,10 @@ def _tracer_kernel(
         dz = vz * v_inv
 
         dc_new = dc + diffuse.astype(jnp.int32)
-        # hit already includes alive; a mirror lane over budget dies.
+        # hit already includes alive; a specular (mirror/glass) lane
+        # over budget dies.
         alive = (
-            hit & ~(mirror & ~mirror_live) & (dc_new < bounce_limit)
+            hit & ~(spec & (mh_new >= mirror_limit)) & (dc_new < bounce_limit)
         )
         return (seg + 1, tiles + tested, pltpu.bitcast(rng, jnp.int32),
                 ox, oy, oz, dx, dy, dz, tr, tg, tb,
@@ -973,7 +1083,7 @@ def _tracer_kernel(
     static_argnames=(
         "max_segments", "bounce_limit", "mirror_limit",
         "mirror_tint", "t_min", "sky", "block_rays", "interpret",
-        "lane_chunk",
+        "lane_chunk", "fresnel",
     ),
 )
 def _trace_padded(
@@ -991,6 +1101,7 @@ def _trace_padded(
     block_rays: int,
     interpret: bool,
     lane_chunk: int,
+    fresnel: bool = True,
 ):
     r_total = g_all.shape[1]
     n_blocks = r_total // block_rays
@@ -1037,6 +1148,7 @@ def _trace_padded(
         sky=sky,
         lane_chunk=lane_chunk,
         exact_rcp=interpret,
+        fresnel=fresnel,
     )
     ray_spec = pl.BlockSpec(
         (8, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -1156,6 +1268,7 @@ def trace_paths_pallas(
         block_rays=block,
         interpret=interpret,
         lane_chunk=lane_chunk,
+        fresnel=cfg.fresnel,
     )
     light = out[0:3, :n].T
     if return_block_segments:

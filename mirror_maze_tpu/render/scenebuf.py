@@ -59,12 +59,20 @@ class DeviceScene(NamedTuple):
     sph_color: jnp.ndarray      # [S, 3]
     sph_is_mirror: jnp.ndarray  # [S] bool
     sph_emission: jnp.ndarray   # [S, 4]
+    # Dielectric indices of refraction (Scene.ior/sph_ior; 0 = opaque).
+    # None — a STATIC pytree marker, like the mxu_tables group
+    # structure — when the scene has no glass primitives at all, so the
+    # tracers' glass stage is statically absent and glass-free scenes
+    # compile to exactly the pre-dielectric program.
+    ior: jnp.ndarray | None     # [N] float32 or None
+    sph_ior: jnp.ndarray | None  # [S] float32 or None
     # Packed [P, 32] table for the Pallas wavefront kernel
     # (render/pallas_tracer.py PLANE_COLS), Morton-ordered within each
     # closed-world test kind, plus its derived matmul operand groups
-    # (pack_intersection_tables) computed once at upload: a 4-tuple
-    # indexed by test mode (kinds 0-2, entry 3 the sphere group), each
-    # None or (W, propsT, tile AABBs).
+    # (pack_intersection_tables) computed once at upload: an 8-tuple
+    # indexed by test mode (opaque kinds 0-2, 3 spheres, 4 triangles;
+    # 5-7 the glass sphere/quad/triangle groups), each None or
+    # (W, propsT, tile AABBs).
     plane_table: jnp.ndarray
     mxu_tables: tuple
     # Noise texture [S, S] float32 in [0,1) — the reference's RNG seed
@@ -149,6 +157,15 @@ def upload_scene(
         sph_color=as_dev(np.asarray(scene.sph_color, np.float32)),
         sph_is_mirror=as_dev(np.asarray(scene.sph_is_mirror, bool)),
         sph_emission=as_dev(np.asarray(scene.sph_emission, np.float32)),
+        ior=(
+            as_dev(np.asarray(scene.ior, np.float32))
+            if np.any(np.asarray(scene.ior) > 0) else None
+        ),
+        sph_ior=(
+            as_dev(np.asarray(scene.sph_ior, np.float32))
+            if scene.num_spheres and np.any(np.asarray(scene.sph_ior) > 0)
+            else None
+        ),
         plane_table=as_dev(table),
         mxu_tables=mxu_tables,
         noise=as_dev(np.asarray(noise, dtype=np.float32)),

@@ -83,6 +83,24 @@ def trace_paths(
         albedo_all = jnp.concatenate([scene.color, scene.sph_color], 0)
         em_all = jnp.concatenate([scene.emission, scene.sph_emission], 0)
         mir_all = jnp.concatenate([scene.is_mirror, scene.sph_is_mirror], 0)
+    # Dielectrics (Scene.ior; see scene/builder.py): statically absent
+    # when the scene has none (DeviceScene.ior/sph_ior are None), so
+    # glass-free scenes — every generated maze — trace the identical
+    # program (and RNG stream) as before the feature.
+    has_glass = scene.ior is not None or scene.sph_ior is not None
+    if has_glass:
+        ior_p = (
+            scene.ior if scene.ior is not None
+            else jnp.zeros((n_planes,), jnp.float32)
+        )
+        if n_sph:
+            ior_s = (
+                scene.sph_ior if scene.sph_ior is not None
+                else jnp.zeros((n_sph,), jnp.float32)
+            )
+            ior_all = jnp.concatenate([ior_p, ior_s], 0)
+        else:
+            ior_all = ior_p
 
     def body(it, st):
         o, d, thr, light, mh, dc, alive = st
@@ -119,9 +137,25 @@ def trace_paths(
         diffuse = hit & (~mir | (side == -1.0))
         mirror = hit & mir & (side != -1.0)
 
-        mh_new = mh + mirror.astype(jnp.int32)
+        if has_glass:
+            # Dielectric interaction: Snell refraction with optional
+            # Schlick-Fresnel reflection (TracerConfig.fresnel); counts
+            # against the specular (mirror) budget; tints throughput by
+            # albedo; neither emits nor diffuses. ior > 0 wins over
+            # is_mirror (Scene.ior contract).
+            glass = hit & (ior_all[idx] > 0.0)
+            diffuse = diffuse & ~glass
+            mirror = mirror & ~glass
+            spec = mirror | glass
+        else:
+            spec = mirror
+
+        mh_new = mh + spec.astype(jnp.int32)
         mirror_live = mirror & (mh_new < cfg.mirror_limit)
         advance = diffuse | mirror_live
+        if has_glass:
+            glass_live = glass & (mh_new < cfg.mirror_limit)
+            advance = advance | glass_live
 
         # Diffuse scatter (`shaders.metal:311-323`).
         if ray_keys is None:
@@ -143,6 +177,54 @@ def trace_paths(
         )
         refl = normalize(reflect(d, n))
 
+        if has_glass:
+            # Snell refraction on the UNIT direction (d is near-unit —
+            # camera jitter 0.001 on segment 0, exactly unit after —
+            # but eta-scaling demands a true unit vector). n_eff faces
+            # against the ray; entering (side > 0, ray opposes the
+            # stored normal) refracts at 1/ior, exiting at ior. The
+            # arithmetic below is mirrored term-for-term by the pallas
+            # kernel's glass stage (pallas_tracer.py segment()).
+            ior_r = ior_all[idx]
+            dhat = normalize(d)
+            n_eff = n * side[..., None]
+            cos_i = jnp.clip(-dot(dhat, n_eff), 0.0, 1.0)
+            eta = jnp.where(side > 0.0, 1.0 / jnp.maximum(ior_r, 1e-6),
+                            ior_r)
+            sin2t = eta * eta * (1.0 - cos_i * cos_i)
+            tir = sin2t > 1.0
+            if cfg.fresnel:
+                # Schlick's approximation; total internal reflection
+                # forces reflect_p = 1.
+                r0 = ((1.0 - eta) / (1.0 + eta)) ** 2
+                f5 = (1.0 - cos_i) ** 5
+                reflect_p = jnp.where(tir, 1.0, r0 + (1.0 - r0) * f5)
+                if ray_keys is None:
+                    u3 = jax.random.uniform(
+                        jax.random.fold_in(jax.random.fold_in(key, it), 1),
+                        (n_rays,),
+                    )
+                else:
+                    u3 = jax.vmap(
+                        lambda k: jax.random.uniform(
+                            jax.random.fold_in(k, 1), ()
+                        )
+                    )(it_keys)
+                do_refl = u3 < reflect_p
+            else:
+                # Deterministic seam (cross-backend exactness tests):
+                # refract unless total internal reflection.
+                do_refl = tir
+            refr = (
+                eta[..., None] * dhat
+                + (eta * cos_i
+                   - jnp.sqrt(jnp.maximum(1.0 - sin2t, 0.0)))[..., None]
+                * n_eff
+            )
+            grefl = reflect(dhat, n)
+            gdir = normalize(jnp.where(do_refl[..., None], grefl, refr))
+            thr = jnp.where(glass_live[..., None], thr * albedo, thr)
+
         # Miss: sky term (`shaders.metal:336-339`), default strength 0.
         miss = alive & ~hit
         sky_term = (
@@ -156,11 +238,13 @@ def trace_paths(
         d = jnp.where(
             diffuse[..., None], scat, jnp.where(mirror_live[..., None], refl, d)
         )
+        if has_glass:
+            d = jnp.where(glass_live[..., None], gdir, d)
 
         dc_new = dc + diffuse.astype(jnp.int32)
         # Loop-liveness recast of `n < bounce_limit + mirror_hits`
         # (`shaders.metal:306`): the non-mirror segment budget.
-        alive = alive & ~miss & ~(mirror & ~mirror_live) & (dc_new < cfg.bounce_limit)
+        alive = alive & ~miss & ~(spec & (mh_new >= cfg.mirror_limit)) & (dc_new < cfg.bounce_limit)
         return o, d, thr, light, mh_new, dc_new, alive
 
     init = (

@@ -73,6 +73,19 @@ class Scene:
     sph_color: np.ndarray | None = None     # [S, 3] albedo
     sph_is_mirror: np.ndarray | None = None  # [S] bool
     sph_emission: np.ndarray | None = None  # [S, 4] rgb + strength
+    # Dielectric materials (beyond the reference, whose only materials
+    # are diffuse and mirror, `main.rs:444`): a primitive with ior > 0
+    # is GLASS with that index of refraction — it neither emits nor
+    # diffuses; each interaction either reflects or refracts (Snell +
+    # optional Schlick Fresnel, TracerConfig.fresnel), tints throughput
+    # by albedo, and counts against the mirror (specular) budget.
+    # is_mirror/emission are ignored on glass primitives. Glass SPHERES
+    # additionally accept the far quadratic root from inside (a closed
+    # glass surface must be exit-able), while opaque spheres keep the
+    # reference's near-root-only pass-through convention. ior == 0
+    # (default) is the opaque material model, bit-identical to before.
+    ior: np.ndarray | None = None       # [N] float32, 0 = opaque
+    sph_ior: np.ndarray | None = None   # [S] float32, 0 = opaque
 
     def __post_init__(self):
         if self.kind is None:
@@ -88,12 +101,24 @@ class Scene:
             self.sph_is_mirror = np.zeros(s, dtype=bool)
         if self.sph_emission is None:
             self.sph_emission = np.zeros((s, 4), dtype=np.float32)
+        if self.ior is None:
+            self.ior = np.zeros(self.origin.shape[0], dtype=np.float32)
+        if self.sph_ior is None:
+            self.sph_ior = np.zeros(s, dtype=np.float32)
+        for f in ("ior", "sph_ior"):
+            if np.any(np.asarray(getattr(self, f)) < 0):
+                raise ValueError(f"{f} must be >= 0 (0 = opaque)")
+        if self.ior.shape[0] != self.origin.shape[0]:
+            raise ValueError(
+                f"ior has {self.ior.shape[0]} rows but origin has "
+                f"{self.origin.shape[0]}"
+            )
         if s and not np.all(np.asarray(self.sph_radius) > 0):
             raise ValueError("sphere radii must be positive")
         # Leading-dim consistency: catches dataclasses.replace() that
         # sets sph_center but inherits another sphere count's arrays.
         for f in ("sph_radius", "sph_color", "sph_is_mirror",
-                  "sph_emission"):
+                  "sph_emission", "sph_ior"):
             if getattr(self, f).shape[0] != s:
                 raise ValueError(
                     f"{f} has {getattr(self, f).shape[0]} rows but "

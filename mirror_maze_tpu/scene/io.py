@@ -23,7 +23,12 @@ _PLANE_FIELDS = (
     ("is_mirror", np.bool_, ()),
     ("emission", np.float32, (4,)),
     ("kind", np.uint8, ()),
+    ("ior", np.float32, ()),
 )
+
+# Optional-on-load plane fields (pre-feature archives lack them and get
+# the Scene.__post_init__ default — all-opaque for ior).
+_OPTIONAL_PLANE = ("kind", "ior")
 
 # Per-sphere fields (all optional as a block: pre-sphere archives load
 # with zero spheres, and sphere-free scenes write no sphere arrays, so
@@ -34,7 +39,11 @@ _SPHERE_FIELDS = (
     ("sph_color", np.float32, (3,)),
     ("sph_is_mirror", np.bool_, ()),
     ("sph_emission", np.float32, (4,)),
+    ("sph_ior", np.float32, ()),
 )
+
+# Optional-on-load sphere fields (pre-dielectric sphere archives).
+_OPTIONAL_SPHERE = ("sph_ior",)
 
 
 def save_scene(path: str, scene: Scene) -> None:
@@ -68,7 +77,9 @@ def load_scene(path: str) -> Scene:
     Scene.__post_init__; grid to an empty minimap).
     """
     with np.load(path) as z:
-        required = [n for n, _, _ in _PLANE_FIELDS if n not in ("kind",)]
+        required = [
+            n for n, _, _ in _PLANE_FIELDS if n not in _OPTIONAL_PLANE
+        ]
         missing = [n for n in required if n not in z]
         if missing:
             raise ValueError(
@@ -78,7 +89,7 @@ def load_scene(path: str) -> Scene:
         n = z["origin"].shape[0]
         arrays = {}
         for name, dt, trail in _PLANE_FIELDS:
-            if name == "kind" and "kind" not in z:
+            if name in _OPTIONAL_PLANE and name not in z:
                 continue
             a = np.asarray(z[name], dtype=dt)
             if a.shape != (n, *trail):
@@ -91,6 +102,8 @@ def load_scene(path: str) -> Scene:
         if "sph_center" in z:
             s = z["sph_center"].shape[0]
             for name, dt, trail in _SPHERE_FIELDS:
+                if name in _OPTIONAL_SPHERE and name not in z:
+                    continue
                 if name not in z:
                     raise ValueError(
                         f"scene file {path!r} has spheres but lacks "

@@ -32,6 +32,7 @@ def mesh_scene(
     color=(0.7, 0.7, 0.7),         # [3] or [F, 3] albedo
     is_mirror=False,               # bool or [F] bool
     emission=(0.0, 0.0, 0.0, 0.0),  # [4] or [F, 4] rgb + strength
+    ior=0.0,                       # float or [F]: 0 opaque, > 0 glass
     grid: np.ndarray | None = None,
 ) -> Scene:
     """Build a triangle-soup Scene (kind 3) from vertex/face arrays.
@@ -70,6 +71,7 @@ def mesh_scene(
         emission=em,
         grid=grid if grid is not None else np.zeros((1, 1), np.uint8),
         kind=np.full(n, 3, np.uint8),
+        ior=np.broadcast_to(np.asarray(ior, np.float32), (n,)).copy(),
     )
 
 
@@ -92,10 +94,10 @@ def merge_scenes(*scenes: Scene) -> Scene:
     return Scene(
         origin=cat("origin"), v=cat("v"), u=cat("u"), color=cat("color"),
         is_mirror=cat("is_mirror"), emission=cat("emission"), grid=grid,
-        kind=cat("kind"),
+        kind=cat("kind"), ior=cat("ior"),
         sph_center=cat("sph_center"), sph_radius=cat("sph_radius"),
         sph_color=cat("sph_color"), sph_is_mirror=cat("sph_is_mirror"),
-        sph_emission=cat("sph_emission"),
+        sph_emission=cat("sph_emission"), sph_ior=cat("sph_ior"),
     )
 
 

@@ -148,6 +148,7 @@ def test_cornell_sphere_variant_renders_on_every_backend(cornell):
         sph_color=np.zeros((0, 3), np.float32),
         sph_is_mirror=np.zeros(0, bool),
         sph_emission=np.zeros((0, 4), np.float32),
+        sph_ior=np.zeros(0, np.float32),
     )
     diff = np.abs(brute - _render(empty, "brute", spp=64)).mean(-1)
     # Sphere footprints (camera at (0,-3,-10)): mirror sphere back-left,

@@ -1,0 +1,435 @@
+"""Dielectric (glass) materials across every backend.
+
+Beyond the reference (whose only materials are diffuse and mirror,
+`main.rs:444`): a primitive with Scene.ior > 0 refracts/reflects by
+Snell + optional Schlick Fresnel (TracerConfig.fresnel), tints
+throughput by albedo, and counts against the specular budget. Glass
+spheres additionally accept the far quadratic root from inside (exit
+hits). These tests pin the refraction physics quantitatively, the
+deterministic fresnel=False seam bit-close across jnp-brute / jnp-bvh /
+pallas, the Fresnel split statistically, budget semantics, the static
+absence of the glass stage on glass-free scenes, and scene IO.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mirror_maze_tpu.config import MazeConfig, TracerConfig
+from mirror_maze_tpu.render.intersect import nearest_hit_bvh, sphere_ts
+from mirror_maze_tpu.render.pallas_tracer import trace_paths_pallas
+from mirror_maze_tpu.render.scenebuf import upload_scene
+from mirror_maze_tpu.render.tracer import trace_paths
+from mirror_maze_tpu.scene import build_scene
+from mirror_maze_tpu.scene.builder import Scene
+from mirror_maze_tpu.scene.io import load_scene, save_scene
+from mirror_maze_tpu.scene.mesh import icosphere, merge_scenes, mesh_scene
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _unit(a):
+    a = np.asarray(a, np.float32)
+    return a / np.linalg.norm(a, axis=-1, keepdims=True)
+
+
+def _pane_scene(ior=1.5, pane_z=5.0, wall_z=12.0, glass_albedo=(1, 1, 1)):
+    """A glass pane in front of a big emissive wall (both facing -z)."""
+    big = 80.0
+    return Scene(
+        origin=np.array(
+            [[-big / 2, -big / 2, pane_z], [-big / 2, -big / 2, wall_z]],
+            np.float32,
+        ),
+        v=np.array([[big, 0, 0]] * 2, np.float32),
+        u=np.array([[0, big, 0]] * 2, np.float32),
+        color=np.array([glass_albedo, [1, 1, 1]], np.float32),
+        is_mirror=np.zeros(2, bool),
+        emission=np.array([[0, 0, 0, 0], [1, 1, 1, 2]], np.float32),
+        grid=np.zeros((1, 1), np.uint8),
+        ior=np.array([ior, 0.0], np.float32),
+    )
+
+
+def _sphere_wall_scene(ior=1.5, albedo=(0.9, 0.95, 1.0)):
+    """A glass sphere at the origin axis, emissive wall behind it."""
+    big = 80.0
+    return Scene(
+        origin=np.array([[-big / 2, -big / 2, 12.0]], np.float32),
+        v=np.array([[big, 0, 0]], np.float32),
+        u=np.array([[0, big, 0]], np.float32),
+        color=np.array([[1, 1, 1]], np.float32),
+        is_mirror=np.zeros(1, bool),
+        emission=np.array([[1, 1, 1, 3]], np.float32),
+        grid=np.zeros((1, 1), np.uint8),
+        sph_center=np.array([[0, 0, 6.0]], np.float32),
+        sph_radius=np.array([1.5], np.float32),
+        sph_color=np.array([albedo], np.float32),
+        sph_ior=np.array([ior], np.float32),
+    )
+
+
+# ---------------------------------------------------------------- physics
+
+
+def test_straight_through_center_tints_twice():
+    """A ray through a glass sphere's center refracts twice without
+    bending: light = wall emission * albedo^2, on every backend."""
+    sc = _sphere_wall_scene()
+    dev = upload_scene(sc)
+    cfg = TracerConfig(bounce_limit=2, mirror_limit=6, fresnel=False)
+    o = jnp.zeros((8, 3), jnp.float32)
+    d = jnp.asarray(np.tile(_unit([[0, 0, 1]]), (8, 1)))
+    lj = trace_paths(dev, o, d, KEY, cfg)
+    expect = 3.0 * np.array([0.9, 0.95, 1.0]) ** 2
+    np.testing.assert_allclose(np.asarray(lj)[0], expect, rtol=1e-4)
+
+    lp = trace_paths_pallas(dev.plane_table, o, d, jnp.int32(3), cfg,
+                            rows_per_block=1, tables=dev.mxu_tables)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lj),
+                               rtol=1e-4, atol=1e-6)
+    nf = lambda oo, dd: nearest_hit_bvh(dev, oo, dd, cfg.t_min, 4, 4)
+    lb = trace_paths(dev, o, d, KEY, cfg, nearest_fn=nf)
+    np.testing.assert_allclose(np.asarray(lb), np.asarray(lj),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_snell_angle_through_pane():
+    """Quantitative Snell check: through an air->glass interface the
+    transmitted direction satisfies sin(theta_t) = sin(theta_i)/ior.
+    Verified via WHERE the refracted ray lands: a narrow emissive strip
+    is placed exactly at the analytic exit point; the ray must hit it
+    (and miss when the strip is displaced)."""
+    ior, pane_z, wall_z = 1.5, 5.0, 10.0
+    theta_i = np.deg2rad(40.0)
+    sin_t = np.sin(theta_i) / ior
+    cos_t = np.sqrt(1.0 - sin_t ** 2)
+    # Ray starts on the z-axis heading +z tilted +x by theta_i.
+    d0 = np.array([np.sin(theta_i), 0.0, np.cos(theta_i)], np.float32)
+    hit_x = pane_z * np.tan(theta_i)             # pane crossing x
+    exit_x = hit_x + (wall_z - pane_z) * (sin_t / cos_t)
+    big = 80.0
+    strip_w = 0.05
+
+    def scene_with_strip(strip_x):
+        # Pane edges ordered (v=y, u=x) so normal = cross(v, u) = -z
+        # FACES the +z-travelling ray: dn < 0 -> entering -> eta = 1/ior
+        # (the analytic sin_t above).
+        return Scene(
+            origin=np.array(
+                [[-big / 2, -big / 2, pane_z],
+                 [strip_x - strip_w / 2, -big / 2, wall_z]], np.float32
+            ),
+            v=np.array([[0, big, 0], [strip_w, 0, 0]], np.float32),
+            u=np.array([[big, 0, 0], [0, big, 0]], np.float32),
+            color=np.ones((2, 3), np.float32),
+            is_mirror=np.zeros(2, bool),
+            emission=np.array([[0, 0, 0, 0], [1, 1, 1, 5]], np.float32),
+            grid=np.zeros((1, 1), np.uint8),
+            ior=np.array([ior, 0.0], np.float32),
+        )
+
+    cfg = TracerConfig(bounce_limit=2, mirror_limit=4, fresnel=False)
+    o = jnp.zeros((4, 3), jnp.float32)
+    d = jnp.asarray(np.tile(d0, (4, 1)))
+    on_target = trace_paths(
+        upload_scene(scene_with_strip(exit_x)), o, d, KEY, cfg
+    )
+    assert np.all(np.asarray(on_target)[0] > 0), (
+        "refracted ray must hit the strip at the Snell exit point"
+    )
+    # The UN-refracted straight line lands at a different x; a strip
+    # there must be missed (proves the direction actually bent).
+    straight_x = wall_z * np.tan(theta_i)
+    assert abs(straight_x - exit_x) > 2 * strip_w
+    off_target = trace_paths(
+        upload_scene(scene_with_strip(straight_x)), o, d, KEY, cfg
+    )
+    assert np.all(np.asarray(off_target)[0] == 0), (
+        "refracted ray must miss the un-refracted landing point"
+    )
+
+
+def test_total_internal_reflection_from_inside():
+    """fresnel=False refracts EXCEPT under TIR. A ray inside glass
+    (eta = ior) at grazing incidence exceeds the critical angle and
+    must reflect off the pane instead of exiting."""
+    ior = 1.5
+    crit = np.arcsin(1.0 / ior)
+    big = 80.0
+    # Pane at z=5 (interface), emissive wall at z=-10 BEHIND the ray
+    # start: the TIR-reflected ray flips z and hits it.
+    sc = Scene(
+        origin=np.array(
+            [[-big / 2, -big / 2, 5.0], [-big / 2, -big / 2, -10.0]],
+            np.float32,
+        ),
+        v=np.array([[big, 0, 0]] * 2, np.float32),
+        u=np.array([[0, big, 0]] * 2, np.float32),
+        color=np.ones((2, 3), np.float32),
+        is_mirror=np.zeros(2, bool),
+        emission=np.array([[0, 0, 0, 0], [1, 1, 1, 4]], np.float32),
+        grid=np.zeros((1, 1), np.uint8),
+        ior=np.array([ior, 0.0], np.float32),
+    )
+    dev = upload_scene(sc)
+    # bounce_limit 1: the ray dies at its first diffuse pickup, so the
+    # path is fully deterministic (multi-bounce scatter streams differ
+    # per backend and would make this comparison stochastic).
+    cfg = TracerConfig(bounce_limit=1, mirror_limit=4, fresnel=False)
+    # Incidence 10 degrees past critical. The ray travels +z toward the
+    # pane whose normal is +z (cross(v, u) = x cross y), so dn > 0:
+    # side == -1, "exiting" the medium, eta = ior — the TIR-capable
+    # interface.
+    theta = crit + np.deg2rad(10)
+    d0 = _unit([[np.sin(theta), 0.0, np.cos(theta)]])
+    o = jnp.zeros((4, 3), jnp.float32)
+    d = jnp.asarray(np.tile(d0, (4, 1)))
+    lj = trace_paths(dev, o, d, KEY, cfg)
+    assert np.all(np.asarray(lj)[0] > 0), (
+        "past-critical ray must reflect back to the wall behind"
+    )
+    lp = trace_paths_pallas(dev.plane_table, o, d, jnp.int32(5), cfg,
+                            rows_per_block=1, tables=dev.mxu_tables)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lj),
+                               rtol=1e-4, atol=1e-6)
+    # Below-critical at the same interface exits (no reflection back).
+    theta2 = crit - np.deg2rad(10)
+    d2 = jnp.asarray(np.tile(_unit([[np.sin(theta2), 0.0, np.cos(theta2)]]),
+                             (4, 1)))
+    lj2 = trace_paths(dev, o, d2, KEY, cfg)
+    assert np.all(np.asarray(lj2)[0] == 0)
+
+
+def test_glass_sphere_exit_from_inside():
+    """A ray STARTING inside a glass sphere exits through the far
+    surface (far-root acceptance) — while an opaque sphere keeps the
+    reference's pass-through convention."""
+    sc = _sphere_wall_scene()
+    # Ray origin at the sphere center.
+    o = jnp.asarray(np.array([[0, 0, 6.0]] * 4, np.float32))
+    d = jnp.asarray(np.tile(_unit([[0, 0, 1]]), (4, 1)))
+    cfg = TracerConfig(bounce_limit=2, mirror_limit=6, fresnel=False)
+    dev = upload_scene(sc)
+    lj = trace_paths(dev, o, d, KEY, cfg)
+    # One interface (exit only): tint applied once.
+    expect = 3.0 * np.array([0.9, 0.95, 1.0])
+    np.testing.assert_allclose(np.asarray(lj)[0], expect, rtol=1e-4)
+    lp = trace_paths_pallas(dev.plane_table, o, d, jnp.int32(3), cfg,
+                            rows_per_block=1, tables=dev.mxu_tables)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lj),
+                               rtol=1e-4, atol=1e-6)
+
+    # Opaque sphere: same geometry, ior 0 — the ray passes through
+    # untouched and reaches the wall untinted.
+    sc_op = dataclasses.replace(sc, sph_ior=np.zeros(1, np.float32))
+    dev_op = upload_scene(sc_op)
+    ts = sphere_ts(dev_op, o, d, cfg.t_min)
+    assert np.all(np.asarray(ts) >= 1e29), "opaque: no inside hit"
+    lj_op = trace_paths(dev_op, o, d, KEY, cfg)
+    np.testing.assert_allclose(np.asarray(lj_op)[0], [3.0, 3.0, 3.0],
+                               rtol=1e-5)
+
+
+def test_glass_counts_against_specular_budget():
+    """Each glass interaction consumes the mirror budget; a budget of 1
+    kills the ray INSIDE the sphere (entry consumed the budget), so no
+    wall light arrives."""
+    sc = _sphere_wall_scene()
+    dev = upload_scene(sc)
+    o = jnp.zeros((4, 3), jnp.float32)
+    d = jnp.asarray(np.tile(_unit([[0, 0, 1]]), (4, 1)))
+    lo = trace_paths(dev, o, d, KEY,
+                     TracerConfig(bounce_limit=2, mirror_limit=1,
+                                  fresnel=False))
+    assert np.all(np.asarray(lo) == 0)
+    lp = trace_paths_pallas(dev.plane_table, o, d, jnp.int32(3),
+                            TracerConfig(bounce_limit=2, mirror_limit=1,
+                                         fresnel=False),
+                            rows_per_block=1, tables=dev.mxu_tables)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lo), atol=1e-7)
+    # Budget 2 admits entry+exit.
+    l2 = trace_paths(dev, o, d, KEY,
+                     TracerConfig(bounce_limit=2, mirror_limit=3,
+                                  fresnel=False))
+    assert np.all(np.asarray(l2)[0] > 0)
+
+
+def test_fresnel_split_matches_schlick():
+    """With fresnel=True at normal incidence, the fraction of rays that
+    REFLECT off a glass pane approaches Schlick's r0 = ((1-eta)/(1+eta))^2
+    (~4% at ior 1.5). Checked on both stochastic backends."""
+    ior = 1.5
+    r0 = ((1 - 1 / ior) / (1 + 1 / ior)) ** 2
+    sc = _pane_scene(ior=ior)
+    dev = upload_scene(sc)
+    cfg = TracerConfig(bounce_limit=2, mirror_limit=4, fresnel=True)
+    n = 4096
+    o = jnp.zeros((n, 3), jnp.float32)
+    d = jnp.asarray(np.tile(_unit([[0, 0, 1]]), (n, 1)))
+    # Transmitted rays reach the emissive wall (light 2); reflected rays
+    # head back into the void (light 0).
+    lj = np.asarray(trace_paths(dev, o, d, KEY, cfg))
+    frac_j = float(np.mean(lj[:, 0] == 0.0))
+    assert abs(frac_j - r0) < 0.015, (frac_j, r0)
+    lp = np.asarray(
+        trace_paths_pallas(dev.plane_table, o, d, jnp.int32(11), cfg,
+                           rows_per_block=4, tables=dev.mxu_tables)
+    )
+    frac_p = float(np.mean(lp[:, 0] == 0.0))
+    assert abs(frac_p - r0) < 0.015, (frac_p, r0)
+
+
+# ------------------------------------------------- cross-backend fuzzing
+
+
+def test_random_glass_soup_matches_jnp_tracer():
+    """Fuzz: random quad/triangle/sphere soups with a random glass
+    subset must agree across pallas and the jnp tracer on fresnel=False
+    multi-segment paths (the deterministic dielectric seam)."""
+    for seed in (0, 1, 2):
+        r = np.random.default_rng(100 + seed)
+        n = 24
+        v = r.normal(size=(n, 3)).astype(np.float32) * 4.0
+        u = r.normal(size=(n, 3)).astype(np.float32) * 4.0
+        em = np.concatenate(
+            [r.uniform(0, 1, (n, 3)),
+             (r.random((n, 1)) < 0.5) * r.uniform(0, 3, (n, 1))],
+            axis=1,
+        ).astype(np.float32)
+        kind = np.where(r.random(n) < 0.3, 3, 0).astype(np.uint8)
+        ior = np.where(r.random(n) < 0.4,
+                       r.uniform(1.1, 2.0, n), 0.0).astype(np.float32)
+        s = 5
+        sph_ior = np.where(r.random(s) < 0.5,
+                           r.uniform(1.1, 2.0, s), 0.0).astype(np.float32)
+        sc = Scene(
+            origin=r.uniform(-10, 10, (n, 3)).astype(np.float32),
+            v=v, u=u,
+            color=r.uniform(0.2, 1, (n, 3)).astype(np.float32),
+            is_mirror=r.random(n) < 0.3,
+            emission=em,
+            grid=np.zeros((1, 1), np.uint8),
+            kind=kind,
+            ior=ior,
+            sph_center=r.uniform(-8, 8, (s, 3)).astype(np.float32),
+            sph_radius=r.uniform(0.5, 2.5, s).astype(np.float32),
+            sph_color=r.uniform(0.2, 1, (s, 3)).astype(np.float32),
+            sph_is_mirror=r.random(s) < 0.3,
+            sph_emission=np.concatenate(
+                [r.uniform(0, 1, (s, 3)), r.uniform(0, 2, (s, 1))], axis=1
+            ).astype(np.float32),
+            sph_ior=sph_ior,
+        )
+        dev = upload_scene(sc)
+        assert dev.ior is not None or dev.sph_ior is not None
+        cfg = TracerConfig(bounce_limit=1, mirror_limit=4, fresnel=False)
+        o = jnp.asarray(r.uniform(-12, 12, (192, 3)).astype(np.float32))
+        d = jnp.asarray(_unit(r.normal(size=(192, 3))))
+        lj = np.asarray(trace_paths(dev, o, d, KEY, cfg))
+        lp = np.asarray(
+            trace_paths_pallas(dev.plane_table, o, d, jnp.int32(9), cfg,
+                               rows_per_block=2, tables=dev.mxu_tables)
+        )
+        # Refraction direction chains amplify ulp-level differences at
+        # glancing interfaces; require near-exact agreement on ~all
+        # rays and full agreement of the zero/nonzero hit pattern.
+        close = np.isclose(lj, lp, rtol=1e-3, atol=1e-5).all(axis=-1)
+        assert close.mean() >= 0.99, (seed, close.mean())
+
+
+def test_glass_mesh_icosphere_traces():
+    """A closed glass triangle mesh (icosphere) refracts light through —
+    the mode-7 group end-to-end."""
+    verts, faces = icosphere(subdivisions=1, radius=1.2)
+    verts = verts + np.array([0, 0, 5.0], np.float32)
+    glass = mesh_scene(verts, faces, color=(0.95, 0.95, 1.0), ior=1.5)
+    big = 60.0
+    wall = Scene(
+        origin=np.array([[-big / 2, -big / 2, 12.0]], np.float32),
+        v=np.array([[big, 0, 0]], np.float32),
+        u=np.array([[0, big, 0]], np.float32),
+        color=np.ones((1, 3), np.float32),
+        is_mirror=np.zeros(1, bool),
+        emission=np.array([[1, 1, 1, 2]], np.float32),
+        grid=np.zeros((1, 1), np.uint8),
+    )
+    sc = merge_scenes(glass, wall)
+    assert np.count_nonzero(sc.ior) == faces.shape[0]
+    dev = upload_scene(sc)
+    assert dev.mxu_tables[7] is not None
+    cfg = TracerConfig(bounce_limit=2, mirror_limit=6, fresnel=False)
+    o = jnp.zeros((8, 3), jnp.float32)
+    d = jnp.asarray(np.tile(_unit([[0.02, 0.01, 1.0]]), (8, 1)))
+    lj = np.asarray(trace_paths(dev, o, d, KEY, cfg))
+    assert np.all(lj[0] > 0), "light must pass through the glass mesh"
+    lp = np.asarray(
+        trace_paths_pallas(dev.plane_table, o, d, jnp.int32(3), cfg,
+                           rows_per_block=1, tables=dev.mxu_tables)
+    )
+    np.testing.assert_allclose(lp, lj, rtol=1e-4, atol=1e-6)
+
+
+# ------------------------------------------------------------- machinery
+
+
+def test_glass_free_scenes_stay_static():
+    """Generated mazes carry no glass: DeviceScene.ior is None, the
+    glass mode groups are absent, and fresnel on/off traces the exact
+    same image (the stage is statically absent, not just inactive)."""
+    dev = upload_scene(build_scene(MazeConfig(width=4, height=4)))
+    assert dev.ior is None and dev.sph_ior is None
+    assert all(dev.mxu_tables[m] is None for m in (5, 6, 7))
+    r = np.random.default_rng(7)
+    o = jnp.asarray(r.uniform(-15, 15, (64, 3)).astype(np.float32))
+    d = jnp.asarray(_unit(r.normal(size=(64, 3))))
+    cfg_on = TracerConfig(bounce_limit=2, mirror_limit=3, fresnel=True)
+    cfg_off = dataclasses.replace(cfg_on, fresnel=False)
+    a = np.asarray(trace_paths(dev, o, d, KEY, cfg_on))
+    b = np.asarray(trace_paths(dev, o, d, KEY, cfg_off))
+    np.testing.assert_array_equal(a, b)
+    pa = np.asarray(trace_paths_pallas(dev.plane_table, o, d, jnp.int32(2),
+                                       cfg_on, rows_per_block=1,
+                                       tables=dev.mxu_tables))
+    pb = np.asarray(trace_paths_pallas(dev.plane_table, o, d, jnp.int32(2),
+                                       cfg_off, rows_per_block=1,
+                                       tables=dev.mxu_tables))
+    np.testing.assert_array_equal(pa, pb)
+
+
+def test_scene_io_roundtrip_with_ior(tmp_path):
+    sc = _sphere_wall_scene()
+    p = str(tmp_path / "glass.npz")
+    save_scene(p, sc)
+    back = load_scene(p)
+    np.testing.assert_array_equal(back.ior, sc.ior)
+    np.testing.assert_array_equal(back.sph_ior, sc.sph_ior)
+
+
+def test_scene_io_pre_dielectric_archives_load(tmp_path):
+    """Archives written before the ior fields existed load all-opaque."""
+    sc = _sphere_wall_scene()
+    p = str(tmp_path / "old.npz")
+    save_scene(p, sc)
+    with np.load(p) as z:
+        stripped = {k: z[k] for k in z.files if k not in ("ior", "sph_ior")}
+    np.savez_compressed(p, **stripped)
+    back = load_scene(p)
+    assert np.all(back.ior == 0) and np.all(back.sph_ior == 0)
+
+
+def test_negative_ior_rejected():
+    with pytest.raises(ValueError, match="ior"):
+        Scene(
+            origin=np.zeros((1, 3), np.float32),
+            v=np.array([[1, 0, 0]], np.float32),
+            u=np.array([[0, 1, 0]], np.float32),
+            color=np.ones((1, 3), np.float32),
+            is_mirror=np.zeros(1, bool),
+            emission=np.zeros((1, 4), np.float32),
+            grid=np.zeros((1, 1), np.uint8),
+            ior=np.array([-1.0], np.float32),
+        )

@@ -773,6 +773,7 @@ def test_sharded_renderer_sphere_scene_all_backends():
         sph_is_mirror=np.array([False, True]),
         sph_emission=np.array(
             [[1.0, 0.5, 0.2, 2.0], [0, 0, 0, 0]], np.float32),
+        sph_ior=np.zeros(2, np.float32),
     )
     dev = upload_scene(scene)
     mesh = make_mesh(2, 2)

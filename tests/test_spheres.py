@@ -277,7 +277,8 @@ def test_sphere_free_scene_unchanged():
     assert dev.num_spheres == 0
     assert dev.mxu_tables[3] is None      # no spheres
     assert dev.mxu_tables[4] is None      # no triangles
-    assert len(dev.mxu_tables) == 5
+    assert all(dev.mxu_tables[m] is None for m in (5, 6, 7))  # no glass
+    assert len(dev.mxu_tables) == 8
 
 
 def test_maze_with_spheres_renders_on_all_backends():
@@ -295,6 +296,7 @@ def test_maze_with_spheres_renders_on_all_backends():
         sph_is_mirror=np.array([False, True]),
         sph_emission=np.array(
             [[1.0, 0.5, 0.2, 2.0], [0, 0, 0, 0]], np.float32),
+        sph_ior=np.zeros(2, np.float32),
     )
     dev = upload_scene(scene)
     r = np.random.default_rng(8)

@@ -1,8 +1,11 @@
 """Kernel exactness soak (PERF.md "Kernel exactness soak"): pallas vs
 the jnp reference tracer over many random quad-soup scenes (every odd
 seed also carries a random SPHERE group — the kernel's mode-3 path —
-and every third seed converts a random subset of its plane rows to
-TRIANGLES, Scene.kind == 3 — the kernel's mode-4 barycentric path).
+every third seed converts a random subset of its plane rows to
+TRIANGLES, Scene.kind == 3 — the kernel's mode-4 barycentric path —
+and every fifth seed makes a random subset of planes/spheres GLASS,
+Scene.ior > 0 — the kernel's mode-5/6/7 dielectric groups, soaked on
+the deterministic fresnel=False seam).
 
 Run: PYTHONPATH="/root/repo:$PYTHONPATH" python tools/soak_kernel.py \
         [n_scenes] [--tpu]
@@ -91,16 +94,29 @@ for seed in range(N):
     kind = np.zeros(n, np.uint8)
     if seed % 3 == 0:
         kind[r.random(n) < float(r.uniform(0.2, 0.8))] = 3
+    # Every seed ending in 4 or 9 makes a random subset of its planes
+    # AND spheres GLASS (the pallas mode-5/6/7 dielectric groups) —
+    # traced with fresnel=False, the deterministic refraction seam, so
+    # the exactness gates still apply through multi-interface paths.
+    ior = np.zeros(n, np.float32)
+    glass_seed = seed % 5 == 4
+    if glass_seed:
+        ior[r.random(n) < 0.4] = r.uniform(1.1, 2.0)
+        if s:
+            sph["sph_ior"] = np.where(
+                r.random(s) < 0.5, r.uniform(1.1, 2.0, s), 0.0
+            ).astype(np.float32)
     scene = Scene(
         origin=origin.astype(np.float32), v=v.astype(np.float32),
         u=u.astype(np.float32),
         color=r.uniform(0, 1, (n, 3)).astype(np.float32),
         is_mirror=r.random(n) < float(r.uniform(0, 0.5)),
         emission=em.astype(np.float32), grid=np.zeros((1, 1), np.uint8),
-        kind=kind,
+        kind=kind, ior=ior,
         **sph)
     dev = upload_scene(scene)
-    cfg = TracerConfig(bounce_limit=1, mirror_limit=int(r.integers(1, 4)))
+    cfg = TracerConfig(bounce_limit=1, mirror_limit=int(r.integers(1, 4)),
+                       fresnel=False)
     rr = np.random.default_rng(seed)
     o = jnp.asarray(rr.uniform(-25, 25, (NR, 3)).astype(np.float32))
     d = rr.normal(size=(NR, 3)).astype(np.float32)
