@@ -119,6 +119,23 @@ class _Soup:
         )
 
 
+def checker_floor(scene, cells=8.0, color2=(0.25, 0.25, 0.3)):
+    """Turn the Cornell floor (plane 0) into a UV checker — the
+    engine's procedural-texture surface (Scene.tex_kind 1)."""
+    import dataclasses
+
+    tex_kind = np.zeros(scene.num_planes, np.uint8)
+    tex_scale = np.ones(scene.num_planes, np.float32)
+    tex_color2 = np.zeros((scene.num_planes, 3), np.float32)
+    tex_kind[0] = 1
+    tex_scale[0] = cells
+    tex_color2[0] = color2
+    return dataclasses.replace(
+        scene, tex_kind=tex_kind, tex_scale=tex_scale,
+        tex_color2=tex_color2,
+    )
+
+
 def build_cornell_box(variant="blocks"):
     """The Cornell box as an engine `Scene`.
 
@@ -139,7 +156,7 @@ def build_cornell_box(variant="blocks"):
     # surfaces, the scatter flips with the hit side like the reference).
     depth = Z_MAX - Z_MIN
     s.quad((-HALF, FLOOR_Y, Z_MIN), (0, 0, depth), (2 * HALF, 0, 0),
-           WHITE)                                   # floor
+           WHITE)                                   # floor (index 0)
     s.quad((-HALF, CEIL_Y, Z_MIN), (2 * HALF, 0, 0), (0, 0, depth),
            WHITE)                                   # ceiling
     s.quad((-HALF, FLOOR_Y, Z_MAX), up, (2 * HALF, 0, 0), WHITE)  # back
@@ -203,6 +220,9 @@ def main(argv=None) -> int:
                         "variant (mirror + diffuse spheres), or the "
                         "glass variant (dielectric sphere + mirror "
                         "block: Snell refraction with Schlick Fresnel)")
+    p.add_argument("--checker", action="store_true",
+                   help="checker the floor (procedural UV texture, "
+                        "Scene.tex_kind 1)")
     args = p.parse_args(argv)
 
     import jax
@@ -217,6 +237,8 @@ def main(argv=None) -> int:
     from mirror_maze_tpu.utils.imageio import write_png
 
     scene = build_cornell_box(args.variant)
+    if args.checker:
+        scene = checker_floor(scene)
     if args.save_scene:
         save_scene(args.save_scene, scene)
         print(f"wrote {args.save_scene} ({scene.num_planes} planes, "

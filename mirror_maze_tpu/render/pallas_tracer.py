@@ -85,9 +85,12 @@ PLANE_COLS = dict(
     aabb_lo=(20, 23), aabb_hi=(23, 26),  # quad bounding box
     kind=26,  # closed-world test class (scene/builder.py Scene.kind)
     ior=27,   # dielectric index of refraction (0 = opaque, Scene.ior)
+    tex_kind=28,  # procedural texture (0 none / 1 UV / 2 world checker)
+    tex_scale=29,
+    tex_color2=(30, 33),
 )
-PLANE_WIDTH = 32
-PROP_WIDTH = 16  # rows of the transposed property table
+PLANE_WIDTH = 40
+PROP_WIDTH = 16  # rows of one property block of the transposed table
 
 
 def build_plane_table(der, scene=None) -> np.ndarray:
@@ -129,6 +132,9 @@ def build_plane_table(der, scene=None) -> np.ndarray:
             t[tri, 23:26] = c3.max(axis=1)[tri]
         t[:, 26] = np.asarray(scene.kind, np.float32)
         t[:, 27] = np.asarray(scene.ior, np.float32)
+        t[:, 28] = np.asarray(scene.tex_kind, np.float32)
+        t[:, 29] = np.asarray(scene.tex_scale, np.float32)
+        t[:, 30:33] = np.asarray(scene.tex_color2, np.float32)
     return t
 
 
@@ -189,7 +195,8 @@ def spatial_plane_order_key(plane_table) -> np.ndarray:
 MODE_QUANTITIES = {0: 6, 1: 4, 2: 2, 3: 2, 4: 6, 5: 2, 6: 6, 7: 6}
 
 
-def _pack_group(t: jnp.ndarray, mode: int, tile: int = PLANE_TILE):
+def _pack_group(t: jnp.ndarray, mode: int, tile: int = PLANE_TILE,
+                textured: bool = False):
     """Pack one kind-homogeneous [Pk, 32] sub-table into tiled matmul
     operands: (W [T, q*PT, 8], propsT [T, 32, PT], aabbs [T, 8]) with
     q = MODE_QUANTITIES[mode] and PT = min(Pk8, tile). Row blocks
@@ -256,6 +263,23 @@ def _pack_group(t: jnp.ndarray, mode: int, tile: int = PLANE_TILE):
         ],
         axis=1,
     )                                                          # [P8, 16]
+    if textured:
+        # Second property block (textured scenes only — the kernel's
+        # select dot stays ONE MXU M-tile at 64 rows, so this is free
+        # on the matmul): texture params + the dual-basis constants the
+        # kernel needs to rebuild the winner's (s1, s2) for UV checkers.
+        props2 = jnp.concatenate(
+            [
+                jnp.where(valid, t[:, 28:29], 0.0),   # tex_kind
+                jnp.where(valid, t[:, 29:30], 1.0),   # tex_scale
+                t[:, 30:33],                          # tex_color2
+                t[:, 4:7], t[:, 7:8],                 # w1, b1
+                t[:, 8:11], t[:, 11:12],              # w2, b2
+                jnp.zeros((p8, PROP_WIDTH - 13), jnp.float32),
+            ],
+            axis=1,
+        )                                                      # [P8, 16]
+        props = jnp.concatenate([props, props2], axis=1)       # [P8, 32]
     # SPLIT-PRECISION select operand: on hardware the MXU truncates f32
     # matmul inputs to bf16 (single-pass; measured bitwise on v5e), so a
     # plain props operand returns bf16(property) — up to 2^-8 relative
@@ -273,20 +297,21 @@ def _pack_group(t: jnp.ndarray, mode: int, tile: int = PLANE_TILE):
     # leaving ~2^-17 total. Under the exact CPU interpreter
     # hi + residual == props bitwise, so goldens are unchanged.
     hi = props.astype(jnp.bfloat16).astype(jnp.float32)
-    props = jnp.concatenate([hi, props - hi], axis=1)          # [P8, 32]
-    props_t = props.reshape(n_tiles, pt, 2 * PROP_WIDTH).transpose(0, 2, 1)
+    props = jnp.concatenate([hi, props - hi], axis=1)    # [P8, 32 or 64]
+    props_t = props.reshape(n_tiles, pt, props.shape[1]).transpose(0, 2, 1)
     return w, props_t, aabbs
 
 
-SPHERE_WIDTH = 13  # columns of the sphere table (build_sphere_table)
+SPHERE_WIDTH = 18  # columns of the sphere table (build_sphere_table)
 
 
 def build_sphere_table(scene) -> np.ndarray:
-    """Pack Scene sphere arrays into the kernel's [S, 13] table:
+    """Pack Scene sphere arrays into the kernel's [S, 18] table:
     0:3 center, 3 inv_r, 4 |c|^2 - r^2, 5:8 albedo, 8:11 premultiplied
-    emission, 11 is_mirror, 12 ior (0 = opaque, Scene.sph_ior). c2r2 is
-    summed in float64 then rounded once (the same constant upload_scene
-    derives for the jnp backends)."""
+    emission, 11 is_mirror, 12 ior (0 = opaque, Scene.sph_ior),
+    13 tex_kind, 14 tex_scale, 15:18 tex_color2. c2r2 is summed in
+    float64 then rounded once (the same constant upload_scene derives
+    for the jnp backends)."""
     c = np.asarray(scene.sph_center, np.float32)
     r = np.asarray(scene.sph_radius, np.float32)
     em = np.asarray(scene.sph_emission, np.float32)
@@ -301,10 +326,14 @@ def build_sphere_table(scene) -> np.ndarray:
     t[:, 8:11] = em[:, :3] * em[:, 3:4]
     t[:, 11] = np.asarray(scene.sph_is_mirror).astype(np.float32)
     t[:, 12] = np.asarray(scene.sph_ior, np.float32)
+    t[:, 13] = np.asarray(scene.sph_tex_kind, np.float32)
+    t[:, 14] = np.asarray(scene.sph_tex_scale, np.float32)
+    t[:, 15:18] = np.asarray(scene.sph_tex_color2, np.float32)
     return t
 
 
-def _pack_sphere_group(t: jnp.ndarray, tile: int = PLANE_TILE):
+def _pack_sphere_group(t: jnp.ndarray, tile: int = PLANE_TILE,
+                       textured: bool = False):
     """Pack the [S, 12] sphere table into tiled matmul operands
     (W [T, 2*PT, 8], propsT [T, 32, PT], aabbs [T, 8]) — the mode-3
     analog of _pack_group. W row blocks per tile (quantity-major):
@@ -361,9 +390,23 @@ def _pack_sphere_group(t: jnp.ndarray, tile: int = PLANE_TILE):
         ],
         axis=1,
     )                                                          # [S8, 16]
+    if textured:
+        # Second block (textured scenes): texture params; the dual-
+        # basis slots stay zero (UV checkers are undefined on spheres —
+        # Scene validation rejects sph_tex_kind 1).
+        props2 = jnp.concatenate(
+            [
+                t[:, 13:14] * vf,                     # tex_kind
+                jnp.where(valid, t[:, 14:15], 1.0),   # tex_scale
+                t[:, 15:18],                          # tex_color2
+                jnp.zeros((s8, PROP_WIDTH - 5), jnp.float32),
+            ],
+            axis=1,
+        )
+        props = jnp.concatenate([props, props2], axis=1)       # [S8, 32]
     hi_p = props.astype(jnp.bfloat16).astype(jnp.float32)
-    props = jnp.concatenate([hi_p, props - hi_p], axis=1)      # [S8, 32]
-    props_t = props.reshape(n_tiles, pt, 2 * PROP_WIDTH).transpose(0, 2, 1)
+    props = jnp.concatenate([hi_p, props - hi_p], axis=1)
+    props_t = props.reshape(n_tiles, pt, props.shape[1]).transpose(0, 2, 1)
     return w, props_t, aabbs
 
 
@@ -400,6 +443,16 @@ def pack_intersection_tables(plane_table, tile_by_mode=None,
     t = np.asarray(plane_table)
     kinds = t[:, 26].astype(np.int32)
     glass = t[:, 27] > 0.0
+    sph = (
+        np.asarray(sphere_table)
+        if sphere_table is not None and np.asarray(sphere_table).shape[0]
+        else np.zeros((0, SPHERE_WIDTH), np.float32)
+    )
+    # Textured is a GLOBAL property: every group's props operand must
+    # share one row count (the single-tile phase concatenates them and
+    # the kernel's sel width is static), so any textured primitive
+    # anywhere doubles every group's property block.
+    textured = bool((t[:, 28] > 0).any() or (sph[:, 13] > 0).any())
     groups = []
     for mode in (0, 1, 2):
         rows = t[(kinds == mode) & ~glass]
@@ -407,18 +460,17 @@ def pack_intersection_tables(plane_table, tile_by_mode=None,
             groups.append(None)
         else:
             tile = (tile_by_mode or {}).get(mode, PLANE_TILE)
-            groups.append(_pack_group(jnp.asarray(rows), mode, tile))
+            groups.append(
+                _pack_group(jnp.asarray(rows), mode, tile, textured)
+            )
 
-    sph = (
-        np.asarray(sphere_table)
-        if sphere_table is not None and np.asarray(sphere_table).shape[0]
-        else np.zeros((0, SPHERE_WIDTH), np.float32)
-    )
     sph_glass = sph[:, 12] > 0.0
     for mode, rows in ((3, sph[~sph_glass]), (5, sph[sph_glass])):
         if rows.shape[0]:
             tile = (tile_by_mode or {}).get(mode, PLANE_TILE)
-            groups.append(_pack_sphere_group(jnp.asarray(rows), tile))
+            groups.append(
+                _pack_sphere_group(jnp.asarray(rows), tile, textured)
+            )
         else:
             groups.append(None)
     # Order the tuple by mode index: 0,1,2,3,4,5,6,7 — the sphere modes
@@ -432,7 +484,9 @@ def pack_intersection_tables(plane_table, tile_by_mode=None,
     ):
         if rows.shape[0]:
             tile = (tile_by_mode or {}).get(mode, PLANE_TILE)
-            groups.append(_pack_group(jnp.asarray(rows), mode, tile))
+            groups.append(
+                _pack_group(jnp.asarray(rows), mode, tile, textured)
+            )
         else:
             groups.append(None)
     return (groups[0], groups[1], groups[2], mode3, groups[3],
@@ -532,6 +586,12 @@ def _tracer_kernel(
     # property of the group structure, so glass-free scenes compile the
     # identical pre-dielectric program (and RNG stream).
     has_glass = any(m[0] in (5, 6, 7) for m in group_meta)
+    # Texture stage present iff the props operands carry the doubled
+    # block (group_meta[i][3] = folded sel rows; uniform across groups
+    # by construction, pack_intersection_tables). Static like has_glass:
+    # untextured scenes compile the identical pre-texture program.
+    sel_rows = group_meta[0][3]
+    has_tex = sel_rows == 2 * PROP_WIDTH
     # Reciprocal selector. On HARDWARE the approximate VPU reciprocal is
     # ~2^-16 relative (measured, PERF.md "hardware numerics") — far
     # inside every margin this kernel relies on. The TPU-semantics
@@ -707,9 +767,12 @@ def _tracer_kernel(
             # propsT carries split-precision rows (bf16-exact hi +
             # f32 residual, _pack_group): select both halves through
             # the one one-hot dot and fold on the VPU, recovering the
-            # precision the MXU's bf16 input truncation drops.
+            # precision the MXU's bf16 input truncation drops. Textured
+            # scenes carry a doubled property block (sel rows 16:32 =
+            # texture params + dual basis) — still one MXU M-tile.
             s = jnp.dot(props_t, onehot, preferred_element_type=jnp.float32)
-            sels.append(s[:PROP_WIDTH] + s[PROP_WIDTH:])
+            half = s.shape[0] // 2
+            sels.append(s[:half] + s[half:])
             tmins.append(tmin_c)
         if len(tmins) == 1:
             return tmins[0], sels[0]
@@ -796,7 +859,7 @@ def _tracer_kernel(
             )
         else:
             tmin = jnp.full(shape, BIG, jnp.float32)
-            sel = jnp.zeros((PROP_WIDTH, b), jnp.float32)
+            sel = jnp.zeros((sel_rows, b), jnp.float32)
         if not multi:
             return (tmin, sel, jnp.int32(len(single)))
 
@@ -815,7 +878,7 @@ def _tracer_kernel(
         # decisions are bit-identical to the lane-layout formulation.
         carry = (tmin, sel, jnp.int32(len(single)), wide(tmin))
 
-        for gi, (mode, n_tiles, pt) in multi:
+        for gi, (mode, n_tiles, pt, _) in multi:
             aabb_ref, w_ref, props_ref, order_ref = refs[4 * gi:4 * gi + 4]
 
             # Slab-test tile skip: Morton-ordered tiles are spatially
@@ -892,6 +955,41 @@ def _tracer_kernel(
             nx = jnp.where(is_sph, (ox + dx * t - nx) * inv_r, nx)
             ny = jnp.where(is_sph, (oy + dy * t - ny) * inv_r, ny)
             nz = jnp.where(is_sph, (oz + dz * t - nz) * inv_r, nz)
+
+        if has_tex:
+            # Procedural checker (Scene.tex_*): odd-parity cells swap
+            # the winner's albedo for tex_color2 BEFORE any material
+            # use (diffuse attenuation, mirror tint, glass tint).
+            # Mirrored term-for-term from render/tracer.py. sel rows
+            # 16:32 are the second property block (_pack_group props2):
+            # 16 tex_kind, 17 tex_scale, 18:21 color2, 21:24 w1, 24 b1,
+            # 25:28 w2, 28 b2. Kind 1 rebuilds the winner's (s1, s2)
+            # from the split-precision-selected dual basis (~2^-17 on
+            # hardware — cell boundaries can flip within a float ulp of
+            # a cell edge, measure-zero); kind 2 uses the hit point.
+            # Dead/no-hit lanes carry an all-zero sel (tex_kind 0), so
+            # their albedo is untouched.
+            tk = wide(sel[16:17])
+            tsc = wide(sel[17:18])
+            c2r_t = wide(sel[18:19])
+            c2g_t = wide(sel[19:20])
+            c2b_t = wide(sel[20:21])
+            hx = ox + dx * t
+            hy = oy + dy * t
+            hz = oz + dz * t
+            s1t = (hx * wide(sel[21:22]) + hy * wide(sel[22:23])
+                   + hz * wide(sel[23:24])) - wide(sel[24:25])
+            s2t = (hx * wide(sel[25:26]) + hy * wide(sel[26:27])
+                   + hz * wide(sel[27:28])) - wide(sel[28:29])
+            f1 = jnp.floor(s1t * tsc) + jnp.floor(s2t * tsc)
+            f2 = (jnp.floor(hx / tsc) + jnp.floor(hy / tsc)
+                  + jnp.floor(hz / tsc))
+            f = jnp.where(tk > 1.5, f2, f1)
+            odd = (f - 2.0 * jnp.floor(f * 0.5)) > 0.5
+            use2 = (tk > 0.0) & odd
+            cr = jnp.where(use2, c2r_t, cr)
+            cg = jnp.where(use2, c2g_t, cg)
+            cb = jnp.where(use2, c2b_t, cb)
 
         hit = alive & (t < BIG)
         if sky[3] != 0.0:
@@ -1114,8 +1212,8 @@ def _trace_padded(
         if group is None:
             continue
         w, props_t, aabbs = group
-        n_tiles, _, pt = props_t.shape
-        group_meta.append((mode, n_tiles, pt))
+        n_tiles, prows, pt = props_t.shape
+        group_meta.append((mode, n_tiles, pt, prows // 2))
         # Near-to-far tile traversal: multi-tile groups are walked in
         # order of tile-AABB-center distance from the anchor (the
         # camera), so near tiles tighten tmin before far tiles reach

@@ -66,6 +66,14 @@ class DeviceScene(NamedTuple):
     # compile to exactly the pre-dielectric program.
     ior: jnp.ndarray | None     # [N] float32 or None
     sph_ior: jnp.ndarray | None  # [S] float32 or None
+    # Procedural textures (Scene.tex_* / sph_tex_*), packed per
+    # primitive as [*, 5] rows (kind, scale, color2 rgb). None — the
+    # same static marker pattern as `ior` — when NO primitive anywhere
+    # in the scene is textured; otherwise BOTH fields are arrays (a
+    # sphere-only texture still materializes the zero plane rows so
+    # the tracer's primitive-indexed gather is total).
+    tex: jnp.ndarray | None      # [N, 5] float32 or None
+    sph_tex: jnp.ndarray | None  # [S, 5] float32 or None
     # Packed [P, 32] table for the Pallas wavefront kernel
     # (render/pallas_tracer.py PLANE_COLS), Morton-ordered within each
     # closed-world test kind, plus its derived matmul operand groups
@@ -123,6 +131,11 @@ def upload_scene(
         leaf_max = np.concatenate(
             [leaf_max, center + radius[:, None]], axis=0
         )
+    textured = bool(
+        np.any(np.asarray(scene.tex_kind) > 0)
+        or (scene.num_spheres
+            and np.any(np.asarray(scene.sph_tex_kind) > 0))
+    )
     # float64 squares/sums, rounded once to f32 (the bvh builder's
     # promote-before-add lesson): every backend then shares this exact
     # constant instead of re-rounding its own.
@@ -166,9 +179,26 @@ def upload_scene(
             if scene.num_spheres and np.any(np.asarray(scene.sph_ior) > 0)
             else None
         ),
+        tex=as_dev(_pack_tex(scene.tex_kind, scene.tex_scale,
+                             scene.tex_color2)) if textured else None,
+        sph_tex=as_dev(_pack_tex(scene.sph_tex_kind, scene.sph_tex_scale,
+                                 scene.sph_tex_color2)) if textured
+        else None,
         plane_table=as_dev(table),
         mxu_tables=mxu_tables,
         noise=as_dev(np.asarray(noise, dtype=np.float32)),
+    )
+
+
+def _pack_tex(kind, scale, color2) -> np.ndarray:
+    """[*, 5] texture rows: (kind, scale, color2 rgb)."""
+    return np.concatenate(
+        [
+            np.asarray(kind, np.float32)[:, None],
+            np.asarray(scale, np.float32)[:, None],
+            np.asarray(color2, np.float32).reshape(-1, 3),
+        ],
+        axis=1,
     )
 
 

@@ -87,6 +87,16 @@ def trace_paths(
     # when the scene has none (DeviceScene.ior/sph_ior are None), so
     # glass-free scenes — every generated maze — trace the identical
     # program (and RNG stream) as before the feature.
+    # Procedural textures (Scene.tex_*): statically absent when the
+    # scene is untextured (DeviceScene.tex is None), like the glass
+    # stage below.
+    has_tex = scene.tex is not None
+    if has_tex:
+        tex_all = (
+            jnp.concatenate([scene.tex, scene.sph_tex], 0)
+            if n_sph else scene.tex
+        )
+
     has_glass = scene.ior is not None or scene.sph_ior is not None
     if has_glass:
         ior_p = (
@@ -130,6 +140,26 @@ def trace_paths(
             albedo = scene.color[idx]
             em = scene.emission[idx]
             mir = scene.is_mirror[idx]
+        if has_tex:
+            # Checker albedo swap (mirrors the pallas kernel's texture
+            # stage term-for-term; see Scene.tex_kind semantics).
+            tx = tex_all[idx]                           # [R, 5]
+            tk = tx[:, 0]
+            tsc = tx[:, 1]
+            c2 = tx[:, 2:5]
+            hit_t = o + d * t[..., None]
+            pidx = jnp.minimum(idx, n_planes - 1)
+            s1t = dot(hit_t, scene.w1[pidx]) - scene.b1[pidx]
+            s2t = dot(hit_t, scene.w2[pidx]) - scene.b2[pidx]
+            f1 = jnp.floor(s1t * tsc) + jnp.floor(s2t * tsc)
+            f2 = (jnp.floor(hit_t[..., 0] / tsc)
+                  + jnp.floor(hit_t[..., 1] / tsc)
+                  + jnp.floor(hit_t[..., 2] / tsc))
+            f = jnp.where(tk > 1.5, f2, f1)
+            odd = (f - 2.0 * jnp.floor(f * 0.5)) > 0.5
+            use2 = (tk > 0.0) & odd
+            albedo = jnp.where(use2[..., None], c2, albedo)
+
         side = -jnp.sign(dot(d, n))
 
         # Branch masks (`shaders.metal:311, 324`): diffuse material or any

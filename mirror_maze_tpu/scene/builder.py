@@ -86,6 +86,22 @@ class Scene:
     # (default) is the opaque material model, bit-identical to before.
     ior: np.ndarray | None = None       # [N] float32, 0 = opaque
     sph_ior: np.ndarray | None = None   # [S] float32, 0 = opaque
+    # Procedural surface textures (beyond the reference, whose albedo
+    # is one flat color per quad, `main.rs:443-445`): tex_kind 0 = none,
+    # 1 = UV CHECKER (parity of floor(s1*scale) + floor(s2*scale) in
+    # the primitive's own edge coordinates — planes/triangles only),
+    # 2 = WORLD checker (parity of sum(floor(hit_xyz / scale)) — any
+    # primitive, including spheres). Odd-parity cells use tex_color2 in
+    # place of color; the textured albedo feeds diffuse attenuation,
+    # the mirror tint, and the glass tint alike. tex_scale is cells per
+    # edge (kind 1) or the world-units cell size (kind 2); must be > 0
+    # wherever tex_kind > 0.
+    tex_kind: np.ndarray | None = None      # [N] uint8 (0 / 1 / 2)
+    tex_scale: np.ndarray | None = None     # [N] float32
+    tex_color2: np.ndarray | None = None    # [N, 3] float32
+    sph_tex_kind: np.ndarray | None = None  # [S] uint8 (0 / 2)
+    sph_tex_scale: np.ndarray | None = None   # [S] float32
+    sph_tex_color2: np.ndarray | None = None  # [S, 3] float32
 
     def __post_init__(self):
         if self.kind is None:
@@ -108,23 +124,68 @@ class Scene:
         for f in ("ior", "sph_ior"):
             if np.any(np.asarray(getattr(self, f)) < 0):
                 raise ValueError(f"{f} must be >= 0 (0 = opaque)")
-        if self.ior.shape[0] != self.origin.shape[0]:
+        n = self.origin.shape[0]
+        if self.tex_kind is None:
+            self.tex_kind = np.zeros(n, dtype=np.uint8)
+        if self.tex_scale is None:
+            self.tex_scale = np.ones(n, dtype=np.float32)
+        if self.tex_color2 is None:
+            self.tex_color2 = np.zeros((n, 3), dtype=np.float32)
+        if self.sph_tex_kind is None:
+            self.sph_tex_kind = np.zeros(s, dtype=np.uint8)
+        if self.sph_tex_scale is None:
+            self.sph_tex_scale = np.ones(s, dtype=np.float32)
+        if self.sph_tex_color2 is None:
+            self.sph_tex_color2 = np.zeros((s, 3), dtype=np.float32)
+        for f, hi in (("tex_kind", 2), ("sph_tex_kind", 2)):
+            k = np.asarray(getattr(self, f))
+            if np.any(k > hi):
+                raise ValueError(f"{f} must be in 0..{hi}")
+        if np.any(np.asarray(self.sph_tex_kind) == 1):
             raise ValueError(
-                f"ior has {self.ior.shape[0]} rows but origin has "
-                f"{self.origin.shape[0]}"
+                "sph_tex_kind 1 (UV checker) is undefined for spheres — "
+                "use kind 2 (world checker)"
             )
+        for kf, sf in (("tex_kind", "tex_scale"),
+                       ("sph_tex_kind", "sph_tex_scale")):
+            k = np.asarray(getattr(self, kf))
+            sc = np.asarray(getattr(self, sf))
+            if np.any((k > 0) & ~(sc > 0)):
+                raise ValueError(f"{sf} must be > 0 wherever {kf} > 0")
+        for f in ("ior", "tex_kind", "tex_scale", "tex_color2"):
+            if getattr(self, f).shape[0] != n:
+                raise ValueError(
+                    f"{f} has {getattr(self, f).shape[0]} rows but "
+                    f"origin has {n}"
+                )
         if s and not np.all(np.asarray(self.sph_radius) > 0):
             raise ValueError("sphere radii must be positive")
         # Leading-dim consistency: catches dataclasses.replace() that
         # sets sph_center but inherits another sphere count's arrays.
-        for f in ("sph_radius", "sph_color", "sph_is_mirror",
-                  "sph_emission", "sph_ior"):
-            if getattr(self, f).shape[0] != s:
+        # A mismatch where either side is LENGTH ZERO is unambiguous
+        # (a replace() that grew a sphere-free base scene, or shrank a
+        # sphere scene to empty, inheriting the other count's arrays)
+        # and is re-defaulted; a NONZERO mismatch is a genuine bug and
+        # raises.
+        defaults = dict(
+            sph_radius=lambda: np.ones(s, np.float32),
+            sph_color=lambda: np.full((s, 3), 0.5, np.float32),
+            sph_is_mirror=lambda: np.zeros(s, bool),
+            sph_emission=lambda: np.zeros((s, 4), np.float32),
+            sph_ior=lambda: np.zeros(s, np.float32),
+            sph_tex_kind=lambda: np.zeros(s, np.uint8),
+            sph_tex_scale=lambda: np.ones(s, np.float32),
+            sph_tex_color2=lambda: np.zeros((s, 3), np.float32),
+        )
+        for f, make in defaults.items():
+            rows = getattr(self, f).shape[0]
+            if rows != s and (rows == 0 or s == 0):
+                setattr(self, f, make())
+            elif rows != s:
                 raise ValueError(
-                    f"{f} has {getattr(self, f).shape[0]} rows but "
-                    f"sph_center has {s} — pass all sphere fields "
-                    "together (replace() keeps old arrays, it does not "
-                    "re-default them)"
+                    f"{f} has {rows} rows but sph_center has {s} — "
+                    "pass all sphere fields together (replace() keeps "
+                    "old arrays, it does not re-default them)"
                 )
 
     @property

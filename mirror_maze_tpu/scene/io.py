@@ -24,11 +24,14 @@ _PLANE_FIELDS = (
     ("emission", np.float32, (4,)),
     ("kind", np.uint8, ()),
     ("ior", np.float32, ()),
+    ("tex_kind", np.uint8, ()),
+    ("tex_scale", np.float32, ()),
+    ("tex_color2", np.float32, (3,)),
 )
 
 # Optional-on-load plane fields (pre-feature archives lack them and get
-# the Scene.__post_init__ default — all-opaque for ior).
-_OPTIONAL_PLANE = ("kind", "ior")
+# the Scene.__post_init__ default — all-opaque for ior, untextured).
+_OPTIONAL_PLANE = ("kind", "ior", "tex_kind", "tex_scale", "tex_color2")
 
 # Per-sphere fields (all optional as a block: pre-sphere archives load
 # with zero spheres, and sphere-free scenes write no sphere arrays, so
@@ -40,10 +43,14 @@ _SPHERE_FIELDS = (
     ("sph_is_mirror", np.bool_, ()),
     ("sph_emission", np.float32, (4,)),
     ("sph_ior", np.float32, ()),
+    ("sph_tex_kind", np.uint8, ()),
+    ("sph_tex_scale", np.float32, ()),
+    ("sph_tex_color2", np.float32, (3,)),
 )
 
-# Optional-on-load sphere fields (pre-dielectric sphere archives).
-_OPTIONAL_SPHERE = ("sph_ior",)
+# Optional-on-load sphere fields (pre-dielectric/texture archives).
+_OPTIONAL_SPHERE = ("sph_ior", "sph_tex_kind", "sph_tex_scale",
+                    "sph_tex_color2")
 
 
 def save_scene(path: str, scene: Scene) -> None:

@@ -95,9 +95,14 @@ def merge_scenes(*scenes: Scene) -> Scene:
         origin=cat("origin"), v=cat("v"), u=cat("u"), color=cat("color"),
         is_mirror=cat("is_mirror"), emission=cat("emission"), grid=grid,
         kind=cat("kind"), ior=cat("ior"),
+        tex_kind=cat("tex_kind"), tex_scale=cat("tex_scale"),
+        tex_color2=cat("tex_color2"),
         sph_center=cat("sph_center"), sph_radius=cat("sph_radius"),
         sph_color=cat("sph_color"), sph_is_mirror=cat("sph_is_mirror"),
         sph_emission=cat("sph_emission"), sph_ior=cat("sph_ior"),
+        sph_tex_kind=cat("sph_tex_kind"),
+        sph_tex_scale=cat("sph_tex_scale"),
+        sph_tex_color2=cat("sph_tex_color2"),
     )
 
 

@@ -382,8 +382,9 @@ def test_props_split_precision_reconstructs_exactly(rng):
     p = 37
     table = rng.uniform(-3, 3, (p, PLANE_WIDTH)).astype(np.float32)
     table[:, 19] = 1.0
-    table[:, 26] = 0.0
-    table[:, 27] = 0.0   # ior: keep every random row opaque (mode 0)
+    # kind/ior/texture columns: keep every random row an opaque,
+    # untextured mode-0 quad.
+    table[:, 26:] = 0.0
     w, pt, aabbs = pack_intersection_tables(jnp.asarray(table))[0]
     props_t = np.asarray(pt)                       # [T, 32, PT]
     hi, lo = props_t[:, :16], props_t[:, 16:]

@@ -3,9 +3,11 @@ the jnp reference tracer over many random quad-soup scenes (every odd
 seed also carries a random SPHERE group — the kernel's mode-3 path —
 every third seed converts a random subset of its plane rows to
 TRIANGLES, Scene.kind == 3 — the kernel's mode-4 barycentric path —
-and every fifth seed makes a random subset of planes/spheres GLASS,
+every fifth seed makes a random subset of planes/spheres GLASS,
 Scene.ior > 0 — the kernel's mode-5/6/7 dielectric groups, soaked on
-the deterministic fresnel=False seam).
+the deterministic fresnel=False seam — and every seed ending in 2 or 7
+TEXTURES a random subset, Scene.tex_kind > 0 — the doubled
+split-precision property block).
 
 Run: PYTHONPATH="/root/repo:$PYTHONPATH" python tools/soak_kernel.py \
         [n_scenes] [--tpu]
@@ -106,6 +108,23 @@ for seed in range(N):
             sph["sph_ior"] = np.where(
                 r.random(s) < 0.5, r.uniform(1.1, 2.0, s), 0.0
             ).astype(np.float32)
+    # Every seed ending in 2 or 7 TEXTURES a random subset (UV/world
+    # checkers on planes, world checkers on spheres — the doubled
+    # split-precision property block). Textures draw no RNG, so the
+    # deterministic gates apply unchanged.
+    tex = {}
+    if seed % 5 == 2:
+        tex = dict(
+            tex_kind=r.integers(0, 3, n).astype(np.uint8),
+            tex_scale=r.uniform(0.5, 3.0, n).astype(np.float32),
+            tex_color2=r.uniform(0, 1, (n, 3)).astype(np.float32),
+        )
+        if s:
+            tex.update(
+                sph_tex_kind=(2 * (r.random(s) < 0.5)).astype(np.uint8),
+                sph_tex_scale=r.uniform(0.5, 3.0, s).astype(np.float32),
+                sph_tex_color2=r.uniform(0, 1, (s, 3)).astype(np.float32),
+            )
     scene = Scene(
         origin=origin.astype(np.float32), v=v.astype(np.float32),
         u=u.astype(np.float32),
@@ -113,7 +132,7 @@ for seed in range(N):
         is_mirror=r.random(n) < float(r.uniform(0, 0.5)),
         emission=em.astype(np.float32), grid=np.zeros((1, 1), np.uint8),
         kind=kind, ior=ior,
-        **sph)
+        **sph, **tex)
     dev = upload_scene(scene)
     cfg = TracerConfig(bounce_limit=1, mirror_limit=int(r.integers(1, 4)),
                        fresnel=False)
