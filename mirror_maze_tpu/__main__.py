@@ -60,6 +60,11 @@ def _build(args):
             if len(parts) != 3:
                 raise SystemExit(f"--{flag} wants X,Y,Z (got {val!r})")
             camera_overrides[field] = tuple(parts)
+    for flag, field in (("aperture", "aperture"),
+                        ("focus_dist", "focus_dist")):
+        val = getattr(args, flag, None)
+        if val is not None:
+            camera_overrides[field] = float(val)
     if camera_overrides:
         overrides["camera"] = dataclasses.replace(
             cfg.camera, **camera_overrides
@@ -285,6 +290,12 @@ def main(argv=None) -> int:
                         help="camera spawn position override")
         sp.add_argument("--look", default=None, metavar="X,Y,Z",
                         help="camera look direction override")
+        sp.add_argument("--aperture", type=float, default=None,
+                        help="thin-lens radius for depth of field "
+                             "(0 = pinhole, the reference camera)")
+        sp.add_argument("--focus-dist", type=float, default=None,
+                        dest="focus_dist",
+                        help="focal distance for --aperture > 0")
         sp.add_argument("--noise-png", default=None,
                         help="PNG to use as the RNG noise texture (e.g. "
                              "the reference's textures/noiseTexture-2.png"

@@ -129,6 +129,14 @@ class CameraConfig:
     move_speed: float = 5.0          # units per second (`main.rs:792`, 5/fps)
     mouse_sensitivity: float = 1.0 / 512.0                   # main.rs:923
     player_half_extent: Tuple[float, float, float] = (0.5, 0.2, 0.5)  # main.rs:738
+    # Thin-lens depth of field (beyond the reference's pinhole camera):
+    # aperture > 0 jitters each SAMPLE's origin on a lens disk of that
+    # radius and re-aims it at the ray's focal point at ``focus_dist``
+    # along the ray, so geometry off the focal distance blurs (bokeh).
+    # 0 (default) is the reference's pinhole — statically absent, so
+    # existing images are bit-unchanged.
+    aperture: float = 0.0
+    focus_dist: float = 10.0
 
 
 @dataclasses.dataclass(frozen=True)

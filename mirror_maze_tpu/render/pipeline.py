@@ -70,6 +70,33 @@ def render_pixels(
     dirs = (base_dir[:, None, :] + jit).reshape(k * spp, 3)
     ori = jnp.broadcast_to(cam.center, (k * spp, 3))
 
+    if cfg.camera.aperture > 0.0:
+        # Thin-lens depth of field (CameraConfig.aperture/focus_dist):
+        # each sample's origin moves on a camera-plane lens disk and its
+        # direction re-aims at the ray's focal point, so geometry at
+        # focus_dist stays sharp and everything else blurs. Statically
+        # absent at aperture 0 (the reference's pinhole, bit-unchanged).
+        from ..ops.quat import rotate as quat_rotate
+
+        lkey = jax.random.fold_in(jkey, 1)
+        u1, u2 = jax.random.uniform(lkey, (2, k * spp))
+        r = jnp.sqrt(u1) * cfg.camera.aperture
+        phi = u2 * (2.0 * jnp.pi)
+        off_cam = jnp.stack(
+            [r * jnp.cos(phi), r * jnp.sin(phi), jnp.zeros_like(r)],
+            axis=-1,
+        )
+        off = quat_rotate(
+            off_cam,
+            jnp.broadcast_to(cam.rotation, off_cam.shape[:-1] + (4,)),
+        )
+        focus_p = ori + dirs * cfg.camera.focus_dist
+        ori = ori + off
+        # Normalized: t (and t_min acceptance) is measured in |d| units.
+        from ..ops.vecmath import normalize
+
+        dirs = normalize(focus_p - ori)
+
     seed_row = None
     if cfg.tracer.noise_rng:
         from ..utils.noise import sample_noise
