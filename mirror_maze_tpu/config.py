@@ -138,6 +138,17 @@ class CameraConfig:
     aperture: float = 0.0
     focus_dist: float = 10.0
 
+    def __post_init__(self):
+        if self.aperture < 0.0:
+            raise ValueError(f"aperture must be >= 0, got {self.aperture}")
+        if self.aperture > 0.0 and not self.focus_dist > 0.0:
+            # focus_dist 0 would aim every sample back through the lens
+            # ring (focal point == camera center) — garbage frames.
+            raise ValueError(
+                f"focus_dist must be > 0 when aperture > 0, got "
+                f"{self.focus_dist}"
+            )
+
 
 @dataclasses.dataclass(frozen=True)
 class ScreenConfig:

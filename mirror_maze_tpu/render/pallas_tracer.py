@@ -334,7 +334,8 @@ def build_sphere_table(scene) -> np.ndarray:
 
 def _pack_sphere_group(t: jnp.ndarray, tile: int = PLANE_TILE,
                        textured: bool = False):
-    """Pack the [S, 12] sphere table into tiled matmul operands
+    """Pack the [S, 18] sphere table (build_sphere_table) into tiled
+    matmul operands
     (W [T, 2*PT, 8], propsT [T, 32, PT], aabbs [T, 8]) — the mode-3
     analog of _pack_group. W row blocks per tile (quantity-major):
       0: b-part  = -D.c                 -> coeffs [0, 0      | -c, 0]
@@ -434,7 +435,7 @@ def pack_intersection_tables(plane_table, tile_by_mode=None,
     the presence of any mode-5/6/7 entry is what statically enables
     the kernel's dielectric shading stage.
 
-    ``sphere_table`` is a concrete [S, 13] array from
+    ``sphere_table`` is a concrete [S, 18] array from
     build_sphere_table (None or empty for plane-only scenes — whose
     operand structure, and therefore traced kernel, is unchanged).
     Tables without kind info (column 26 zero) land entirely in mode 0,
@@ -590,7 +591,10 @@ def _tracer_kernel(
     # block (group_meta[i][3] = folded sel rows; uniform across groups
     # by construction, pack_intersection_tables). Static like has_glass:
     # untextured scenes compile the identical pre-texture program.
-    sel_rows = group_meta[0][3]
+    # A scene with NO live primitives at all (every table entry None —
+    # all planes degenerate, no spheres) has no groups; it renders the
+    # all-miss frame through the untextured fallthrough.
+    sel_rows = group_meta[0][3] if group_meta else PROP_WIDTH
     has_tex = sel_rows == 2 * PROP_WIDTH
     # Reciprocal selector. On HARDWARE the approximate VPU reciprocal is
     # ~2^-16 relative (measured, PERF.md "hardware numerics") — far
@@ -1185,7 +1189,7 @@ def _tracer_kernel(
     ),
 )
 def _trace_padded(
-    tables: tuple,              # pack_intersection_tables() 5-tuple
+    tables: tuple,              # pack_intersection_tables() 8-tuple
     g_all: jnp.ndarray,         # [8, R] component-major padded rays
     seed: jnp.ndarray,          # [1] int32
     anchor: jnp.ndarray,        # [3] f32 near-to-far tile-order anchor

@@ -131,8 +131,12 @@ def upload_scene(
         leaf_max = np.concatenate(
             [leaf_max, center + radius[:, None]], axis=0
         )
+    # Textured iff any VALID primitive is textured — the same predicate
+    # pack_intersection_tables applies to its (invalid-row-filtered)
+    # table, so the jnp tracer's static marker (DeviceScene.tex) and
+    # the kernel's (doubled props block) can never disagree.
     textured = bool(
-        np.any(np.asarray(scene.tex_kind) > 0)
+        np.any((np.asarray(scene.tex_kind) > 0) & np.asarray(der.valid))
         or (scene.num_spheres
             and np.any(np.asarray(scene.sph_tex_kind) > 0))
     )

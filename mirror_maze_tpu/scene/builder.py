@@ -162,30 +162,35 @@ class Scene:
             raise ValueError("sphere radii must be positive")
         # Leading-dim consistency: catches dataclasses.replace() that
         # sets sph_center but inherits another sphere count's arrays.
-        # A mismatch where either side is LENGTH ZERO is unambiguous
-        # (a replace() that grew a sphere-free base scene, or shrank a
-        # sphere scene to empty, inheriting the other count's arrays)
-        # and is re-defaulted; a NONZERO mismatch is a genuine bug and
-        # raises.
-        defaults = dict(
-            sph_radius=lambda: np.ones(s, np.float32),
-            sph_color=lambda: np.full((s, 3), 0.5, np.float32),
-            sph_is_mirror=lambda: np.zeros(s, bool),
-            sph_emission=lambda: np.zeros((s, 4), np.float32),
+        # LOAD-BEARING fields (radius/color/is_mirror/emission — a
+        # silent default would invent visible geometry) raise on ANY
+        # mismatch. NEUTRAL-DEFAULT fields (ior 0 = opaque, tex_kind
+        # 0 = untextured) are re-defaulted when either side is length
+        # zero — the unambiguous replace()-across-sphere-count case —
+        # so growing/shrinking a sphere set does not require restating
+        # fields whose default changes nothing about the image.
+        for f in ("sph_radius", "sph_color", "sph_is_mirror",
+                  "sph_emission"):
+            if getattr(self, f).shape[0] != s:
+                raise ValueError(
+                    f"{f} has {getattr(self, f).shape[0]} rows but "
+                    f"sph_center has {s} — pass all sphere fields "
+                    "together (replace() keeps old arrays, it does not "
+                    "re-default them)"
+                )
+        neutral = dict(
             sph_ior=lambda: np.zeros(s, np.float32),
             sph_tex_kind=lambda: np.zeros(s, np.uint8),
             sph_tex_scale=lambda: np.ones(s, np.float32),
             sph_tex_color2=lambda: np.zeros((s, 3), np.float32),
         )
-        for f, make in defaults.items():
+        for f, make in neutral.items():
             rows = getattr(self, f).shape[0]
             if rows != s and (rows == 0 or s == 0):
                 setattr(self, f, make())
             elif rows != s:
                 raise ValueError(
-                    f"{f} has {rows} rows but sph_center has {s} — "
-                    "pass all sphere fields together (replace() keeps "
-                    "old arrays, it does not re-default them)"
+                    f"{f} has {rows} rows but sph_center has {s}"
                 )
 
     @property

@@ -566,3 +566,28 @@ def test_block_size_invariant_on_deterministic_light(rng):
                                rows_per_block=rows)
         )
         np.testing.assert_array_equal(out, ref, err_msg=f"rows={rows}")
+
+
+def test_all_invalid_table_renders_all_miss():
+    """A scene with NO live primitives (every plane degenerate, no
+    spheres) uploads an EMPTY Morton-filtered table, which packs to an
+    all-None group tuple; the kernel must compile and return the
+    all-miss frame, not crash on the empty group_meta."""
+    from mirror_maze_tpu.render.pallas_tracer import (
+        PLANE_WIDTH,
+        pack_intersection_tables,
+    )
+
+    table = np.zeros((0, PLANE_WIDTH), np.float32)  # post-filter: empty
+    tables = pack_intersection_tables(table)
+    assert all(g is None for g in tables)
+    o = jnp.zeros((8, 3), jnp.float32)
+    d = jnp.concatenate(
+        [jnp.zeros((8, 2), jnp.float32), jnp.ones((8, 1), jnp.float32)], 1
+    )
+    cfg = TracerConfig(bounce_limit=2, mirror_limit=2)
+    light = np.asarray(
+        trace_paths_pallas(table, o, d, jnp.int32(1), cfg,
+                           rows_per_block=1, tables=tables)
+    )
+    np.testing.assert_array_equal(light, 0.0)

@@ -317,3 +317,27 @@ def test_maze_with_spheres_renders_on_all_backends():
     np.testing.assert_allclose(lj, lp, rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(lj, lb, rtol=1e-5, atol=1e-7)
     assert np.isfinite(lj).all() and lj.max() > 0
+
+
+def test_replace_growing_spheres_still_raises_on_core_fields():
+    """Re-defaulting across sphere counts applies only to the
+    NEUTRAL-DEFAULT fields (ior/tex_*); forgetting a load-bearing field
+    like sph_radius when growing a sphere-free scene must still raise
+    (a silent radius-1 default would invent visible geometry)."""
+    base = build_scene(MazeConfig(width=4, height=4))
+    with pytest.raises(ValueError, match="sph_radius"):
+        dataclasses.replace(
+            base, sph_center=np.array([[0, 0, 5]], np.float32)
+        )
+    # With every load-bearing field given, the neutral fields
+    # (sph_ior, sph_tex_*) re-default silently.
+    ok = dataclasses.replace(
+        base,
+        sph_center=np.array([[0, 0, 5]], np.float32),
+        sph_radius=np.ones(1, np.float32),
+        sph_color=np.full((1, 3), 0.5, np.float32),
+        sph_is_mirror=np.zeros(1, bool),
+        sph_emission=np.zeros((1, 4), np.float32),
+    )
+    assert ok.sph_ior.shape == (1,) and np.all(ok.sph_ior == 0)
+    assert ok.sph_tex_kind.shape == (1,)

@@ -101,7 +101,10 @@ for seed in range(N):
     # traced with fresnel=False, the deterministic refraction seam, so
     # the exactness gates still apply through multi-interface paths.
     ior = np.zeros(n, np.float32)
-    glass_seed = seed % 5 == 4
+    # Seeds ending in 7 are BOTH glass and textured, covering the
+    # combined path (glass tint through a checker albedo, the ior row
+    # alongside the doubled property block).
+    glass_seed = seed % 5 == 4 or seed % 10 == 7
     if glass_seed:
         ior[r.random(n) < 0.4] = r.uniform(1.1, 2.0)
         if s:
@@ -113,7 +116,7 @@ for seed in range(N):
     # split-precision property block). Textures draw no RNG, so the
     # deterministic gates apply unchanged.
     tex = {}
-    if seed % 5 == 2:
+    if seed % 5 == 2 or seed % 10 == 7:
         tex = dict(
             tex_kind=r.integers(0, 3, n).astype(np.uint8),
             tex_scale=r.uniform(0.5, 3.0, n).astype(np.float32),
