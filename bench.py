@@ -35,6 +35,11 @@ def main() -> None:
     p.add_argument("--block-rows", type=int, default=None,
                    help="override TracerConfig.block_rows (128-lane rows "
                         "per pallas program)")
+    p.add_argument("--glass-prob", type=float, default=0.0,
+                    dest="glass_prob",
+                    help="fraction of mirror walls converted to GLASS "
+                         "panes (measures the dielectric stage's cost; "
+                         "0 = reference parity)")
     p.add_argument("--sort-window", type=int, default=None, choices=(0, 1),
                    help="override ScreenConfig.sort_chunk_window "
                         "(default: on)")
@@ -116,7 +121,8 @@ def main() -> None:
         # nothing-workload). Move it only when outside, to the same
         # half-cell-inset position the 10x10 default has; mazes >= 10
         # (incl. config 5) keep the exact recorded camera.
-        maze = MazeConfig(width=args.maze, height=args.maze)
+        maze = MazeConfig(width=args.maze, height=args.maze,
+                          glass_prob=args.glass_prob)
         cam = CameraConfig()
         if abs(cam.spawn[2]) >= maze.world_half_extent:
             spawn_z = -(maze.world_half_extent - maze.cell_size / 2.0)

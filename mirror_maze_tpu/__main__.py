@@ -50,8 +50,15 @@ def _build(args):
                 "512x384.",
                 file=sys.stderr,
             )
+    maze_overrides = {}
     if args.seed is not None:
-        overrides["maze"] = dataclasses.replace(cfg.maze, seed=args.seed)
+        maze_overrides["seed"] = args.seed
+    if getattr(args, "glass_prob", None) is not None:
+        maze_overrides["glass_prob"] = float(args.glass_prob)
+    if getattr(args, "glass_ior", None) is not None:
+        maze_overrides["glass_ior"] = float(args.glass_ior)
+    if maze_overrides:
+        overrides["maze"] = dataclasses.replace(cfg.maze, **maze_overrides)
     camera_overrides = {}
     for flag, field in (("spawn", "spawn"), ("look", "look_dir")):
         val = getattr(args, flag, None)
@@ -290,6 +297,13 @@ def main(argv=None) -> int:
                         help="camera spawn position override")
         sp.add_argument("--look", default=None, metavar="X,Y,Z",
                         help="camera look direction override")
+        sp.add_argument("--glass-prob", type=float, default=None,
+                        dest="glass_prob",
+                        help="probability a mirror wall becomes a GLASS "
+                             "pane (maze worlds; 0 = reference parity)")
+        sp.add_argument("--glass-ior", type=float, default=None,
+                        dest="glass_ior",
+                        help="index of refraction for --glass-prob walls")
         sp.add_argument("--aperture", type=float, default=None,
                         help="thin-lens radius for depth of field "
                              "(0 = pinhole, the reference camera)")

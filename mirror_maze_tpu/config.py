@@ -31,6 +31,18 @@ class MazeConfig:
     # `main.rs:494-498` horizontal 10% mirror).
     vert_mirror_prob: float = 0.15
     hori_mirror_prob: float = 0.10
+    # GLASS walls (beyond the reference's diffuse/mirror pair): each
+    # MIRROR wall run becomes a dielectric pane with this probability,
+    # at glass_ior. Drawn from a SEPARATE seeded stream AFTER the build
+    # so 0 (the default) leaves every generated world bit-identical to
+    # the reference's, and raising it never re-rolls the maze layout,
+    # mirror picks, or lights.
+    glass_prob: float = 0.0
+    glass_ior: float = 1.5
+    # Glass panes swap the wall albedo for this pale tint (the wall
+    # grey would read as smoked glass — each interaction multiplies
+    # throughput by the albedo).
+    glass_color: Tuple[float, float, float] = (0.85, 0.9, 0.95)
 
     # Inset warm light panels on short walls (`main.rs:467-480, 501-514`):
     # runs of length <= light_max_run get a light_prob chance of a light panel

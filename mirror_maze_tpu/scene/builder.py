@@ -314,8 +314,9 @@ def build_scene(cfg: MazeConfig) -> Scene:
     mirrors: List[bool] = []
     emissions: List[np.ndarray] = []
     kinds: List[int] = []
+    borders: List[bool] = []   # wall run lies ON the world edge
 
-    def push(o, vv, uu, col, mirror, em, kind=0):
+    def push(o, vv, uu, col, mirror, em, kind=0, border=False):
         origins.append(np.asarray(o, dtype=np.float64))
         vs.append(np.asarray(vv, dtype=np.float64))
         us.append(np.asarray(uu, dtype=np.float64))
@@ -323,13 +324,15 @@ def build_scene(cfg: MazeConfig) -> Scene:
         mirrors.append(bool(mirror))
         emissions.append(np.asarray(em, dtype=np.float64))
         kinds.append(int(kind))
+        borders.append(bool(border))
 
     # Vertical wall runs (`main.rs:449-481`): a run (x, start, len) lies on
     # grid line x, spanning z in [start, start+len] cells.
     for line, start, length in vert:
         o = [-half + line * cs, top, -half + start * cs]
         push(o, [0.0, 0.0, length * cs], wall_u, wall_color,
-             rng.random() >= 1.0 - cfg.vert_mirror_prob, no_em_red, kind=1)
+             rng.random() >= 1.0 - cfg.vert_mirror_prob, no_em_red, kind=1,
+             border=line in (0, cfg.width))
         if length <= cfg.light_max_run and rng.random() < cfg.light_prob:
             push([o[0] + cfg.light_inset, top, o[2]],
                  [0.0, 0.0, cfg.light_length], light_u, wall_color,
@@ -340,7 +343,8 @@ def build_scene(cfg: MazeConfig) -> Scene:
     for line, start, length in hori:
         o = [-half + start * cs, top, -half + line * cs]
         push(o, [length * cs, 0.0, 0.0], wall_u, wall_color,
-             rng.random() >= 1.0 - cfg.hori_mirror_prob, no_em_red, kind=1)
+             rng.random() >= 1.0 - cfg.hori_mirror_prob, no_em_red, kind=1,
+             border=line in (0, cfg.height))
         if length <= cfg.light_max_run and rng.random() < cfg.light_prob:
             push([o[0], top, o[2] + cfg.light_inset],
                  [cfg.light_length, 0.0, 0.0], light_u, wall_color,
@@ -383,13 +387,42 @@ def build_scene(cfg: MazeConfig) -> Scene:
          np.array([*cfg.light_emission, cfg.ceiling_emission_strength]),
          kind=2)
 
+    mirrors_arr = np.array(mirrors, dtype=bool)
+    n = mirrors_arr.shape[0]
+    ior = np.zeros(n, np.float32)
+    if cfg.glass_prob > 0.0:
+        # Glass walls (MazeConfig.glass_prob): a random subset of the
+        # MIRROR walls becomes dielectric panes. Drawn from a SEPARATE
+        # seeded stream so the main rng's draw order — maze layout,
+        # mirror picks, light rolls, all bit-matching the reference —
+        # is untouched at any glass_prob, and glass_prob 0 (default)
+        # changes nothing at all.
+        # BORDER wall runs (on the world edge) stay mirror: a glass
+        # pane there refracts rays OUT of the closed world (the
+        # boundary backstop sits within t_min behind it), breaking the
+        # closed-world invariant the kernel's kind-2 no-edge-test
+        # specialization and the reference's miss-free tracing rely on.
+        grng = np.random.default_rng(cfg.seed ^ 0x61A55)
+        glass = (
+            mirrors_arr
+            & (grng.random(n) < cfg.glass_prob)
+            & ~np.array(borders, dtype=bool)
+        )
+        ior[glass] = cfg.glass_ior
+        mirrors_arr = mirrors_arr & ~glass
+
+    color_arr = np.stack(colors).astype(np.float32)
+    if cfg.glass_prob > 0.0:
+        color_arr[glass] = np.asarray(cfg.glass_color, np.float32)
+
     return Scene(
         origin=np.stack(origins).astype(np.float32),
         v=np.stack(vs).astype(np.float32),
         u=np.stack(us).astype(np.float32),
-        color=np.stack(colors).astype(np.float32),
-        is_mirror=np.array(mirrors, dtype=bool),
+        color=color_arr,
+        is_mirror=mirrors_arr,
         emission=np.stack(emissions).astype(np.float32),
         grid=grid,
         kind=np.array(kinds, dtype=np.uint8),
+        ior=ior,
     )

@@ -433,3 +433,62 @@ def test_negative_ior_rejected():
             grid=np.zeros((1, 1), np.uint8),
             ior=np.array([-1.0], np.float32),
         )
+
+
+def test_maze_glass_walls_preserve_reference_stream():
+    """MazeConfig.glass_prob converts a random subset of MIRROR walls
+    into dielectric panes from a SEPARATE rng stream: glass_prob 0 is
+    bit-identical to the reference build, and any glass_prob leaves
+    geometry, light placement, and the mirror/glass union unchanged."""
+    base = build_scene(MazeConfig(width=6, height=6))
+    again = build_scene(MazeConfig(width=6, height=6, glass_prob=0.0))
+    np.testing.assert_array_equal(base.origin, again.origin)
+    np.testing.assert_array_equal(base.is_mirror, again.is_mirror)
+    assert np.all(base.ior == 0)
+
+    glassy = build_scene(MazeConfig(width=6, height=6, glass_prob=0.6))
+    # Same world geometry and emissions (separate stream).
+    np.testing.assert_array_equal(glassy.origin, base.origin)
+    np.testing.assert_array_equal(glassy.v, base.v)
+    np.testing.assert_array_equal(glassy.emission, base.emission)
+    glass = glassy.ior > 0
+    assert glass.any(), "glass_prob 0.6 on a 6x6 maze found no mirrors"
+    # Glass walls came FROM the mirror set and left it.
+    assert not np.any(glassy.is_mirror & glass)
+    np.testing.assert_array_equal(glassy.is_mirror | glass, base.is_mirror)
+    assert np.all(glassy.ior[glass] == np.float32(1.5))
+    # Non-glass planes keep their colors; glass panes get the pale tint.
+    np.testing.assert_array_equal(glassy.color[~glass], base.color[~glass])
+    assert np.allclose(glassy.color[glass], [0.85, 0.9, 0.95])
+
+
+def test_maze_glass_walls_render_and_collide():
+    """A glass-walled maze renders on brute and pallas (the kernel's
+    mode-6 group on kind-1 walls) and glass walls still block movement
+    (collision is material-independent)."""
+    from mirror_maze_tpu.scene.collision import collides
+
+    cfg = MazeConfig(width=4, height=4, glass_prob=1.0,
+                     vert_mirror_prob=0.9, hori_mirror_prob=0.9)
+    scene = build_scene(cfg)
+    assert np.count_nonzero(scene.ior) >= 3
+    dev = upload_scene(scene)
+    assert dev.ior is not None
+    assert dev.mxu_tables[6] is not None      # glass plane group
+    r = np.random.default_rng(2)
+    o = jnp.asarray(r.uniform(-15, 15, (96, 3)).astype(np.float32))
+    d = jnp.asarray(_unit(r.normal(size=(96, 3))))
+    tcfg = TracerConfig(bounce_limit=1, mirror_limit=4, fresnel=False)
+    lj = np.asarray(trace_paths(dev, o, d, KEY, tcfg))
+    lp = np.asarray(
+        trace_paths_pallas(dev.plane_table, o, d, jnp.int32(5), tcfg,
+                           rows_per_block=2, tables=dev.mxu_tables)
+    )
+    close = np.isclose(lj, lp, rtol=1e-3, atol=1e-5).all(axis=-1)
+    assert close.mean() >= 0.99, close.mean()
+    # A glass wall's AABB still collides the player.
+    gi = int(np.nonzero(scene.ior > 0)[0][0])
+    mid = scene.origin[gi] + 0.5 * scene.v[gi] + 0.5 * scene.u[gi]
+    half = np.array([0.5, 0.2, 0.5], np.float32)
+    assert bool(collides(dev.leaf_min, dev.leaf_max,
+                         jnp.asarray(mid - half), jnp.asarray(mid + half)))
