@@ -7,6 +7,8 @@ The reference ships one binary whose only mode is the interactive window
   python -m mirror_maze_tpu demo    --out demo_dir/      scripted walkthrough
   python -m mirror_maze_tpu play                         interactive terminal
                                                          (WASD + j/l yaw, q quits)
+  python -m mirror_maze_tpu animate --out anim.gif       camera-path GIF
+                                                         (spin/orbit/waypoints)
 
 All take --config {reference,v0,bvh,fuzzy,interactive,scale} and overrides.
 """
@@ -192,6 +194,53 @@ def cmd_play(args) -> int:
     return 0
 
 
+def cmd_animate(args) -> int:
+    """Offline camera-path animation -> looping GIF (render/campath.py).
+
+    Paths: spin (yaw in place at the spawn), orbit (circle a center,
+    aiming at it), waypoints (piecewise-linear flythrough). All frames
+    render in ONE device launch (lax.map over the camera batch)."""
+    import jax
+    import numpy as np
+
+    from .render import make_camera
+    from .render.campath import (orbit_cameras, render_path, spin_cameras,
+                                 waypoint_cameras)
+    from .utils.imageio import write_gif
+
+    def vec3(s, flag):
+        parts = [float(x) for x in s.split(",")]
+        if len(parts) != 3:
+            raise SystemExit(f"--{flag} wants X,Y,Z (got {s!r})")
+        return tuple(parts)
+
+    cfg, scene, dev = _build(args)
+    base = make_camera(cfg.camera, cfg.screen.width / cfg.screen.height)
+    n = args.anim_frames
+    if args.anim == "orbit":
+        center = vec3(args.orbit_center, "orbit-center")
+        cams = orbit_cameras(base, center, args.orbit_radius,
+                             args.orbit_height, n, turns=args.turns)
+    elif args.anim == "waypoints":
+        if not args.waypoints:
+            raise SystemExit("--anim waypoints needs --waypoints "
+                             "\"x,y,z;x,y,z;...\"")
+        pts = [vec3(p, "waypoints") for p in args.waypoints.split(";")]
+        target = vec3(args.target, "target") if args.target else None
+        cams = waypoint_cameras(base, pts, n, target=target)
+    else:
+        cams = spin_cameras(base, cfg.camera.look_dir, n, turns=args.turns)
+    t0 = time.time()
+    frames = np.asarray(render_path(dev, cams, jax.random.PRNGKey(
+        args.seed or 0), cfg))
+    dt = time.time() - t0
+    write_gif(args.out, frames, fps=args.gif_fps)
+    print(f"{n} frames {cfg.screen.width}x{cfg.screen.height} "
+          f"({args.anim}) in {dt:.1f}s -> {args.out} "
+          f"({args.gif_fps} fps GIF)")
+    return 0
+
+
 def cmd_multicam(args) -> int:
     """Batched multi-camera render over a (cam, tile) device mesh —
     SURVEY.md config-5 scale-out surface (parallel/shard.py). On one
@@ -265,7 +314,8 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="mirror_maze_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
     for name, fn in (("render", cmd_render), ("demo", cmd_demo),
-                     ("play", cmd_play), ("multicam", cmd_multicam)):
+                     ("play", cmd_play), ("multicam", cmd_multicam),
+                     ("animate", cmd_animate)):
         sp = sub.add_parser(name)
         sp.set_defaults(fn=fn)
         sp.add_argument("--config", default="reference")
@@ -331,9 +381,33 @@ def main(argv=None) -> int:
                              "real chips or the virtual CPU mesh via "
                              "JAX_PLATFORMS=cpu + XLA_FLAGS="
                              "--xla_force_host_platform_device_count)")
+        sp.add_argument("--anim", default="spin",
+                        choices=("spin", "orbit", "waypoints"),
+                        help="animate: camera path type")
+        sp.add_argument("--anim-frames", type=int, default=48,
+                        dest="anim_frames",
+                        help="animate: frames on the path")
+        sp.add_argument("--turns", type=float, default=1.0,
+                        help="animate: revolutions for spin/orbit")
+        sp.add_argument("--orbit-center", default="0,0,0",
+                        dest="orbit_center", metavar="X,Y,Z",
+                        help="animate: orbit look-at center")
+        sp.add_argument("--orbit-radius", type=float, default=10.0,
+                        dest="orbit_radius")
+        sp.add_argument("--orbit-height", type=float, default=0.0,
+                        dest="orbit_height",
+                        help="animate: camera height above orbit center")
+        sp.add_argument("--waypoints", default=None,
+                        metavar="X,Y,Z;X,Y,Z;...",
+                        help="animate: flythrough waypoints")
+        sp.add_argument("--target", default=None, metavar="X,Y,Z",
+                        help="animate: fixed look-at for waypoints "
+                             "(default: look along travel)")
+        sp.add_argument("--gif-fps", type=int, default=12, dest="gif_fps",
+                        help="animate: GIF playback rate")
         sp.add_argument("--out", default={
             "render": "frame.png", "demo": "demo_out",
-            "multicam": "multicam.png"}.get(name))
+            "multicam": "multicam.png", "animate": "anim.gif"}.get(name))
     args = p.parse_args(argv)
     return args.fn(args)
 

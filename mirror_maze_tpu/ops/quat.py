@@ -61,6 +61,35 @@ def from_look_dir(look: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([axis_n * s, c], axis=-1)
 
 
+def aim(look: jnp.ndarray) -> jnp.ndarray:
+    """Exact roll-free look-at quaternion (extension; no reference twin).
+
+    `from_look_dir` replicates the reference's asin-based construction
+    (`maths.rs:139-156`), which folds directions beyond 90 degrees back
+    toward the forward axis — unusable for a 360-degree camera orbit.
+    This builds the exact rotation instead: pitch about local x to the
+    look's elevation, then yaw about world y to its azimuth (hamilton
+    composes left-to-right under the reference's ``q^-1 v q`` rotate
+    convention). ``rotate((0,0,1), aim(v)) == normalize(v)`` for every v,
+    and the camera right axis stays horizontal (no roll). Degenerate
+    straight-up/down looks keep a well-defined (zero) azimuth.
+    """
+    look_n = normalize(look)
+    lx = look_n[..., 0]
+    ly = look_n[..., 1]
+    lz = look_n[..., 2]
+    yaw = jnp.arctan2(-lx, lz)
+    pitch = jnp.arcsin(jnp.clip(ly, -1.0, 1.0))
+    zeros = jnp.zeros_like(yaw)
+    q_pitch = jnp.stack(
+        [jnp.sin(pitch / 2), zeros, zeros, jnp.cos(pitch / 2)], axis=-1
+    )
+    q_yaw = jnp.stack(
+        [zeros, jnp.sin(yaw / 2), zeros, jnp.cos(yaw / 2)], axis=-1
+    )
+    return hamilton(q_pitch, q_yaw)
+
+
 def update_angle(q: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:
     """Re-aim an existing yaw quaternion at a new half-angle theta
     (`maths.rs:159-162`). Keeps the rotation axis, changes the angle.

@@ -101,6 +101,135 @@ def kitty_frame(img: np.ndarray) -> str:
     return "".join(out)
 
 
+def write_gif(path: str, frames: np.ndarray, fps: int = 20,
+              loop: int = 0) -> None:
+    """Write [N, H, W, 3] uint8 (or float in [0,1]) frames as a looping
+    GIF (the `animate` CLI's output). PIL when present, else the built-in
+    GIF89a encoder below (median-cut global palette + LZW), mirroring
+    write_png's zero-hard-dep policy."""
+    frames = np.asarray(frames)
+    if frames.dtype != np.uint8:
+        frames = np.round(np.clip(frames, 0.0, 1.0) * 255.0).astype(np.uint8)
+    assert frames.ndim == 4 and frames.shape[-1] == 3, frames.shape
+    duration_ms = max(1, round(1000.0 / fps))
+    try:
+        from PIL import Image
+
+        ims = [Image.fromarray(f, mode="RGB") for f in frames]
+        ims[0].save(path, save_all=True, append_images=ims[1:],
+                    duration=duration_ms, loop=loop)
+        return
+    except ImportError:
+        pass
+    _write_gif_builtin(path, frames, duration_ms, loop)
+
+
+def _median_cut_palette(frames: np.ndarray, n_colors: int = 256) -> np.ndarray:
+    """Global palette via median cut over a pixel sample: [n_colors, 3]."""
+    px = frames.reshape(-1, 3)
+    if px.shape[0] > 1 << 16:
+        stride = px.shape[0] // (1 << 16) + 1
+        px = px[::stride]
+    boxes = [px.astype(np.int32)]
+    while len(boxes) < n_colors:
+        # Split the box with the largest single-channel range; stop when
+        # every box is a single color.
+        spans = [b.max(0) - b.min(0) if len(b) else np.zeros(3, np.int32)
+                 for b in boxes]
+        widest = max(range(len(boxes)), key=lambda i: spans[i].max())
+        if spans[widest].max() == 0:
+            break
+        b = boxes.pop(widest)
+        ch = int(spans[widest].argmax())
+        order = b[:, ch].argsort(kind="stable")
+        half = len(b) // 2
+        boxes += [b[order[:half]], b[order[half:]]]
+    pal = np.zeros((n_colors, 3), np.uint8)
+    for i, b in enumerate(boxes):
+        pal[i] = b.mean(0).round().astype(np.uint8)
+    return pal
+
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int = 8) -> bytes:
+    """GIF-flavor LZW (LSB-first bit packing, clear/EOI codes, 12-bit cap)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = n_bits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+
+    table: dict[int, int] = {}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    data = indices.ravel().tolist()
+    prev = data[0]
+    for sym in data[1:]:
+        key = (prev << 8) | sym
+        code = table.get(key)
+        if code is not None:
+            prev = code
+            continue
+        emit(prev, width)
+        table[key] = next_code
+        next_code += 1
+        if next_code > (1 << width):
+            if width < 12:
+                width += 1
+            else:
+                emit(clear, width)
+                table.clear()
+                next_code = eoi + 1
+                width = min_code_size + 1
+        prev = sym
+    emit(prev, width)
+    emit(eoi, width)
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _write_gif_builtin(path: str, frames: np.ndarray, duration_ms: int,
+                       loop: int) -> None:
+    import struct
+
+    n, h, w, _ = frames.shape
+    pal = _median_cut_palette(frames)
+    # 5-bit RGB cube -> nearest palette index (one 32k x 256 distance
+    # solve), then frames map through the cube by integer indexing.
+    g = np.arange(32, dtype=np.int32) * 8 + 4
+    cube = np.stack(np.meshgrid(g, g, g, indexing="ij"), -1).reshape(-1, 3)
+    d = ((cube[:, None, :] - pal[None].astype(np.int32)) ** 2).sum(-1)
+    lut = d.argmin(1).astype(np.uint8).reshape(32, 32, 32)
+    delay_cs = max(1, duration_ms // 10)
+    with open(path, "wb") as f:
+        f.write(b"GIF89a")
+        f.write(struct.pack("<HHBBB", w, h, 0xF7, 0, 0))
+        f.write(pal.tobytes())
+        f.write(b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+                + struct.pack("<H", loop) + b"\x00")
+        for frame in frames:
+            idx = lut[frame[..., 0] >> 3, frame[..., 1] >> 3,
+                      frame[..., 2] >> 3]
+            f.write(b"\x21\xf9\x04" + struct.pack("<BHBB", 0x04, delay_cs,
+                                                  0, 0))
+            f.write(b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0))
+            f.write(b"\x08")
+            payload = _lzw_encode(idx)
+            for i in range(0, len(payload), 255):
+                block = payload[i:i + 255]
+                f.write(bytes([len(block)]) + block)
+            f.write(b"\x00")
+        f.write(b"\x3b")
+
+
 def read_png(path: str) -> np.ndarray:
     """Read a PNG to an [H, W, C] uint8 array (PIL path only; used for the
     optional noise-texture load and golden-image tests)."""
