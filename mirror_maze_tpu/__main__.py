@@ -194,6 +194,30 @@ def cmd_play(args) -> int:
     return 0
 
 
+def _factor_mesh(batch: int, height: int):
+    """(cam, tile) mesh factoring shared by multicam/animate --sharded:
+    as many devices as divide the batch on 'cam', the rest on 'tile'
+    wherever the pixel-row count allows."""
+    import math
+
+    import jax
+
+    from .parallel import make_mesh
+
+    devs = len(jax.devices())
+    n_cam = math.gcd(batch, devs)
+    n_tile = 1
+    for t in range(devs // n_cam, 0, -1):
+        # The batched renderer's only tiling precondition is height %
+        # n_tile == 0 (raw pixel-row bands; the chunk grid is not
+        # involved) — requiring chunk divisibility here idled devices
+        # on valid heights.
+        if height % t == 0:
+            n_tile = t
+            break
+    return make_mesh(n_cam, n_tile), n_cam, n_tile, devs
+
+
 def cmd_animate(args) -> int:
     """Offline camera-path animation -> looping GIF (render/campath.py).
 
@@ -231,12 +255,25 @@ def cmd_animate(args) -> int:
     else:
         cams = spin_cameras(base, cfg.camera.look_dir, n, turns=args.turns)
     t0 = time.time()
-    frames = np.asarray(render_path(dev, cams, jax.random.PRNGKey(
-        args.seed or 0), cfg))
+    mesh_note = ""
+    if args.sharded:
+        # Frames ARE the camera batch: shard the path over the (cam,
+        # tile) device mesh through the multicam renderer — animation
+        # scale-out needs no new machinery.
+        from .parallel import make_sharded_renderer
+
+        mesh, n_cam, n_tile, devs = _factor_mesh(n, cfg.screen.height)
+        render = make_sharded_renderer(cfg, mesh)
+        fr, _ = render(dev, cams, jax.random.PRNGKey(args.seed or 0))
+        frames = np.asarray(jax.device_get(fr))
+        mesh_note = f" on mesh (cam={n_cam}, tile={n_tile})/{devs} dev"
+    else:
+        frames = np.asarray(render_path(dev, cams, jax.random.PRNGKey(
+            args.seed or 0), cfg))
     dt = time.time() - t0
     write_gif(args.out, frames, fps=args.gif_fps)
     print(f"{n} frames {cfg.screen.width}x{cfg.screen.height} "
-          f"({args.anim}) in {dt:.1f}s -> {args.out} "
+          f"({args.anim}){mesh_note} in {dt:.1f}s -> {args.out} "
           f"({args.gif_fps} fps GIF)")
     return 0
 
@@ -254,24 +291,13 @@ def cmd_multicam(args) -> int:
     import numpy as np
 
     from .ops import quat as quat_ops
-    from .parallel import batch_cameras, make_mesh, make_sharded_renderer
+    from .parallel import batch_cameras, make_sharded_renderer
     from .render import make_camera
     from .utils.imageio import write_png
 
     cfg, scene, dev = _build(args)
     b = args.cameras
-    devs = len(jax.devices())
-    n_cam = math.gcd(b, devs)
-    n_tile = 1
-    for t in range(devs // n_cam, 0, -1):
-        # The batched renderer's only tiling precondition is h % n_tile
-        # == 0 (raw pixel-row bands; the chunk grid is not involved) —
-        # requiring chunk divisibility here idled devices on valid
-        # heights.
-        if cfg.screen.height % t == 0:
-            n_tile = t
-            break
-    mesh = make_mesh(n_cam, n_tile)
+    mesh, n_cam, n_tile, devs = _factor_mesh(b, cfg.screen.height)
 
     base = make_camera(cfg.camera, cfg.screen.width / cfg.screen.height)
     cams = []
@@ -405,6 +431,10 @@ def main(argv=None) -> int:
                              "(default: look along travel)")
         sp.add_argument("--gif-fps", type=int, default=12, dest="gif_fps",
                         help="animate: GIF playback rate")
+        sp.add_argument("--sharded", action="store_true",
+                        help="animate: shard the frame batch over the "
+                             "(cam, tile) device mesh (the multicam "
+                             "renderer; frames = camera batch)")
         sp.add_argument("--out", default={
             "render": "frame.png", "demo": "demo_out",
             "multicam": "multicam.png", "animate": "anim.gif"}.get(name))

@@ -208,3 +208,21 @@ def test_animate_cli_writes_gif(tmp_path):
     assert rc == 0
     with open(out, "rb") as f:
         assert f.read(6) == b"GIF89a"
+
+
+def test_animate_cli_sharded_over_device_mesh(tmp_path):
+    """--sharded renders the frame batch through the multicam sharded
+    renderer: 4 frames over the virtual 8-device mesh factor to
+    (cam=4, tile=2) with every frame present in the GIF."""
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    from mirror_maze_tpu.__main__ import main
+
+    out = str(tmp_path / "s.gif")
+    rc = main(["animate", "--config", "v0", "--width", "32", "--height",
+               "32", "--spp", "1", "--anim-frames", "4", "--sharded",
+               "--anim", "orbit", "--orbit-radius", "4", "--out", out])
+    assert rc == 0
+    im = Image.open(out)
+    assert im.n_frames == 4 and im.size == (32, 32)
