@@ -138,14 +138,24 @@ def cmd_demo(args) -> int:
     t0 = time.time()
     frame = None
     last_phase = None
+    gif_frames = []
+    gif_stride = max(1, args.gif_every) if args.gif else 0
     for i, (phase, inp) in enumerate(script):
         # Snapshot the LAST frame of the finishing phase before stepping
         # into the new one.
         if phase != last_phase and last_phase is not None:
             write_png(f"{args.out}/{i:04d}_{last_phase}.png", np.asarray(frame))
         st, frame = step(st, inp)
+        if gif_stride and i % gif_stride == 0:
+            gif_frames.append(np.asarray(frame))
         last_phase = phase
     write_png(f"{args.out}/{len(script):04d}_final.png", np.asarray(frame))
+    if gif_frames:
+        from .utils.imageio import write_gif
+
+        write_gif(args.gif, np.stack(gif_frames), fps=args.gif_fps)
+        print(f"{len(gif_frames)} frames (every {gif_stride}) -> "
+              f"{args.gif}")
     dt = time.time() - t0
     print(f"{len(script)} frames in {dt:.1f}s ({len(script)/dt:.0f} fps) "
           f"-> {args.out}/")
@@ -431,6 +441,14 @@ def main(argv=None) -> int:
                              "(default: look along travel)")
         sp.add_argument("--gif-fps", type=int, default=12, dest="gif_fps",
                         help="animate: GIF playback rate")
+        sp.add_argument("--gif", default=None,
+                        help="demo: also assemble sampled frames into a "
+                             "looping GIF at this path (device->host "
+                             "fetch per sampled frame — prefer a large "
+                             "--gif-every over remote links)")
+        sp.add_argument("--gif-every", type=int, default=8,
+                        dest="gif_every",
+                        help="demo: sample every Nth frame into --gif")
         sp.add_argument("--sharded", action="store_true",
                         help="animate: shard the frame batch over the "
                              "(cam, tile) device mesh (the multicam "

@@ -210,6 +210,24 @@ def test_animate_cli_writes_gif(tmp_path):
         assert f.read(6) == b"GIF89a"
 
 
+def test_demo_cli_gif_option(tmp_path):
+    """demo --gif assembles every Nth engine frame into a GIF alongside
+    the phase PNGs (exercises the full engine step -> write_gif path)."""
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    from mirror_maze_tpu import __main__ as cli
+
+    out_dir = str(tmp_path / "demo")
+    gif = str(tmp_path / "d.gif")
+    rc = cli.main(["demo", "--config", "v0", "--width", "32", "--height",
+                   "32", "--spp", "1", "--out", out_dir, "--gif", gif,
+                   "--gif-every", "64"])
+    assert rc == 0
+    im = Image.open(gif)
+    assert im.size == (32, 32) and im.n_frames >= 8
+
+
 def test_animate_cli_sharded_over_device_mesh(tmp_path):
     """--sharded renders the frame batch through the multicam sharded
     renderer: 4 frames over the virtual 8-device mesh factor to
