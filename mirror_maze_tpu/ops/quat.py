@@ -72,9 +72,16 @@ def aim(look: jnp.ndarray) -> jnp.ndarray:
     composes left-to-right under the reference's ``q^-1 v q`` rotate
     convention). ``rotate((0,0,1), aim(v)) == normalize(v)`` for every v,
     and the camera right axis stays horizontal (no roll). Degenerate
-    straight-up/down looks keep a well-defined (zero) azimuth.
+    straight-up/down looks keep a well-defined (zero) azimuth, and a
+    ZERO look vector yields the identity quaternion rather than NaN
+    (e.g. a waypoint path holding position via duplicate points).
     """
-    look_n = normalize(look)
+    mag = norm(look)[..., None]
+    look_n = jnp.where(
+        mag > 0,
+        look / jnp.where(mag > 0, mag, 1.0),
+        jnp.zeros_like(look).at[..., 2].set(1.0),
+    )
     lx = look_n[..., 0]
     ly = look_n[..., 1]
     lz = look_n[..., 2]

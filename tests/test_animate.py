@@ -41,6 +41,16 @@ def test_aim_is_roll_free(rng):
     np.testing.assert_allclose(np.linalg.norm(got, axis=-1), 1.0, atol=2e-6)
 
 
+def test_aim_zero_look_is_identity():
+    """A zero look vector (duplicate consecutive waypoints = hold
+    position) must yield the identity quaternion, not NaN."""
+    from mirror_maze_tpu.ops.quat import aim
+
+    q = np.asarray(aim(jnp.zeros((2, 3))))
+    np.testing.assert_allclose(q, np.tile([0.0, 0.0, 0.0, 1.0], (2, 1)),
+                               atol=0)
+
+
 def test_aim_is_unit_quaternion(rng):
     from mirror_maze_tpu.ops.quat import aim
 
