@@ -55,6 +55,8 @@ def _build(args):
     maze_overrides = {}
     if args.seed is not None:
         maze_overrides["seed"] = args.seed
+    if getattr(args, "rng", None):
+        maze_overrides["rng"] = args.rng
     if getattr(args, "glass_prob", None) is not None:
         maze_overrides["glass_prob"] = float(args.glass_prob)
     if getattr(args, "glass_ior", None) is not None:
@@ -140,6 +142,16 @@ def cmd_demo(args) -> int:
     last_phase = None
     gif_frames = []
     gif_stride = max(1, args.gif_every) if args.gif else 0
+    if gif_stride:
+        # Each sampled frame is a host copy (device fetch + RAM); cap
+        # the total so a small --gif-every at 1080p can't buffer GBs.
+        max_gif_frames = 192
+        min_stride = -(-len(script) // max_gif_frames)  # ceil div
+        if gif_stride < min_stride:
+            print(f"--gif-every {gif_stride} would sample "
+                  f"{len(script) // gif_stride} frames; raising stride to "
+                  f"{min_stride} (cap {max_gif_frames} frames)")
+            gif_stride = min_stride
     for i, (phase, inp) in enumerate(script):
         # Snapshot the LAST frame of the finishing phase before stepping
         # into the new one.
@@ -170,11 +182,6 @@ def cmd_play(args) -> int:
     cfg, scene, dev = _build(args)
     print("WASD move, j/l turn, q quits. Frames render headless; "
           "final view saved on exit.")
-    if args.sharded_bands and (args.save_state or args.load_state):
-        print("error: --save-state/--load-state checkpoints hold the "
-              "single-chip state layout; not supported with "
-              "--sharded-bands", file=sys.stderr)
-        return 2
     loop = InteractiveLoop(
         dev, cfg, seed=args.seed or 0, batch_frames=args.batch_frames,
         adaptive=not args.no_adaptive_batch,
@@ -182,9 +189,20 @@ def cmd_play(args) -> int:
     )
     display = None if args.display == "none" else args.display
     if args.load_state:
-        from .runtime.state import load_state
+        # Checkpoints resume across engine layouts: sharded checkpoints
+        # restore bit-exactly at the same band count and convert
+        # otherwise (parallel/shard.py load_sharded_state /
+        # sharded_to_single).
+        if args.sharded_bands:
+            from .parallel.shard import load_sharded_state
 
-        loop.state = load_state(args.load_state, cfg)
+            loop.state = load_sharded_state(
+                args.load_state, cfg, args.sharded_bands
+            )
+        else:
+            from .runtime.state import load_state
+
+            loop.state = load_state(args.load_state, cfg)
         print(f"resumed from {args.load_state} "
               f"(frame {int(loop.state.frame)})")
     frame0 = int(loop.state.frame)
@@ -359,6 +377,11 @@ def main(argv=None) -> int:
         sp.add_argument("--height", type=int, default=0)
         sp.add_argument("--spp", type=int, default=0)
         sp.add_argument("--seed", type=int, default=None)
+        sp.add_argument("--rng", default=None,
+                        choices=("numpy", "reference"),
+                        help="world RNG stream: 'reference' rebuilds the "
+                             "reference app's LITERAL world at this seed "
+                             "(rand-0.8 StdRng/ChaCha12 parity)")
         sp.add_argument("--intersector", default=None)
         sp.add_argument("--frames", type=int, default=None)
         sp.add_argument("--display", default="ansi",

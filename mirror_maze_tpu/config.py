@@ -22,6 +22,13 @@ class MazeConfig:
     width: int = 10            # cells in x
     height: int = 10           # cells in y (z in world space)
     cell_size: float = 10.0    # world units per cell (`main.rs:452`, 10.0)
+    # World RNG backend. "numpy" (default): NumPy PCG64 — deterministic
+    # by seed, but NOT the reference's stream. "reference": a
+    # rand-0.8-StdRng-compatible ChaCha12 stream (utils/refrng.py), so
+    # the generated world — maze topology, mirror picks, light
+    # placements — is WALL-FOR-WALL the world the reference app builds
+    # at the same seed (`main.rs:381-382, 460-514`).
+    rng: str = "numpy"
     wall_top_y: float = 2.0    # walls span y in [top - height, top]; y points DOWN
     wall_height: float = 10.0  # maze wall height (`main.rs:457`, u=(0,-10,0))
     boundary_height: float = 20.0  # outer boundary wall height (`main.rs:519`)
@@ -60,6 +67,21 @@ class MazeConfig:
     light_emission: Tuple[float, float, float] = (1.0, 0.8, 0.3)  # main.rs:479
     light_strength: float = 2.0                                    # main.rs:479
     ceiling_emission_strength: float = 0.02                        # main.rs:585
+
+    def __post_init__(self):
+        if self.rng not in ("numpy", "reference"):
+            raise ValueError(f"rng must be 'numpy' or 'reference' (got {self.rng!r})")
+        # ior <= 0 means "opaque" in Scene.ior, so glass_prob > 0 with a
+        # non-physical ior would silently demote the selected mirror
+        # walls to pale diffuse panes (is_mirror stripped, albedo
+        # recolored) instead of producing glass. Fail loudly instead.
+        if not 0.0 <= self.glass_prob <= 1.0:
+            raise ValueError(f"glass_prob must be in [0, 1] (got {self.glass_prob})")
+        if self.glass_prob > 0.0 and self.glass_ior <= 0.0:
+            raise ValueError(
+                f"glass_ior must be > 0 when glass_prob > 0 (got {self.glass_ior}); "
+                "ior <= 0 marks a surface opaque"
+            )
 
     @property
     def world_half_extent(self) -> float:

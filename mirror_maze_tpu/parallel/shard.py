@@ -444,6 +444,145 @@ def _make_lazy_bounds_step(cfg, build_step, max_depth, max_leaf):
     return step_fn
 
 
+# --- Sharded checkpoint/resume ------------------------------------------------
+#
+# ShardedEngineState and the single-chip EngineState share field names and
+# — crucially — the screen layout: band-local chunk id = global chunk id
+# - ti*C_band (bands stack in y and chunk-major order is row-major over
+# (cy, cx)), so the band-concatenated chunk-major screen IS the
+# single-chip screen bit-for-bit. runtime/state.py save_state already
+# serializes either state (np.asarray gathers sharded arrays to global
+# layout); a checkpoint is sharded iff its cursor has a band axis.
+
+
+def sharded_to_single(state, cfg: EngineConfig):
+    """Convert a (gathered) ShardedEngineState to the single-chip layout.
+
+    Exact fields: camera, yaw, frame counter, and the accumulation screen
+    (band concat = identity, see above). The per-band chunk queues are
+    INTERLEAVED positionally into one global queue after normalizing each
+    band's cursor to 0 (rotating the queue preserves its pop order), so
+    the single-chip engine's next windows refresh exactly the union of
+    chunk sets the bands would have refreshed — the progressive-repaint
+    cadence survives the conversion. The RNG key becomes band 0's key
+    (one key cannot equal n band keys; noise realization diverges, image
+    statistics do not).
+    """
+    import numpy as np
+
+    from ..runtime.state import EngineState
+
+    n_tile = int(np.asarray(state.cursor).shape[0])
+    c_band = cfg.screen.total_chunks // n_tile
+    perm = np.asarray(state.perm).reshape(n_tile, c_band)
+    cursor = np.asarray(state.cursor)
+    rolled = np.stack(
+        [np.roll(perm[t], -int(cursor[t])) for t in range(n_tile)]
+    )
+    globalized = rolled + (np.arange(n_tile, dtype=rolled.dtype) * c_band)[:, None]
+    interleaved = globalized.T.reshape(-1)  # position-major: b0[0], b1[0], ...
+    key = np.asarray(state.key)[0]
+    return EngineState(
+        cam_center=jnp.asarray(state.cam_center),
+        quat=jnp.asarray(state.quat),
+        half_theta=jnp.asarray(state.half_theta),
+        screen=jnp.asarray(state.screen),
+        perm=jnp.asarray(interleaved.astype(np.int32)),
+        cursor=jnp.int32(0),
+        key=jnp.asarray(key),
+        frame=jnp.asarray(state.frame),
+    )
+
+
+def single_to_sharded(state, cfg: EngineConfig, n_tile: int) -> ShardedEngineState:
+    """Convert a single-chip EngineState to n_tile band shards.
+
+    Exact fields as in sharded_to_single. The global queue is rotated to
+    cursor 0 and FILTERED per band (order preserved): each band's queue
+    pops its own chunks in the same relative order the single queue
+    would have; the per-frame windows realign to cpf/n_tile per band.
+    Band RNG keys derive from the single key by fold_in(band index).
+    """
+    import numpy as np
+
+    c_band = cfg.screen.total_chunks // n_tile
+    if c_band * n_tile != cfg.screen.total_chunks:
+        raise ValueError(
+            f"{cfg.screen.total_chunks} chunks do not split into "
+            f"{n_tile} bands"
+        )
+    perm = np.roll(np.asarray(state.perm), -int(np.asarray(state.cursor)))
+    bands = [perm[(perm // c_band) == t] - t * c_band for t in range(n_tile)]
+    key = jnp.asarray(state.key)
+    band_keys = jnp.stack([jax.random.fold_in(key, t) for t in range(n_tile)])
+    return ShardedEngineState(
+        cam_center=jnp.asarray(state.cam_center),
+        quat=jnp.asarray(state.quat),
+        half_theta=jnp.asarray(state.half_theta),
+        screen=jnp.asarray(state.screen),
+        perm=jnp.asarray(np.concatenate(bands).astype(np.int32)),
+        cursor=jnp.zeros((n_tile,), jnp.int32),
+        key=band_keys,
+        frame=jnp.asarray(state.frame),
+    )
+
+
+def load_sharded_state(path: str, cfg: EngineConfig,
+                       n_tile: int) -> ShardedEngineState:
+    """Restore any save_state checkpoint as an n_tile-band sharded state.
+
+    Same-band-count sharded checkpoints restore BIT-EXACTLY; single-chip
+    checkpoints (or sharded ones with a different band count) convert
+    through the single-chip layout (see sharded_to_single /
+    single_to_sharded for what is exact vs realigned). The arrays come
+    back host-resident in the global layout; the jitted sharded step
+    reshards them onto the mesh on first use.
+    """
+    import numpy as np
+
+    from ..runtime.state import load_state
+
+    with np.load(path) as z:
+        missing = [k for k in ShardedEngineState._fields if k not in z]
+        if missing:
+            raise ValueError(
+                f"checkpoint {path!r} lacks field(s) {missing} — not a "
+                "save_state checkpoint (or from an incompatible version)"
+            )
+        fields = {k: jnp.asarray(z[k]) for k in ShardedEngineState._fields}
+    if fields["cursor"].ndim == 1:  # sharded checkpoint
+        st = ShardedEngineState(**fields)
+        saved_bands = st.cursor.shape[0]
+        if saved_bands == n_tile:
+            _validate_band_shapes(st, cfg, n_tile, path)
+            return st
+        single = sharded_to_single(st, cfg)
+    else:
+        single = load_state(path, cfg)
+    return single_to_sharded(single, cfg, n_tile)
+
+
+def _validate_band_shapes(st: ShardedEngineState, cfg: EngineConfig,
+                          n_tile: int, path: str) -> None:
+    want = (cfg.screen.total_chunks, cfg.screen.pixels_per_chunk * 3)
+    if st.screen.shape != want:
+        raise ValueError(
+            f"checkpoint {path!r} screen shape {st.screen.shape} does not "
+            f"match this config's chunk-major {want}; resume with the "
+            "resolution/chunking it was saved under"
+        )
+    if st.perm.shape != (cfg.screen.total_chunks,):
+        raise ValueError(
+            f"checkpoint {path!r} chunk queue {st.perm.shape} does not "
+            f"match this config's {(cfg.screen.total_chunks,)}"
+        )
+    if st.key.shape != (n_tile, 2):
+        raise ValueError(
+            f"checkpoint {path!r} key shape {st.key.shape} does not match "
+            f"{(n_tile, 2)}"
+        )
+
+
 def make_sharded_engine(cfg: EngineConfig, mesh: Mesh,
                         max_depth: int | None = None,
                         max_leaf: int | None = None):

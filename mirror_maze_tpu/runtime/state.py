@@ -112,6 +112,20 @@ def load_state(path: str, cfg: EngineConfig | None = None) -> EngineState:
         st = EngineState(
             **{k: jnp.asarray(z[k]) for k in EngineState._fields}
         )
+    if st.cursor.ndim == 1:
+        # A SHARDED checkpoint (parallel/shard.py ShardedEngineState:
+        # cursor/key carry a band axis): convert to the single-chip
+        # layout — camera/screen/frame exact, per-band queues
+        # interleaved (see parallel.shard.sharded_to_single).
+        if cfg is None:
+            raise ValueError(
+                f"checkpoint {path!r} is tile-sharded "
+                f"({st.cursor.shape[0]} bands); pass cfg so it can be "
+                "converted to the single-chip layout"
+            )
+        from ..parallel.shard import ShardedEngineState, sharded_to_single
+
+        st = sharded_to_single(ShardedEngineState(**st._asdict()), cfg)
     if cfg is not None:
         want = (cfg.screen.total_chunks, cfg.screen.pixels_per_chunk * 3)
         if st.screen.shape != want:

@@ -291,8 +291,32 @@ def build_scene(cfg: MazeConfig) -> Scene:
     outer boundary walls, the floor, one fixed light panel, and the ceiling.
     A single RNG stream drives edge shuffling then material/light rolls in
     that order, as in the reference's reuse of one StdRng (`main.rs:381,460`).
+
+    With ``cfg.rng == "reference"`` that stream is a rand-0.8
+    StdRng-compatible ChaCha12 (utils/refrng.py) and every comparison
+    reproduces the reference's f32 semantics, so the emitted world is
+    wall-for-wall the world the reference app builds at the same seed:
+    `rng.gen::<f32>() < 0.85` (diffuse, `main.rs:460`), `< 0.90`
+    (`main.rs:494`), `< 0.3` light rolls short-circuited behind the
+    run-length test (`main.rs:466, 501`). The thresholds are
+    materialized as f32 like the reference's literals — 1.0 - prob in
+    f64 can sit one 2^-24 step away from the f32 literal the reference
+    compares against (0.90 does).
     """
-    rng = np.random.default_rng(cfg.seed)
+    if cfg.rng == "reference":
+        from ..utils.refrng import StdRng08
+
+        rng = StdRng08.seed_from_u64(cfg.seed)
+
+        def roll(threshold: float) -> bool:
+            # True with probability `threshold`, consuming one gen::<f32>().
+            return rng.gen_f32() < float(np.float32(threshold))
+    else:
+        rng = np.random.default_rng(cfg.seed)
+
+        def roll(threshold: float) -> bool:
+            return rng.random() < threshold
+
     grid = generate_maze(cfg.width, cfg.height, rng)
     vert = merge_vertical_walls(grid)
     hori = merge_horizontal_walls(grid)
@@ -331,9 +355,9 @@ def build_scene(cfg: MazeConfig) -> Scene:
     for line, start, length in vert:
         o = [-half + line * cs, top, -half + start * cs]
         push(o, [0.0, 0.0, length * cs], wall_u, wall_color,
-             rng.random() >= 1.0 - cfg.vert_mirror_prob, no_em_red, kind=1,
+             not roll(1.0 - cfg.vert_mirror_prob), no_em_red, kind=1,
              border=line in (0, cfg.width))
-        if length <= cfg.light_max_run and rng.random() < cfg.light_prob:
+        if length <= cfg.light_max_run and roll(cfg.light_prob):
             push([o[0] + cfg.light_inset, top, o[2]],
                  [0.0, 0.0, cfg.light_length], light_u, wall_color,
                  False, light_em)
@@ -343,9 +367,9 @@ def build_scene(cfg: MazeConfig) -> Scene:
     for line, start, length in hori:
         o = [-half + start * cs, top, -half + line * cs]
         push(o, [length * cs, 0.0, 0.0], wall_u, wall_color,
-             rng.random() >= 1.0 - cfg.hori_mirror_prob, no_em_red, kind=1,
+             not roll(1.0 - cfg.hori_mirror_prob), no_em_red, kind=1,
              border=line in (0, cfg.height))
-        if length <= cfg.light_max_run and rng.random() < cfg.light_prob:
+        if length <= cfg.light_max_run and roll(cfg.light_prob):
             push([o[0], top, o[2] + cfg.light_inset],
                  [cfg.light_length, 0.0, 0.0], light_u, wall_color,
                  False, light_em)

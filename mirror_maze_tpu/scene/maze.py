@@ -38,12 +38,16 @@ class UnionFind:
         self.parent[self.root(child)] = parent
 
 
-def generate_maze(width: int, height: int, rng: np.random.Generator) -> np.ndarray:
+def generate_maze(width: int, height: int, rng) -> np.ndarray:
     """Kruskal's algorithm on a width x height cell grid (`main.rs:356-396`).
 
     Edges (x, y, up) exist for every y>0 (up-edge) and x>0 (left-edge); they
     are shuffled with the supplied generator, then each edge joining two
     unconnected components is knocked down and recorded in the bitmask grid.
+    `rng` is either a `np.random.Generator` (shuffle via `permutation` —
+    the historical path, pinned by goldens) or a `utils.refrng.StdRng08`
+    (in-place Fisher-Yates, bit-matching the reference's
+    `edges.shuffle(&mut rng)` at `main.rs:382`).
 
     Returns the [height, width] uint8 open-direction bitmask grid.
     """
@@ -58,9 +62,11 @@ def generate_maze(width: int, height: int, rng: np.random.Generator) -> np.ndarr
             if x != 0:
                 edges.append((x, y, False))
 
-    order = rng.permutation(len(edges))
-    for e in order:
-        x, y, up = edges[e]
+    if hasattr(rng, "shuffle") and not isinstance(rng, np.random.Generator):
+        rng.shuffle(edges)  # reference stream: in-place Fisher-Yates
+    else:
+        edges = [edges[e] for e in rng.permutation(len(edges))]
+    for x, y, up in edges:
         nx, ny = (x, y - 1) if up else (x - 1, y)
         a, b = y * width + x, ny * width + nx
         if not uf.connected(a, b):

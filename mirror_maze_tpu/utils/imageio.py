@@ -178,16 +178,19 @@ def _lzw_encode(indices: np.ndarray, min_code_size: int = 8) -> bytes:
             prev = code
             continue
         emit(prev, width)
-        table[key] = next_code
-        next_code += 1
-        if next_code > (1 << width):
-            if width < 12:
+        if next_code == (1 << 12):
+            # Table full at the 12-bit GIF maximum: a new entry would
+            # take code 4096 (13 bits, unrepresentable). Emit the clear
+            # code and restart WITHOUT inserting the over-wide entry.
+            emit(clear, width)
+            table.clear()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        else:
+            table[key] = next_code
+            next_code += 1
+            if next_code > (1 << width) and width < 12:
                 width += 1
-            else:
-                emit(clear, width)
-                table.clear()
-                next_code = eoi + 1
-                width = min_code_size + 1
         prev = sym
     emit(prev, width)
     emit(eoi, width)
