@@ -472,6 +472,12 @@ def sharded_to_single(state, cfg: EngineConfig):
 
     from ..runtime.state import EngineState
 
+    def _host(x):
+        # Fully devolve mesh-sharded/replicated arrays: a converted
+        # state must not carry the source mesh's shardings into the
+        # target engine's jit (which would try to partition over it).
+        return jnp.array(np.asarray(x))
+
     n_tile = int(np.asarray(state.cursor).shape[0])
     c_band = cfg.screen.total_chunks // n_tile
     perm = np.asarray(state.perm).reshape(n_tile, c_band)
@@ -483,14 +489,14 @@ def sharded_to_single(state, cfg: EngineConfig):
     interleaved = globalized.T.reshape(-1)  # position-major: b0[0], b1[0], ...
     key = np.asarray(state.key)[0]
     return EngineState(
-        cam_center=jnp.asarray(state.cam_center),
-        quat=jnp.asarray(state.quat),
-        half_theta=jnp.asarray(state.half_theta),
-        screen=jnp.asarray(state.screen),
-        perm=jnp.asarray(interleaved.astype(np.int32)),
+        cam_center=_host(state.cam_center),
+        quat=_host(state.quat),
+        half_theta=_host(state.half_theta),
+        screen=_host(state.screen),
+        perm=jnp.array(interleaved.astype(np.int32)),
         cursor=jnp.int32(0),
-        key=jnp.asarray(key),
-        frame=jnp.asarray(state.frame),
+        key=_host(key),
+        frame=_host(state.frame),
     )
 
 
@@ -505,6 +511,9 @@ def single_to_sharded(state, cfg: EngineConfig, n_tile: int) -> ShardedEngineSta
     """
     import numpy as np
 
+    def _host(x):
+        return jnp.array(np.asarray(x))
+
     c_band = cfg.screen.total_chunks // n_tile
     if c_band * n_tile != cfg.screen.total_chunks:
         raise ValueError(
@@ -513,17 +522,17 @@ def single_to_sharded(state, cfg: EngineConfig, n_tile: int) -> ShardedEngineSta
         )
     perm = np.roll(np.asarray(state.perm), -int(np.asarray(state.cursor)))
     bands = [perm[(perm // c_band) == t] - t * c_band for t in range(n_tile)]
-    key = jnp.asarray(state.key)
+    key = _host(state.key)
     band_keys = jnp.stack([jax.random.fold_in(key, t) for t in range(n_tile)])
     return ShardedEngineState(
-        cam_center=jnp.asarray(state.cam_center),
-        quat=jnp.asarray(state.quat),
-        half_theta=jnp.asarray(state.half_theta),
-        screen=jnp.asarray(state.screen),
-        perm=jnp.asarray(np.concatenate(bands).astype(np.int32)),
+        cam_center=_host(state.cam_center),
+        quat=_host(state.quat),
+        half_theta=_host(state.half_theta),
+        screen=_host(state.screen),
+        perm=jnp.array(np.concatenate(bands).astype(np.int32)),
         cursor=jnp.zeros((n_tile,), jnp.int32),
         key=band_keys,
-        frame=jnp.asarray(state.frame),
+        frame=_host(state.frame),
     )
 
 
