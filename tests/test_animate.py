@@ -220,6 +220,7 @@ def test_animate_cli_writes_gif(tmp_path):
         assert f.read(6) == b"GIF89a"
 
 
+@pytest.mark.slow
 def test_demo_cli_gif_option(tmp_path):
     """demo --gif assembles every Nth engine frame into a GIF alongside
     the phase PNGs (exercises the full engine step -> write_gif path)."""

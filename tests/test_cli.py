@@ -96,6 +96,7 @@ def test_frame_stats_math():
     assert st.mrays_per_s == pytest.approx(st.fps * 1000 / 1e6)
 
 
+@pytest.mark.slow
 def test_bench_validate_cross_backend_agreement():
     """bench.py --validate is the hardware cross-backend agreement
     check (pallas + bvh vs brute on deterministic light). On CPU the
@@ -127,6 +128,7 @@ def test_bench_validate_cross_backend_agreement():
     assert result["pallas"]["mean"] < 1e-3
 
 
+@pytest.mark.slow
 def test_bench_flag_config_spawns_inside_small_maze():
     """Regression: flag-built bench configs kept the 10x10 default
     spawn z=-45, which is OUTSIDE a small maze's world — the benchmark
@@ -154,6 +156,7 @@ def test_bench_flag_config_spawns_inside_small_maze():
     assert result["frame_checksum"] > 0.0
 
 
+@pytest.mark.slow
 def test_play_headless_stdin_degrades_gracefully(tmp_path):
     """Regression: `play` with a piped/closed stdin (CI, scripts) died
     on tcgetattr(Inappropriate ioctl for device). It must run idle

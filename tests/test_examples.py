@@ -115,6 +115,7 @@ def test_cornell_mirror_block_actually_reflects(cornell, cornell_scene):
     assert diff[12:40, 8:22].mean() > 2.5 * diff[:8, 28:].mean() + 0.01
 
 
+@pytest.mark.slow
 def test_cornell_sphere_variant_renders_on_every_backend(cornell):
     """The two-sphere Cornell variant: a mirror sphere and a diffuse
     sphere resting on the floor. Closed room, so every backend's light

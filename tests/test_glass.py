@@ -286,6 +286,7 @@ def test_fresnel_split_matches_schlick():
 # ------------------------------------------------- cross-backend fuzzing
 
 
+@pytest.mark.slow
 def test_random_glass_soup_matches_jnp_tracer():
     """Fuzz: random quad/triangle/sphere soups with a random glass
     subset must agree across pallas and the jnp tracer on fresnel=False

@@ -24,6 +24,7 @@ def _load(name):
 
 
 @pytest.mark.parametrize("backend", ["brute", "pallas"])
+@pytest.mark.slow
 def test_full_frame_matches_golden(backend):
     img = render_golden_frame(backend)
     ref = _load(f"frame_{backend}.npz")

@@ -150,6 +150,7 @@ print(f"multihost worker {pid} ok mean_lum={float(jax.device_get(mean_lum)):.6f}
 """
 
 
+@pytest.mark.slow
 def test_two_process_dcn_mesh_renders():
     port = 12000 + os.getpid() % 2000
     env = dict(os.environ)

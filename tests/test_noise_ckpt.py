@@ -34,6 +34,7 @@ def test_sample_noise_wraps():
     assert v[0] == v[1] == v[2]
 
 
+@pytest.mark.slow
 def test_noise_rng_changes_grain_not_statistics(rng):
     scene = build_scene(MazeConfig(width=4, height=4))
     dev = upload_scene(scene)
@@ -54,6 +55,7 @@ def test_noise_rng_changes_grain_not_statistics(rng):
     assert np.array_equal(base, z)
 
 
+@pytest.mark.slow
 def test_pipeline_noise_rng_flag(tiny_cfg, tiny_device_scene):
     from mirror_maze_tpu.render import make_camera
     from mirror_maze_tpu.render.pipeline import render_pixels
@@ -108,6 +110,7 @@ def test_tracer_segment_histogram(tiny_cfg, tiny_device_scene, rng):
     assert 1.0 <= h["mean"] <= h["max_segments"]
 
 
+@pytest.mark.slow
 def test_watchdog_rolls_back_poisoned_state(tiny_cfg, tiny_device_scene):
     from mirror_maze_tpu.runtime.state import FrameInputs, init_state
     from mirror_maze_tpu.runtime.step import make_step

@@ -10,6 +10,7 @@ the stochastic multi-bounce mean must agree statistically.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mirror_maze_tpu.config import MazeConfig, TracerConfig
 from mirror_maze_tpu.render.pallas_tracer import (
@@ -37,6 +38,7 @@ def _setup():
     return dev, dev.plane_table
 
 
+@pytest.mark.slow
 def test_deterministic_single_segment_matches_exactly(rng):
     dev, table = _setup()
     cfg = TracerConfig(bounce_limit=1, mirror_limit=1)
@@ -47,6 +49,7 @@ def test_deterministic_single_segment_matches_exactly(rng):
     np.testing.assert_allclose(lj, lp, rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_mirror_chain_matches_exactly(rng):
     """Mirror reflections are deterministic: tint accumulation and budget
     kills must agree with the jnp tracer for any mirror_limit."""
@@ -60,6 +63,7 @@ def test_mirror_chain_matches_exactly(rng):
         np.testing.assert_allclose(lj, lp, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_random_skewed_scenes_match_exactly():
     """Fuzz: arbitrary (non-axis-aligned, partly degenerate) quad soups
     must agree with the jnp tracer on the deterministic segment — the
@@ -103,6 +107,7 @@ def test_random_skewed_scenes_match_exactly():
         np.testing.assert_allclose(lj, lp, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_random_multitile_scene_matches_exactly():
     """Skewed random quads ABOVE the 128-plane tile threshold: covers
     the multi-tile path (per-tile AABB slab skip, near-to-far order,
@@ -149,6 +154,7 @@ def test_random_multitile_scene_matches_exactly():
     np.testing.assert_allclose(lj[agree], lp[agree], rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sky_term_matches_jnp_tracer(rng):
     """sky_strength > 0 (the reference's dead sky code, exposed as
     config) must agree across backends: miss lanes gain
@@ -195,6 +201,7 @@ def test_sky_term_matches_jnp_tracer(rng):
     np.testing.assert_allclose(lj[agree], lp[agree], rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sky_zero_lighting_factor_is_finite_and_matches(rng):
     """lighting_factor == 0 with sky_strength != 0: the kernel's
     exp(expo * log(base)) form would produce 0 * -inf = NaN at expo == 0;
@@ -302,6 +309,7 @@ def _camera(cfg):
     return make_camera(cfg.camera, cfg.screen.width / cfg.screen.height)
 
 
+@pytest.mark.slow
 def test_step_dispatches_to_pallas(tiny_cfg, tiny_device_scene):
     """Regression: make_step must NOT override the pallas backend with a
     nearest_fn (it silently fell back to brute force once)."""
@@ -548,6 +556,7 @@ def test_lane_chunk_must_be_positive(rng):
             trace_paths_pallas(table, o, d, jnp.int32(1), cfg)
 
 
+@pytest.mark.slow
 def test_block_size_invariant_on_deterministic_light(rng):
     """The block size is a SCHEDULING knob for the deterministic light
     component: with jitter-free single-segment shading (+ mirror

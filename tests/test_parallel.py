@@ -5,6 +5,7 @@ xla_force_host_platform_device_count — no TPU pod needed in CI)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mirror_maze_tpu.config import (
     CameraConfig,
@@ -91,6 +92,7 @@ def test_sharded_matches_single_device():
         np.testing.assert_allclose(f[ci], expected, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_graft_entry_compiles_and_dryruns():
     import importlib
     import sys
@@ -102,6 +104,7 @@ def test_graft_entry_compiles_and_dryruns():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun_as_the_driver_invokes_it():
     """Round-1 regression: MULTICHIP_r01.json was ok=false because the
     driver runs ``dryrun_multichip(8)`` in a FRESH process on a 1-device
@@ -362,6 +365,7 @@ def test_sharded_engine_content_matches_full_frame_render():
     np.testing.assert_array_equal(sharded, ref)
 
 
+@pytest.mark.slow
 def test_sharded_pallas_present_bit_identical_across_seams():
     """The fused Pallas present kernel with ppermute'd halo rows
     (_present_with_halo) must be bit-identical to (a) the XLA halo blur
@@ -420,6 +424,7 @@ def test_sharded_pallas_present_bit_identical_across_seams():
         )
 
 
+@pytest.mark.slow
 def test_sharded_engine_bvh_derives_exact_traversal_bounds():
     """The sharded engine must derive exact traversal bounds from the
     concrete scene at first step (like runtime/step.py) instead of
@@ -455,6 +460,7 @@ def test_sharded_engine_bvh_derives_exact_traversal_bounds():
         np.asarray(st.cam_center), np.asarray(ref.cam_center))
 
 
+@pytest.mark.slow
 def test_sharded_scan_engine_matches_per_frame_engine():
     """make_sharded_scan_engine (n frames per launch via lax.scan inside
     the shard_map) must produce the SAME final state and frame as n
@@ -499,6 +505,7 @@ def test_sharded_scan_engine_matches_per_frame_engine():
     np.testing.assert_array_equal(np.asarray(frame1), np.asarray(framen))
 
 
+@pytest.mark.slow
 def test_scale_config_per_band_tile_skip_matches_single_chip():
     """Config-5 geometry (64x64 maze, thousands of planes, many 128-plane
     tiles): the linear-scaling argument for band sharding rests on each
@@ -590,6 +597,7 @@ def test_dryrun_reexec_has_recursion_guard(monkeypatch):
         g._reexec_on_virtual_cpu_mesh(8)
 
 
+@pytest.mark.slow
 def test_interactive_loop_sharded_bands(monkeypatch):
     """play --sharded-bands: InteractiveLoop drives the tile-sharded
     engine (and its scan-batched variant) — frames must assemble to the
@@ -627,6 +635,7 @@ def test_interactive_loop_sharded_bands(monkeypatch):
         assert np.isfinite(np.asarray(loop.state.screen)).all()
 
 
+@pytest.mark.slow
 def test_interactive_loop_sharded_batched_bvh(monkeypatch):
     """Regression: sharded play with batch_frames > 1 and the bvh
     intersector died at trace — the outer jit wrapped the lazy
@@ -753,6 +762,7 @@ def test_interactive_loop_sharded_adaptive_hot_input():
     assert calls["one"] == calls_after_first       # no single-stepping
 
 
+@pytest.mark.slow
 def test_sharded_renderer_sphere_scene_all_backends():
     """Sphere primitives ride through the sharded multi-chip renderer:
     a maze + spheres scene rendered on the cam x tile mesh must equal
@@ -816,6 +826,7 @@ def test_sharded_renderer_sphere_scene_all_backends():
     assert float(mean_lum) > 0.0
 
 
+@pytest.mark.slow
 def test_sharded_renderer_triangle_mesh_all_backends():
     """Triangle meshes ride through the sharded multi-chip renderer:
     a maze world with a mirror icosphere dropped in (merge_scenes, so
@@ -874,6 +885,7 @@ def test_sharded_renderer_triangle_mesh_all_backends():
     assert float(mean_lum) > 0.0
 
 
+@pytest.mark.slow
 def test_sharded_renderer_glass_and_texture_all_backends():
     """Dielectrics and procedural textures ride through the sharded
     multi-chip renderer: a maze world with a glass sphere and a

@@ -1,6 +1,7 @@
 """Scene builder tests (reference: `main.rs:443-588`)."""
 
 import numpy as np
+import pytest
 
 from mirror_maze_tpu.config import MazeConfig
 from mirror_maze_tpu.scene import build_scene
@@ -127,6 +128,7 @@ def test_pallas_present_chunk_width_guard():
     ScreenConfig(width=840, height=420, chunk_width=42)
 
 
+@pytest.mark.slow
 def test_random_config_space_steps_finite_or_raises_cleanly(rng):
     """Config-space fuzz: any randomly drawn (validated) engine config
     must build, step, and stay finite; invalid geometry must be a clean
@@ -188,6 +190,7 @@ def test_random_config_space_steps_finite_or_raises_cleanly(rng):
     assert built >= 8  # the space isn't degenerate
 
 
+@pytest.mark.slow
 def test_random_config_space_pallas_backend(rng):
     """Config-space fuzz on the PALLAS backend (TPU-semantics
     interpreter): random small geometries must build, step, and stay
@@ -232,6 +235,7 @@ def test_random_config_space_pallas_backend(rng):
         assert frame.shape == (h, w, 3)
 
 
+@pytest.mark.slow
 def test_custom_scene_drives_the_full_engine():
     """Scene is a public surface, not just the maze builder's output: a
     hand-built quad-soup world (the documented API.md "custom scenes"

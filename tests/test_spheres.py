@@ -118,6 +118,7 @@ def test_brute_and_bvh_agree_with_spheres():
     assert (np.asarray(ib) >= scene.num_planes).mean() > 0.3
 
 
+@pytest.mark.slow
 def test_pallas_matches_jnp_on_sphere_scene():
     """Deterministic segment (emission pickup, mirror-sphere reflection
     with the position-dependent normal) must match the jnp tracer
@@ -171,6 +172,7 @@ def test_mirror_sphere_head_on_reflects_back():
     np.testing.assert_allclose(lp, lj, rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_multitile_sphere_group_matches_jnp():
     """> PLANE_TILE spheres: the mode-3 group spans >= 2 tiles, so the
     per-tile AABB slab skip and cross-tile strict-< merge run over

@@ -4,6 +4,7 @@ progressive repaint."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mirror_maze_tpu.render import upload_scene
 from mirror_maze_tpu.runtime.state import FrameInputs, init_state
@@ -46,6 +47,7 @@ def test_movement_matches_reference_integration(tiny_cfg, tiny_device_scene):
     np.testing.assert_allclose(c1, expected, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_collision_blocks_walking_into_wall(tiny_cfg, tiny_scene, tiny_device_scene):
     """Walking forward forever must be stopped by maze geometry
     (`main.rs:817-826`), never escaping the outer boundary."""
@@ -125,6 +127,7 @@ def test_run_scripted(tiny_cfg):
     assert int(st.frame) == 3
 
 
+@pytest.mark.slow
 def test_spin_walk_never_escapes_or_blows_up(tiny_cfg, tiny_device_scene):
     """Regression: repeated small yaw updates must never produce a
     non-finite quaternion. The reference formula sin(theta)/sin(acos(w))
@@ -186,6 +189,7 @@ def test_scan_step_matches_sequential_steps(tiny_cfg, tiny_device_scene):
         assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_interactive_batch_frames_matches_sequential(
     tiny_cfg, tiny_device_scene
 ):
@@ -219,6 +223,7 @@ def test_repeat_input_shapes(tiny_cfg):
     assert r.rot_updated.shape == (5,)
 
 
+@pytest.mark.slow
 def test_adaptive_batch_frames_single_steps_on_input(
     tiny_cfg, tiny_device_scene
 ):
