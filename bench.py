@@ -14,6 +14,93 @@ import json
 import time
 
 
+def build_bench_setup(args):
+    """Config + scene + device scene for the bench operating point.
+
+    Shared by main() and tools/warm_cache.py so the warmed program is
+    the IDENTICAL jit program bench will run (same HLO -> same
+    persistent-cache key). ``args`` is the parsed bench namespace (or
+    any object with the same attributes).
+    """
+    import dataclasses
+
+    from mirror_maze_tpu.config import (
+        EngineConfig,
+        MazeConfig,
+        ScreenConfig,
+        TracerConfig,
+    )
+    from mirror_maze_tpu.render import upload_scene
+    from mirror_maze_tpu.scene import build_scene
+
+    if args.preset:
+        from mirror_maze_tpu.config import NAMED_CONFIGS
+
+        cfg = NAMED_CONFIGS[args.preset]()
+    else:
+        from mirror_maze_tpu.config import CameraConfig
+
+        # Keep the spawn INSIDE the world: the default (-5, 0, -45)
+        # fits mazes >= 10x10 but sits OUTSIDE smaller worlds, where it
+        # benches black frames whose rays mostly die after one segment
+        # (measured: the bvh backend "ran" 8x faster on that
+        # nothing-workload). Move it only when outside, to the same
+        # half-cell-inset position the 10x10 default has; mazes >= 10
+        # (incl. config 5) keep the exact recorded camera.
+        maze = MazeConfig(width=args.maze, height=args.maze,
+                          glass_prob=args.glass_prob)
+        cam = CameraConfig()
+        if abs(cam.spawn[2]) >= maze.world_half_extent:
+            spawn_z = -(maze.world_half_extent - maze.cell_size / 2.0)
+            cam = CameraConfig(spawn=(-5.0, 0.0, spawn_z))
+        cfg = EngineConfig(
+            maze=maze,
+            camera=cam,
+            tracer=TracerConfig(
+                bounce_limit=args.bounce_limit, mirror_limit=args.mirror_limit,
+            ),
+            screen=ScreenConfig(
+                width=args.width, height=args.height,
+                samples_per_pixel=args.spp,
+                # Coherent ray blocks: multi-tile AABB skip on large
+                # scenes, earlier all-dead exit on small ones (PERF.md).
+                sort_chunk_window=True,
+            ),
+        )
+    if args.intersector:
+        cfg = cfg.replace(intersector=args.intersector)
+    if args.block_rows:
+        cfg = cfg.replace(
+            tracer=dataclasses.replace(cfg.tracer, block_rows=args.block_rows)
+        )
+    if args.lane_chunk:
+        cfg = cfg.replace(
+            tracer=dataclasses.replace(cfg.tracer, lane_chunk=args.lane_chunk)
+        )
+    if args.sort_window is not None:
+        cfg = cfg.replace(
+            screen=dataclasses.replace(
+                cfg.screen, sort_chunk_window=bool(args.sort_window)
+            )
+        )
+
+    scene = build_scene(cfg.maze)
+    dev_scene = upload_scene(scene)
+    if args.block_rows is None and args.preset is None:
+        # Measured-optimal block size by the PACKED tile-group shape
+        # (PERF.md): every group single-tile -> 128; a few tiles ->
+        # 32 (config 3 measured 66.8 at 32 vs 61.9 at 16); many tiles
+        # -> 16 (tile-skip coherence dominates, config 5).
+        n_tiles = max(
+            g[2].shape[0] for g in dev_scene.mxu_tables if g is not None
+        )
+        rows = 128 if n_tiles == 1 else (32 if n_tiles <= 4 else 16)
+        cfg = cfg.replace(
+            tracer=dataclasses.replace(cfg.tracer, block_rows=rows)
+        )
+    return cfg, scene, dev_scene
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--width", type=int, default=1920)
@@ -107,71 +194,7 @@ def main() -> None:
             )
         return _validate(jax)
 
-    if args.preset:
-        from mirror_maze_tpu.config import NAMED_CONFIGS
-
-        cfg = NAMED_CONFIGS[args.preset]()
-    else:
-        from mirror_maze_tpu.config import CameraConfig
-
-        # Keep the spawn INSIDE the world: the default (-5, 0, -45)
-        # fits mazes >= 10x10 but sits OUTSIDE smaller worlds, where it
-        # benches black frames whose rays mostly die after one segment
-        # (measured: the bvh backend "ran" 8x faster on that
-        # nothing-workload). Move it only when outside, to the same
-        # half-cell-inset position the 10x10 default has; mazes >= 10
-        # (incl. config 5) keep the exact recorded camera.
-        maze = MazeConfig(width=args.maze, height=args.maze,
-                          glass_prob=args.glass_prob)
-        cam = CameraConfig()
-        if abs(cam.spawn[2]) >= maze.world_half_extent:
-            spawn_z = -(maze.world_half_extent - maze.cell_size / 2.0)
-            cam = CameraConfig(spawn=(-5.0, 0.0, spawn_z))
-        cfg = EngineConfig(
-            maze=maze,
-            camera=cam,
-            tracer=TracerConfig(
-                bounce_limit=args.bounce_limit, mirror_limit=args.mirror_limit,
-            ),
-            screen=ScreenConfig(
-                width=args.width, height=args.height,
-                samples_per_pixel=args.spp,
-                # Coherent ray blocks: multi-tile AABB skip on large
-                # scenes, earlier all-dead exit on small ones (PERF.md).
-                sort_chunk_window=True,
-            ),
-        )
-    if args.intersector:
-        cfg = cfg.replace(intersector=args.intersector)
-    if args.block_rows:
-        cfg = cfg.replace(
-            tracer=dataclasses.replace(cfg.tracer, block_rows=args.block_rows)
-        )
-    if args.lane_chunk:
-        cfg = cfg.replace(
-            tracer=dataclasses.replace(cfg.tracer, lane_chunk=args.lane_chunk)
-        )
-    if args.sort_window is not None:
-        cfg = cfg.replace(
-            screen=dataclasses.replace(
-                cfg.screen, sort_chunk_window=bool(args.sort_window)
-            )
-        )
-
-    scene = build_scene(cfg.maze)
-    dev_scene = upload_scene(scene)
-    if args.block_rows is None and args.preset is None:
-        # Measured-optimal block size by the PACKED tile-group shape
-        # (PERF.md): every group single-tile -> 128; a few tiles ->
-        # 32 (config 3 measured 66.8 at 32 vs 61.9 at 16); many tiles
-        # -> 16 (tile-skip coherence dominates, config 5).
-        n_tiles = max(
-            g[2].shape[0] for g in dev_scene.mxu_tables if g is not None
-        )
-        rows = 128 if n_tiles == 1 else (32 if n_tiles <= 4 else 16)
-        cfg = cfg.replace(
-            tracer=dataclasses.replace(cfg.tracer, block_rows=rows)
-        )
+    cfg, scene, dev_scene = build_bench_setup(args)
     # The whole --frames loop runs device-resident in ONE launch
     # (lax.scan), like the engine's scripted mode: per-launch dispatch
     # latency (tens of ms over a remote-dispatch tunnel) is amortized

@@ -188,15 +188,24 @@ def nearest_hit_bvh(
     # (cheap: O(M + N) concats), hoisted out of the loop by XLA.
     # left_first indexes prim slots for leaves, so clip for the (masked)
     # child-box rows.
+    #
+    # TPU gather cost is per-INDEX, not per-byte (PERF.md), so the loop
+    # body performs exactly TWO row gathers per iteration:
+    # - noderow [M, 14]: BOTH children's AABBs + (count, left_first) as
+    #   exact small-int f32 columns — one gather where node ints and
+    #   child boxes used to be two;
+    # - leafpack [N, max_leaf*15]: every leaf's FULL primitive list
+    #   pre-packed at its first slot row (slot j's row holds plane rows
+    #   j..j+max_leaf-1), so a leaf visit fetches ALL its primitives in
+    #   one gather where each used to take its own (max_leaf gathers).
     lc_all = jnp.clip(scene.bvh_left_first, 0, m - 1)
     rc_all = jnp.clip(scene.bvh_left_first + 1, 0, m - 1)
-    nodebox = jnp.concatenate(
+    noderow = jnp.concatenate(
         [scene.bvh_min[lc_all], scene.bvh_max[lc_all],
-         scene.bvh_min[rc_all], scene.bvh_max[rc_all]], axis=-1
-    )                                                          # [M, 12]
-    nodeint = jnp.stack(
-        [scene.bvh_count, scene.bvh_left_first], axis=-1
-    )                                                          # [M, 2]
+         scene.bvh_min[rc_all], scene.bvh_max[rc_all],
+         scene.bvh_count.astype(jnp.float32)[:, None],
+         scene.bvh_left_first.astype(jnp.float32)[:, None]], axis=-1
+    )                                                          # [M, 14]
     pid_all = scene.bvh_prim
     plane = jnp.concatenate(
         [scene.normal[pid_all], scene.d[pid_all][:, None],
@@ -207,6 +216,16 @@ def nearest_hit_bvh(
          scene.is_tri[pid_all].astype(jnp.float32)[:, None]], axis=-1
     )                                                          # [N, 15]
     n_slots = plane.shape[0]
+    # Leaf rows are contiguous slot runs (left_first..left_first+ct-1),
+    # so shifting the plane table max_leaf-1 times and concatenating on
+    # the feature axis puts every leaf's whole list on its first row.
+    # Rows past a leaf's count hold the NEXT slots' planes — garbage the
+    # k < ct mask already rejects (zero pad rows likewise fail valid>0).
+    pad = jnp.zeros((max(max_leaf - 1, 0), plane.shape[1]), plane.dtype)
+    plane_pad = jnp.concatenate([plane, pad], axis=0)
+    leafpack = jnp.concatenate(
+        [plane_pad[k: k + n_slots] for k in range(max_leaf)], axis=-1
+    )                                                          # [N, L*15]
 
     def slab(bmin, bmax, t_cur):
         # Same arithmetic as ray_aabb (inv hoisted — identical value).
@@ -236,17 +255,18 @@ def nearest_hit_bvh(
 
     def body(st):
         t, idx, stack, sp, cur, live = st
-        ni = nodeint[cur]                          # [R, 2]
-        ct, lf = ni[:, 0], ni[:, 1]
+        nr = noderow[cur]                          # [R, 14] — gather 1 of 2
+        ct = nr[:, 12].astype(jnp.int32)
+        lf = nr[:, 13].astype(jnp.int32)
         is_leaf = ct >= 1
 
-        # Leaf: masked loop over primitive slots (`shaders.metal:128`);
-        # arithmetic identical to ray_plane_gathered on the packed row.
+        # Leaf: ONE gather fetches the whole packed primitive list
+        # (`shaders.metal:128`); arithmetic identical to the per-slot
+        # form. For interior nodes lf is a child NODE id (garbage as a
+        # slot row) — clipped and fully masked by is_leaf.
+        lp = leafpack[jnp.clip(lf, 0, n_slots - 1)]  # [R, L*15] — gather 2
         for k in range(max_leaf):
-            slot = jnp.clip(
-                lf + jnp.minimum(k, jnp.maximum(ct - 1, 0)), 0, n_slots - 1
-            )
-            pk = plane[slot]                       # [R, 14]
+            pk = lp[:, 15 * k: 15 * (k + 1)]       # [R, 15]
             nrm = pk[:, 0:3]
             denom = jnp.sum(d * nrm, axis=-1)
             tk = (pk[:, 3] - jnp.sum(o * nrm, axis=-1)) / denom
@@ -270,7 +290,7 @@ def nearest_hit_bvh(
 
         # Interior: ordered descent (`shaders.metal:134-154`) — follow
         # the near child directly; push only the far child.
-        boxes = nodebox[cur]                       # [R, 12]
+        boxes = nr[:, 0:12]
         d1 = slab(boxes[:, 0:3], boxes[:, 3:6], t)
         d2 = slab(boxes[:, 6:9], boxes[:, 9:12], t)
         near = jnp.where(d1 <= d2, lf, lf + 1)

@@ -68,6 +68,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import ml_dtypes
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -195,7 +196,7 @@ def spatial_plane_order_key(plane_table) -> np.ndarray:
 MODE_QUANTITIES = {0: 6, 1: 4, 2: 2, 3: 2, 4: 6, 5: 2, 6: 6, 7: 6}
 
 
-def _pack_group(t: jnp.ndarray, mode: int, tile: int = PLANE_TILE,
+def _pack_group(t: np.ndarray, mode: int, tile: int = PLANE_TILE,
                 textured: bool = False):
     """Pack one kind-homogeneous [Pk, 32] sub-table into tiled matmul
     operands: (W [T, q*PT, 8], propsT [T, 32, PT], aabbs [T, 8]) with
@@ -210,56 +211,61 @@ def _pack_group(t: jnp.ndarray, mode: int, tile: int = PLANE_TILE,
     against G rows (ox, oy, oz, 1, dx, dy, dz, 0). Invalid or padding
     planes get numerator -1 and denominator 0, so t = NaN/-inf and every
     hit test rejects them with zero extra lane work.
+
+    Runs in HOST NumPy on the concrete table: eager device ops here
+    each paid a small-program compile over the remote-dispatch tunnel
+    (measured 36-72 s of upload_scene's one-time cost; bf16 split via
+    ml_dtypes matches the XLA convert bit-for-bit).
     """
     p = t.shape[0]
     pt = min(_round_up(p, 8), tile)
     n_tiles = -(-_round_up(p, 8) // pt)
     p8 = n_tiles * pt
-    t = jnp.pad(t, ((0, p8 - p), (0, 0)))
+    t = np.pad(t, ((0, p8 - p), (0, 0)))
     valid = t[:, 19:20] > 0.0
 
     # Per-tile conservative AABBs for the kernel's slab-test skip.
     # Padding/invalid rows get an empty box (lo=+BIG, hi=-BIG) so they
     # never un-skip a tile. The 1e-2 inflation absorbs the
     # approximate-reciprocal slab error so the skip stays conservative.
-    lo = jnp.where(valid, t[:, 20:23], BIG).reshape(n_tiles, pt, 3)
-    hi = jnp.where(valid, t[:, 23:26], -BIG).reshape(n_tiles, pt, 3)
-    aabbs = jnp.concatenate(
+    lo = np.where(valid, t[:, 20:23], BIG).reshape(n_tiles, pt, 3)
+    hi = np.where(valid, t[:, 23:26], -BIG).reshape(n_tiles, pt, 3)
+    aabbs = np.concatenate(
         [lo.min(axis=1) - 1e-2, hi.max(axis=1) + 1e-2,
-         jnp.zeros((n_tiles, 2))], axis=1
-    ).astype(jnp.float32)                                      # [T, 8]
+         np.zeros((n_tiles, 2), np.float32)], axis=1
+    ).astype(np.float32)                                      # [T, 8]
 
-    n = jnp.where(valid, t[:, 0:3], 0.0)
-    d = jnp.where(valid, t[:, 3:4], -1.0)
+    n = np.where(valid, t[:, 0:3], 0.0)
+    d = np.where(valid, t[:, 3:4], -1.0)
     w1, b1 = t[:, 4:7], t[:, 7:8]
     w2, b2 = t[:, 8:11], t[:, 11:12]
-    z1 = jnp.zeros((p8, 1), jnp.float32)
-    z4 = jnp.zeros((p8, 4), jnp.float32)
+    z1 = np.zeros((p8, 1), np.float32)
+    z4 = np.zeros((p8, 4), np.float32)
 
     quantities = [
-        jnp.concatenate([-n, d, z4], axis=1),                 # numer
-        jnp.concatenate([z4, n, z1], axis=1),                 # denom
-        jnp.concatenate([w1, -b1, z4], axis=1),               # o1
-        jnp.concatenate([z4, w1, z1], axis=1),                # d1
-        jnp.concatenate([w2, -b2, z4], axis=1),               # o2
-        jnp.concatenate([z4, w2, z1], axis=1),                # d2
+        np.concatenate([-n, d, z4], axis=1),                 # numer
+        np.concatenate([z4, n, z1], axis=1),                 # denom
+        np.concatenate([w1, -b1, z4], axis=1),               # o1
+        np.concatenate([z4, w1, z1], axis=1),                # d1
+        np.concatenate([w2, -b2, z4], axis=1),               # o2
+        np.concatenate([z4, w2, z1], axis=1),                # d2
     ][: MODE_QUANTITIES[mode]]
     # [q, T, PT, 8] -> [T, q*PT, 8] (quantity-major inside each tile)
-    q = jnp.stack([x.reshape(n_tiles, pt, 8) for x in quantities], axis=1)
+    q = np.stack([x.reshape(n_tiles, pt, 8) for x in quantities], axis=1)
     w = q.reshape(n_tiles, len(quantities) * pt, 8)
 
-    props = jnp.concatenate(
+    props = np.concatenate(
         [
             t[:, 0:3],     # normal
             t[:, 12:15],   # albedo
             t[:, 15:18],   # emission (premultiplied)
             t[:, 18:19],   # is_mirror
-            jnp.zeros((p8, 2), jnp.float32),   # (sphere-only rows 10-11)
+            np.zeros((p8, 2), np.float32),   # (sphere-only rows 10-11)
             # Row 12: dielectric ior (PLANE_COLS ior). Zero on every
             # opaque group by the kind/ior partition, so the kernel's
             # selected row 12 is the winner's ior with no masking.
-            jnp.where(valid, t[:, 27:28], 0.0),
-            jnp.zeros((p8, PROP_WIDTH - 13), jnp.float32),
+            np.where(valid, t[:, 27:28], 0.0),
+            np.zeros((p8, PROP_WIDTH - 13), np.float32),
         ],
         axis=1,
     )                                                          # [P8, 16]
@@ -268,18 +274,18 @@ def _pack_group(t: jnp.ndarray, mode: int, tile: int = PLANE_TILE,
         # select dot stays ONE MXU M-tile at 64 rows, so this is free
         # on the matmul): texture params + the dual-basis constants the
         # kernel needs to rebuild the winner's (s1, s2) for UV checkers.
-        props2 = jnp.concatenate(
+        props2 = np.concatenate(
             [
-                jnp.where(valid, t[:, 28:29], 0.0),   # tex_kind
-                jnp.where(valid, t[:, 29:30], 1.0),   # tex_scale
+                np.where(valid, t[:, 28:29], 0.0),   # tex_kind
+                np.where(valid, t[:, 29:30], 1.0),   # tex_scale
                 t[:, 30:33],                          # tex_color2
                 t[:, 4:7], t[:, 7:8],                 # w1, b1
                 t[:, 8:11], t[:, 11:12],              # w2, b2
-                jnp.zeros((p8, PROP_WIDTH - 13), jnp.float32),
+                np.zeros((p8, PROP_WIDTH - 13), np.float32),
             ],
             axis=1,
         )                                                      # [P8, 16]
-        props = jnp.concatenate([props, props2], axis=1)       # [P8, 32]
+        props = np.concatenate([props, props2], axis=1)       # [P8, 32]
     # SPLIT-PRECISION select operand: on hardware the MXU truncates f32
     # matmul inputs to bf16 (single-pass; measured bitwise on v5e), so a
     # plain props operand returns bf16(property) — up to 2^-8 relative
@@ -296,8 +302,8 @@ def _pack_group(t: jnp.ndarray, mode: int, tile: int = PLANE_TILE,
     # within 2^-8 of props) only suffers its OWN bf16 truncation,
     # leaving ~2^-17 total. Under the exact CPU interpreter
     # hi + residual == props bitwise, so goldens are unchanged.
-    hi = props.astype(jnp.bfloat16).astype(jnp.float32)
-    props = jnp.concatenate([hi, props - hi], axis=1)    # [P8, 32 or 64]
+    hi = props.astype(ml_dtypes.bfloat16).astype(np.float32)
+    props = np.concatenate([hi, props - hi], axis=1)    # [P8, 32 or 64]
     props_t = props.reshape(n_tiles, pt, props.shape[1]).transpose(0, 2, 1)
     return w, props_t, aabbs
 
@@ -332,7 +338,7 @@ def build_sphere_table(scene) -> np.ndarray:
     return t
 
 
-def _pack_sphere_group(t: jnp.ndarray, tile: int = PLANE_TILE,
+def _pack_sphere_group(t: np.ndarray, tile: int = PLANE_TILE,
                        textured: bool = False):
     """Pack the [S, 18] sphere table (build_sphere_table) into tiled
     matmul operands
@@ -354,31 +360,31 @@ def _pack_sphere_group(t: jnp.ndarray, tile: int = PLANE_TILE,
     pt = min(_round_up(s, 8), tile)
     n_tiles = -(-_round_up(s, 8) // pt)
     s8 = n_tiles * pt
-    valid = jnp.arange(s8)[:, None] < s
-    t = jnp.pad(t, ((0, s8 - s), (0, 0)))
+    valid = np.arange(s8)[:, None] < s
+    t = np.pad(t, ((0, s8 - s), (0, 0)))
 
     c = t[:, 0:3]
-    lo = jnp.where(valid, c - 1.0 / jnp.where(valid, t[:, 3:4], 1.0), BIG)
-    hi = jnp.where(valid, c + 1.0 / jnp.where(valid, t[:, 3:4], 1.0), -BIG)
+    lo = np.where(valid, c - 1.0 / np.where(valid, t[:, 3:4], 1.0), BIG)
+    hi = np.where(valid, c + 1.0 / np.where(valid, t[:, 3:4], 1.0), -BIG)
     lo = lo.reshape(n_tiles, pt, 3)
     hi = hi.reshape(n_tiles, pt, 3)
-    aabbs = jnp.concatenate(
+    aabbs = np.concatenate(
         [lo.min(axis=1) - 1e-2, hi.max(axis=1) + 1e-2,
-         jnp.zeros((n_tiles, 2))], axis=1
-    ).astype(jnp.float32)                                      # [T, 8]
+         np.zeros((n_tiles, 2), np.float32)], axis=1
+    ).astype(np.float32)                                      # [T, 8]
 
-    z3 = jnp.zeros((s8, 3), jnp.float32)
-    z1 = jnp.zeros((s8, 1), jnp.float32)
-    c2r2 = jnp.where(valid, t[:, 4:5], BIG)
+    z3 = np.zeros((s8, 3), np.float32)
+    z1 = np.zeros((s8, 1), np.float32)
+    c2r2 = np.where(valid, t[:, 4:5], BIG)
     quantities = [
-        jnp.concatenate([z3, z1, -c, z1], axis=1),             # b-part
-        jnp.concatenate([-2.0 * c, c2r2, z3, z1], axis=1),     # q-part
+        np.concatenate([z3, z1, -c, z1], axis=1),             # b-part
+        np.concatenate([-2.0 * c, c2r2, z3, z1], axis=1),     # q-part
     ]
-    q = jnp.stack([x.reshape(n_tiles, pt, 8) for x in quantities], axis=1)
+    q = np.stack([x.reshape(n_tiles, pt, 8) for x in quantities], axis=1)
     w = q.reshape(n_tiles, 2 * pt, 8)
 
-    vf = valid.astype(jnp.float32)
-    props = jnp.concatenate(
+    vf = valid.astype(np.float32)
+    props = np.concatenate(
         [
             c * vf,                # center (normal reconstruction)
             t[:, 5:8],             # albedo
@@ -387,7 +393,7 @@ def _pack_sphere_group(t: jnp.ndarray, tile: int = PLANE_TILE,
             t[:, 3:4] * vf,        # inv_r
             vf,                    # is_sphere flag
             t[:, 12:13] * vf,      # ior (0 = opaque; mode-5 group only)
-            jnp.zeros((s8, PROP_WIDTH - 13), jnp.float32),
+            np.zeros((s8, PROP_WIDTH - 13), np.float32),
         ],
         axis=1,
     )                                                          # [S8, 16]
@@ -395,18 +401,18 @@ def _pack_sphere_group(t: jnp.ndarray, tile: int = PLANE_TILE,
         # Second block (textured scenes): texture params; the dual-
         # basis slots stay zero (UV checkers are undefined on spheres —
         # Scene validation rejects sph_tex_kind 1).
-        props2 = jnp.concatenate(
+        props2 = np.concatenate(
             [
                 t[:, 13:14] * vf,                     # tex_kind
-                jnp.where(valid, t[:, 14:15], 1.0),   # tex_scale
+                np.where(valid, t[:, 14:15], 1.0),   # tex_scale
                 t[:, 15:18],                          # tex_color2
-                jnp.zeros((s8, PROP_WIDTH - 5), jnp.float32),
+                np.zeros((s8, PROP_WIDTH - 5), np.float32),
             ],
             axis=1,
         )
-        props = jnp.concatenate([props, props2], axis=1)       # [S8, 32]
-    hi_p = props.astype(jnp.bfloat16).astype(jnp.float32)
-    props = jnp.concatenate([hi_p, props - hi_p], axis=1)
+        props = np.concatenate([props, props2], axis=1)       # [S8, 32]
+    hi_p = props.astype(ml_dtypes.bfloat16).astype(np.float32)
+    props = np.concatenate([hi_p, props - hi_p], axis=1)
     props_t = props.reshape(n_tiles, pt, props.shape[1]).transpose(0, 2, 1)
     return w, props_t, aabbs
 
@@ -462,7 +468,7 @@ def pack_intersection_tables(plane_table, tile_by_mode=None,
         else:
             tile = (tile_by_mode or {}).get(mode, PLANE_TILE)
             groups.append(
-                _pack_group(jnp.asarray(rows), mode, tile, textured)
+                _pack_group(np.asarray(rows), mode, tile, textured)
             )
 
     sph_glass = sph[:, 12] > 0.0
@@ -470,7 +476,7 @@ def pack_intersection_tables(plane_table, tile_by_mode=None,
         if rows.shape[0]:
             tile = (tile_by_mode or {}).get(mode, PLANE_TILE)
             groups.append(
-                _pack_sphere_group(jnp.asarray(rows), tile, textured)
+                _pack_sphere_group(np.asarray(rows), tile, textured)
             )
         else:
             groups.append(None)
@@ -486,7 +492,7 @@ def pack_intersection_tables(plane_table, tile_by_mode=None,
         if rows.shape[0]:
             tile = (tile_by_mode or {}).get(mode, PLANE_TILE)
             groups.append(
-                _pack_group(jnp.asarray(rows), mode, tile, textured)
+                _pack_group(np.asarray(rows), mode, tile, textured)
             )
         else:
             groups.append(None)

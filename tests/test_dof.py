@@ -12,6 +12,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mirror_maze_tpu.config import (
     CameraConfig,
@@ -97,6 +98,7 @@ def test_focal_plane_stays_sharp_and_defocus_blurs():
     assert blurred[0] > 0.0
 
 
+@pytest.mark.slow
 def test_dof_matches_across_backends_statistically():
     """The lens sampling lives in raygen, so pallas sees the same ray
     set as brute: identical pixel values for the deterministic

@@ -70,6 +70,8 @@ def test_cornell_box_is_a_valid_closed_scene(cornell_scene, tmp_path):
         np.testing.assert_array_equal(getattr(s, f), getattr(s2, f))
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_cornell_box_renders_on_every_backend(cornell_scene):
     """Closed room -> every primary ray hits; red wall left, green wall
     right; bvh must equal brute bitwise (same tracer, same keys) and the

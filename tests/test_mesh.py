@@ -178,6 +178,7 @@ def test_bvh_matches_brute_on_mesh():
     assert (np.asarray(tb) < 1e29).mean() > 0.5  # rays actually hit
 
 
+@pytest.mark.slow
 def test_pallas_matches_jnp_on_triangles():
     """Deterministic segment over a mixed mirror/diffuse triangle soup:
     the mode-4 group must match the jnp tracer under the interpreter."""

@@ -411,6 +411,8 @@ def test_props_split_precision_reconstructs_exactly(rng):
     np.testing.assert_array_equal(got[:p], expected[:p])
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_pack_tables_tile_by_mode_override(rng):
     """Per-mode tile-size overrides re-tile a group without changing
     traced results (the experiment knob behind PERF.md's rejected
@@ -492,6 +494,8 @@ def test_spatial_order_is_permutation():
     assert sorted(perm.tolist()) == list(range(dev.plane_table.shape[0]))
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_sceneless_table_disables_skip_not_geometry(rng):
     """build_plane_table without a Scene has no quad AABBs; the default
     must be infinite boxes (skip disabled), never collapsed boxes that

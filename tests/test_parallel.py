@@ -265,6 +265,8 @@ def test_sharded_engine_matches_camera_and_blurs_seamless():
             assert edge > 0.0
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_sharded_engine_sorted_window():
     """sort_chunk_window must be honored on the mesh (it was silently
     dropped once): the sorted step runs, refreshes the same per-band
@@ -696,6 +698,8 @@ def test_lazy_bounds_step_rejects_tracer_scene_clearly():
         outer(scene, state, FrameInputs.idle())
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_interactive_loop_sharded_adaptive_hot_input():
     """Sharded play with batch_frames > 1 and LIVE key input: the
     adaptive path must serve hot frames via the per-frame sharded twin

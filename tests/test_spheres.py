@@ -207,6 +207,8 @@ def test_multitile_sphere_group_matches_jnp():
     np.testing.assert_allclose(lj[agree], lp[agree], rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_multibounce_sphere_scatter_statistics():
     """Diffuse scatter off position-dependent sphere normals: the two
     backends use different RNG streams, so multi-bounce light agrees
@@ -283,6 +285,8 @@ def test_sphere_free_scene_unchanged():
     assert len(dev.mxu_tables) == 8
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_maze_with_spheres_renders_on_all_backends():
     """Spheres dropped into a generated maze: closed world, so every
     backend's light stays finite and the deterministic segment matches

@@ -60,6 +60,7 @@ def test_collision_blocks_walking_into_wall(tiny_cfg, tiny_scene, tiny_device_sc
     assert np.abs(c[0]) < half and np.abs(c[2]) < half
 
 
+@pytest.mark.slow
 def test_rotation_updates_quat_and_resets_queue(tiny_cfg, tiny_device_scene):
     step = make_step(tiny_device_scene, tiny_cfg)
     st = init_state(tiny_cfg, seed=3)
@@ -77,6 +78,7 @@ def test_rotation_updates_quat_and_resets_queue(tiny_cfg, tiny_device_scene):
     assert not np.array_equal(np.asarray(st.perm), perm0)
 
 
+@pytest.mark.slow
 def test_idle_keeps_camera_fixed(tiny_cfg, tiny_device_scene):
     step = make_step(tiny_device_scene, tiny_cfg)
     st = init_state(tiny_cfg, seed=0)
@@ -278,6 +280,7 @@ def test_adaptive_batch_frames_single_steps_on_input(
     assert idle["batch"] == 2 and idle["one"] == 0
 
 
+@pytest.mark.slow
 def test_interactive_ansi_display_smoke(tiny_cfg, tiny_device_scene):
     """run(display='ansi') must emit mouse-tracking enable/disable, the
     clear-screen + half-block frame art, and the status line — the
