@@ -115,7 +115,7 @@ def main() -> None:
     p.add_argument("--launches", type=int, default=3,
                    help="timed launches of --frames each")
     p.add_argument("--intersector", type=str, default=None,
-                   help="override backend: brute | bvh | pallas")
+                   help="override backend: brute | bvh | exact | pallas")
     p.add_argument("--lane-chunk", type=int, default=None,
                    help="dense_nearest lane-chunk width (bitwise-neutral "
                         "scheduling knob; default = measured-best policy)")
@@ -145,7 +145,7 @@ def main() -> None:
                         "tensorboard or xprof")
     p.add_argument("--validate", action="store_true",
                    help="instead of timing, run the deterministic "
-                        "cross-backend agreement check (pallas and bvh vs "
+                        "cross-backend agreement check (pallas/bvh/exact vs "
                         "brute) ON THE CURRENT BACKEND and print its JSON. "
                         "CPU tests prove the kernel exact under the "
                         "TPU-semantics interpreter; this is the HARDWARE "
@@ -333,7 +333,7 @@ def _validate(jax) -> None:
     key = jax.random.PRNGKey(0)
 
     frames = {}
-    for backend in ("brute", "pallas", "bvh"):
+    for backend in ("brute", "pallas", "bvh", "exact"):
         cfg = base.replace(intersector=backend)
         frames[backend] = np.asarray(
             render_full_frame(dev, cam, key, cfg)
@@ -350,7 +350,7 @@ def _validate(jax) -> None:
         "ok": True,
     }
     on_cpu = jax.default_backend() == "cpu"
-    for backend in ("pallas", "bvh"):
+    for backend in ("pallas", "bvh", "exact"):
         d = np.abs(frames[backend] - ref)
         stats = {
             "max": float(d.max()),
@@ -373,7 +373,12 @@ def _validate(jax) -> None:
         # (pallas_tracer._pack_group): measured max 1.2e-7 — one f32
         # ulp — vs ~8e-5 before, so its gate is tight, with the same
         # measure-zero flip allowance.
-        if backend == "bvh":
+        if backend in ("bvh", "exact"):
+            # "exact" carries the same full-f32 exactness class as the
+            # traversal (explicit FMA contractions, no MXU truncation):
+            # bitwise-equal to brute on CPU, and on hardware the same
+            # measure-zero edge-flip allowance vs brute's truncated
+            # matmul hits.
             ok = (
                 stats["max"] == 0.0
                 if on_cpu

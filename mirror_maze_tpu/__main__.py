@@ -46,10 +46,11 @@ def _build(args):
         overrides["intersector"] = args.intersector
         if args.intersector == "bvh":
             print(
-                "note: the stack-traversal backend is a correctness/"
-                "parity path — measured ~5000x slower than pallas on "
+                "note: the stack-traversal backend is a reference-"
+                "parity path — measured ~165x slower than pallas on "
                 "TPU at preset scales (PERF.md); expect ~2 fps at "
-                "512x384.",
+                "512x384. For full-f32 exactness at dense-path speed "
+                "use --intersector exact.",
                 file=sys.stderr,
             )
     maze_overrides = {}

@@ -296,10 +296,20 @@ class EngineConfig:
     tracer: TracerConfig = TracerConfig()
     camera: CameraConfig = CameraConfig()
     screen: ScreenConfig = ScreenConfig()
-    # Intersection backend: "brute" (vectorized all-planes test, wins for the
-    # small scenes of configs 1-4), "bvh" (masked stack traversal),
-    # "pallas" (fused wavefront kernel).
+    # Intersection backend: "brute" (vectorized all-planes MXU test),
+    # "bvh" (masked stack traversal — reference parity semantics),
+    # "exact" (dense all-planes test in full-f32 VPU FMAs: the
+    # traversal's hardware-exactness class at dense-path speed,
+    # render/intersect.py nearest_hit_exact), "pallas" (fused wavefront
+    # kernel — the fast path).
     intersector: str = "pallas"
+
+    def __post_init__(self):
+        if self.intersector not in ("brute", "bvh", "exact", "pallas"):
+            raise ValueError(
+                f"intersector must be brute|bvh|exact|pallas "
+                f"(got {self.intersector!r})"
+            )
 
     def replace(self, **kw) -> "EngineConfig":
         return dataclasses.replace(self, **kw)
@@ -326,15 +336,17 @@ def config_bvh() -> EngineConfig:
 
     The DEFAULT intersector here is pallas: the reference's per-ray
     stack traversal (`render/intersect.py nearest_hit_bvh`, rebuilt
-    around packed row gathers (27x) and a stack-major one-hot stack
-    (2.26x)) measures 0.23 Mrays/s on TPU at this config's camera
-    — still ~190x slower than the dense tile path at the same point
-    (53.9 vs 0.281 ms/frame, PERF.md "bvh row") — because data-dependent
-    walks are hostile to 8x128 vector lanes. It remains available as a
-    CORRECTNESS/parity backend via ``--intersector bvh``
-    (exactness-tested against brute force; on hardware it is also the
-    most EXACT backend — its gathered FMAs are full f32 while the
-    matmul paths truncate), and the BVH itself stays load-bearing for
+    around packed row gathers (27x), a stack-major one-hot stack
+    (2.26x), and a 2-gather/iteration layout (1.16x)) measures
+    0.26 Mrays/s on TPU at this config's camera — ~165x slower than
+    the dense tile path at the same point (46.6 vs 0.281 ms/frame),
+    and MEASURED AT its serial-latency floor (PERF.md "bvh floor
+    decomposition"): data-dependent walks are hostile to 8x128 vector
+    lanes. It remains available as a reference-PARITY backend via
+    ``--intersector bvh`` (exactness-tested against brute force); for
+    full-f32 hardware exactness at dense-path speed use
+    ``--intersector exact`` (27.7x the traversal here, bit-identical
+    results to it on silicon). The BVH itself stays load-bearing for
     host collision + the scene AABB tile skip."""
     return EngineConfig(
         maze=MazeConfig(width=8, height=8),

@@ -8,9 +8,14 @@ iterative ordered BVH traversal (`shaders.metal:115-156`), recast for TPU:
   [R,3]x[3,P] contractions + vectorized in-rectangle tests. Branchless,
   MXU/VPU-friendly; wins for the small plane counts of configs 1-4
   (SURVEY.md section 7 "hard parts" #1).
+- ``nearest_hit_exact``: the same dense test with explicit full-f32 FMA
+  contractions (no MXU bf16 input truncation) — the traversal's
+  hardware-exactness class at dense-path speed (27.7x the traversal at
+  config-2 scale, bit-identical results to it on silicon; PERF.md).
 - ``nearest_hit_bvh``: the reference's near-child-first stack traversal,
-  vectorized over rays with per-ray stacks and liveness masks (SIMT style).
-  Scales to large scenes at the cost of gathers.
+  vectorized over rays with per-ray stacks and liveness masks (SIMT
+  style). Kept as the parity backend; measured at its serial-latency
+  floor (PERF.md "bvh floor decomposition").
 
 Both return (t, plane_index) with t = BIG for misses. The hit-acceptance
 rule matches the reference exactly: t > t_min (0.1) and strictly closer than
@@ -107,25 +112,15 @@ def _merge_spheres(scene, o, d, t_min, t, idx):
     )
 
 
-def nearest_hit_brute(
-    scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, t_min: float
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """All-primitives nearest hit. o, d: [R, 3] -> (t [R], idx [R]).
-
-    The plane equation t = (c - o.n)/(d.n) and both edge projections expand
-    into ray-matrix contractions against precomputed per-plane constants, so
-    the whole scene test is six [R,3]x[3,P] matmuls + elementwise selects.
-    Ties pick the lowest plane index (the reference's pick among coincident
-    planes is BVH-traversal-order dependent; any consistent rule matches one
-    valid reference ordering). Scenes with spheres fold them in via
-    ``sphere_ts``; sphere i is index num_planes + i (statically absent
-    for sphere-free scenes — the generated mazes trace unchanged).
-    """
-    on = o @ scene.normal.T          # [R, P]
-    dn = d @ scene.normal.T
+def _dense_nearest(scene, o, d, t_min, dot3):
+    """Shared dense all-primitives nearest hit, parameterized on the
+    [R,3]x[P,3] contraction (nearest_hit_brute passes a matmul;
+    nearest_hit_exact passes explicit FMAs that never touch the MXU)."""
+    on = dot3(o, scene.normal)       # [R, P]
+    dn = dot3(d, scene.normal)
     t = (scene.d[None, :] - on) / dn
-    s1 = (o @ scene.w1.T) + t * (d @ scene.w1.T) - scene.b1[None, :]
-    s2 = (o @ scene.w2.T) + t * (d @ scene.w2.T) - scene.b2[None, :]
+    s1 = dot3(o, scene.w1) + t * dot3(d, scene.w1) - scene.b1[None, :]
+    s2 = dot3(o, scene.w2) + t * dot3(d, scene.w2) - scene.b2[None, :]
     # Upper acceptance bound by primitive class: quads test each
     # barycentric-style coordinate against 1; triangles (kind 3) test
     # their SUM — s1/s2 are the true barycentric coordinates of the
@@ -148,6 +143,54 @@ def nearest_hit_brute(
     if scene.num_spheres:
         return _merge_spheres(scene, o, d, t_min, t, idx)
     return t, idx
+
+
+def nearest_hit_brute(
+    scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, t_min: float
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """All-primitives nearest hit. o, d: [R, 3] -> (t [R], idx [R]).
+
+    The plane equation t = (c - o.n)/(d.n) and both edge projections expand
+    into ray-matrix contractions against precomputed per-plane constants, so
+    the whole scene test is six [R,3]x[3,P] matmuls + elementwise selects.
+    Ties pick the lowest plane index (the reference's pick among coincident
+    planes is BVH-traversal-order dependent; any consistent rule matches one
+    valid reference ordering). Scenes with spheres fold them in via
+    ``sphere_ts``; sphere i is index num_planes + i (statically absent
+    for sphere-free scenes — the generated mazes trace unchanged).
+    """
+    return _dense_nearest(scene, o, d, t_min, lambda a, b: a @ b.T)
+
+
+def nearest_hit_exact(
+    scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, t_min: float
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """nearest_hit_brute with full-f32 arithmetic (the EXACT backend).
+
+    On TPU hardware the MXU truncates f32 matmul inputs to bf16
+    (single-pass, measured bitwise — PERF.md "hardware numerics"), so
+    nearest_hit_brute's contractions carry ~2^-8 input error. Here each
+    contraction is written as explicit per-component multiply-adds —
+    three broadcast FMAs the VPU executes in full f32 (and a form XLA's
+    algebraic simplifier does not rewrite into a dot) — giving the same
+    exactness class as the BVH traversal's gathered FMAs at dense-path
+    speed: measured 14.8 us vs brute's 11.3 us per 12,288-ray segment at
+    config-2 scale, where the traversal costs ~2-5 ms (PERF.md "bvh
+    floor decomposition"). This is the hardware-side validation
+    reference (`bench.py --validate`) and a practical exact render
+    backend (``intersector="exact"``) for small/medium scenes; unlike
+    the traversal it is O(R*P), so very large scenes still belong to
+    pallas (tiles + skip) or bvh.
+    """
+
+    def dot3(a, b):
+        return (
+            a[:, 0:1] * b[None, :, 0]
+            + a[:, 1:2] * b[None, :, 1]
+            + a[:, 2:3] * b[None, :, 2]
+        )
+
+    return _dense_nearest(scene, o, d, t_min, dot3)
 
 
 @partial(jax.jit, static_argnames=("t_min", "max_depth", "max_leaf"))

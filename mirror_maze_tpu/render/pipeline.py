@@ -30,6 +30,10 @@ def make_nearest_fn(
         return lambda o, d: nearest_hit_bvh(
             scene, o, d, cfg.tracer.t_min, max_depth, max_leaf
         )
+    if cfg.intersector == "exact":
+        from .intersect import nearest_hit_exact
+
+        return lambda o, d: nearest_hit_exact(scene, o, d, cfg.tracer.t_min)
     return lambda o, d: nearest_hit_brute(scene, o, d, cfg.tracer.t_min)
 
 
@@ -47,7 +51,7 @@ def render_pixels(
     one camera ray per pixel, then each sample adds an unnormalized
     direction jitter of scale 0.001.
     """
-    if nearest_fn is None and cfg.intersector == "bvh":
+    if nearest_fn is None and cfg.intersector in ("bvh", "exact"):
         # Honor the bvh backend even when the caller supplies no
         # nearest_fn (offline render_full_frame, direct calls) — it
         # previously fell through to brute force SILENTLY. Bounds

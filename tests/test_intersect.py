@@ -207,3 +207,70 @@ def test_bvh_backend_honored_without_explicit_nearest_fn(monkeypatch):
         pipeline_mod.render_pixels(dev, cam, pix, jax.random.PRNGKey(0), brute)
     )
     np.testing.assert_array_equal(out_bvh, out_brute)  # exactness holds
+
+
+def test_exact_backend_matches_brute_bitwise(rng):
+    """nearest_hit_exact: the same dense test with explicit-FMA
+    contractions. On CPU every backend is exact f32, so exact == brute
+    BITWISE; on hardware exact keeps full f32 where brute's MXU inputs
+    truncate to bf16 (gated by bench.py --validate)."""
+    from mirror_maze_tpu.config import MazeConfig
+    from mirror_maze_tpu.render import upload_scene
+    from mirror_maze_tpu.render.intersect import (
+        nearest_hit_brute,
+        nearest_hit_exact,
+    )
+    from mirror_maze_tpu.scene import build_scene
+
+    dev = upload_scene(build_scene(MazeConfig(width=6, height=6)))
+    o = jnp.asarray(rng.normal(size=(256, 3)).astype(np.float32) * 3.0)
+    d = rng.normal(size=(256, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    tb, ib = nearest_hit_brute(dev, o, d, 0.1)
+    te, ie = nearest_hit_exact(dev, o, d, 0.1)
+    np.testing.assert_array_equal(np.asarray(tb), np.asarray(te))
+    np.testing.assert_array_equal(np.asarray(ib), np.asarray(ie))
+
+
+def test_exact_backend_drives_the_engine(rng):
+    """intersector='exact' is honored end-to-end (engine step + offline
+    render) and matches the brute engine bitwise on CPU."""
+    from mirror_maze_tpu.config import (
+        CameraConfig,
+        EngineConfig,
+        MazeConfig,
+        ScreenConfig,
+        TracerConfig,
+    )
+    from mirror_maze_tpu.render import upload_scene
+    from mirror_maze_tpu.runtime.state import FrameInputs, init_state
+    from mirror_maze_tpu.runtime.step import make_step
+    from mirror_maze_tpu.scene import build_scene
+
+    base = EngineConfig(
+        maze=MazeConfig(width=4, height=4),
+        camera=CameraConfig(spawn=(-5.0, 0.0, -15.0)),
+        tracer=TracerConfig(bounce_limit=2, mirror_limit=2),
+        screen=ScreenConfig(width=32, height=32, samples_per_pixel=2,
+                            chunks_per_frame=16),
+    )
+    dev = upload_scene(build_scene(base.maze))
+    frames = {}
+    for backend in ("brute", "exact"):
+        cfg = base.replace(intersector=backend)
+        st = init_state(cfg, seed=0)
+        step = make_step(dev, cfg)
+        for _ in range(4):
+            st, frame = step(st, FrameInputs.make(w=True))
+        frames[backend] = np.asarray(frame)
+    np.testing.assert_array_equal(frames["brute"], frames["exact"])
+
+
+def test_unknown_intersector_rejected():
+    import pytest
+
+    from mirror_maze_tpu.config import EngineConfig
+
+    with pytest.raises(ValueError, match="intersector"):
+        EngineConfig(intersector="octree")
