@@ -38,6 +38,8 @@ def _build(args):
         screen_overrides["height"] = args.height
     if args.spp:
         screen_overrides["samples_per_pixel"] = args.spp
+    if getattr(args, "adaptive_refresh", False):
+        screen_overrides["adaptive_refresh"] = True
     if screen_overrides:
         overrides["screen"] = dataclasses.replace(
             cfg.screen, **screen_overrides
@@ -383,7 +385,13 @@ def main(argv=None) -> int:
                         help="world RNG stream: 'reference' rebuilds the "
                              "reference app's LITERAL world at this seed "
                              "(rand-0.8 StdRng/ChaCha12 parity)")
-        sp.add_argument("--intersector", default=None)
+        sp.add_argument("--intersector", default=None,
+                        choices=("brute", "bvh", "exact", "pallas"))
+        sp.add_argument("--adaptive-refresh", action="store_true",
+                        dest="adaptive_refresh",
+                        help="reorder each refresh epoch by per-chunk "
+                             "detail (variance) instead of replaying the "
+                             "random shuffle; coverage unchanged")
         sp.add_argument("--frames", type=int, default=None)
         sp.add_argument("--display", default="ansi",
                         choices=("ansi", "kitty", "none"),

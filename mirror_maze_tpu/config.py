@@ -211,6 +211,15 @@ class ScreenConfig:
     # pixel's RNG lane) differs. Essential for multi-tile scenes with
     # wide blocks; off by default to keep small-scene goldens stable.
     sort_chunk_window: bool = False
+    # ADAPTIVE epoch order (beyond the reference): when the chunk queue
+    # wraps into a new epoch, reorder it by descending per-chunk
+    # luminance variance of the accumulated screen so detailed/grainy
+    # regions refresh first (render/scheduler.py adaptive_reorder).
+    # Coverage is unchanged (still a permutation; full repaint per
+    # epoch; rotation keeps the reference's random reshuffle) — only
+    # the within-epoch ORDER adapts. Off by default: the reference
+    # replays one fixed shuffled order per epoch.
+    adaptive_refresh: bool = False
     # Fused Pallas blur+quantize present kernel (render/present.py) —
     # bit-identical to the XLA chunk-major blur under jit, one
     # read+write of the screen instead of XLA's materialized shifted

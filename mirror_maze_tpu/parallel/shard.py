@@ -345,6 +345,15 @@ def _engine_locals(cfg: EngineConfig, mesh: Mesh):
         ids, cursor_next = take_chunks(state.perm, cursor, n_chunks)
         if cfg.screen.sort_chunk_window:
             ids = sort_window_morton(ids, band)
+        perm_in = state.perm
+        if cfg.screen.adaptive_refresh:
+            # Detail-guided epoch order, per band (each band reorders
+            # its own queue from its own screen rows — no collective).
+            from ..render.scheduler import adaptive_reorder
+
+            perm_in = adaptive_reorder(
+                state.perm, cursor, cursor_next, state.screen
+            )
 
         # 2-3. Camera: movement, collision, rotation — replicated math,
         # reusing the single-chip step's functions verbatim.
@@ -353,7 +362,7 @@ def _engine_locals(cfg: EngineConfig, mesh: Mesh):
         )
         center = step_mod.resolve_collision(cfg, scene, moved, state.cam_center)
         quat, half_theta, perm, cursor_out, key = step_mod.rotation_update(
-            state.quat, state.half_theta, state.perm, cursor_next, key,
+            state.quat, state.half_theta, perm_in, cursor_next, key,
             inputs, cfg,
         )
 

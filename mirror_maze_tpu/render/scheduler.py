@@ -38,6 +38,46 @@ def take_chunks(
     return ids, (cursor + n) % total
 
 
+def adaptive_reorder(
+    perm: jnp.ndarray,
+    cursor: jnp.ndarray,
+    cursor_next: jnp.ndarray,
+    screen_rows: jnp.ndarray,
+) -> jnp.ndarray:
+    """Detail-guided epoch reorder (ScreenConfig.adaptive_refresh).
+
+    BEYOND the reference (whose refill always replays one random order,
+    `main.rs:309-326`): when the queue wraps into a new epoch, reorder
+    it by DESCENDING per-chunk luminance variance of the accumulated
+    chunk-major screen — high-variance chunks (edges, light falloff,
+    residual grain) refresh first, so detail converges sooner at the
+    same ray budget. Still a permutation (argsort), so every chunk
+    refreshes exactly once per epoch: the full-repaint cadence and the
+    progressive look's coverage guarantees are untouched — only the
+    order within an epoch changes. One [C] variance + argsort per WRAP
+    (not per frame); fully device-resident.
+
+    Rotation resets keep the reference's fresh random shuffle (the
+    post-rotation screen is stale, so its variance is not a signal for
+    the new view); adaptive order kicks in again at the next wrap.
+    """
+    c = screen_rows.shape[0]
+    px = screen_rows.reshape(c, -1, 3)
+    luma = (0.2126 * px[..., 0] + 0.7152 * px[..., 1]
+            + 0.0722 * px[..., 2])
+    var = jnp.var(luma, axis=1)
+    wrapped = cursor_next <= cursor  # take_chunks advanced past the end
+    # The cursor lands mid-array after a straddling pop, so ROLL the
+    # priority order to start exactly at cursor_next — the new epoch's
+    # first window gets the highest-variance chunks.
+    return jax.lax.cond(
+        wrapped,
+        lambda p: jnp.roll(jnp.argsort(-var), cursor_next).astype(p.dtype),
+        lambda p: p,
+        perm,
+    )
+
+
 def sort_window_morton(ids: jnp.ndarray, cfg: ScreenConfig) -> jnp.ndarray:
     """Reorder one popped chunk window along a Morton (Z-order) curve.
 

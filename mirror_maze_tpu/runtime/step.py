@@ -159,6 +159,15 @@ def make_step_fn(
         ids, cursor_next = take_chunks(state.perm, state.cursor, n_chunks)
         if cfg.screen.sort_chunk_window:
             ids = sort_window_morton(ids, cfg.screen)
+        perm_in = state.perm
+        if cfg.screen.adaptive_refresh:
+            # Detail-guided epoch order (scheduler.adaptive_reorder):
+            # reorders only when this pop wrapped into a new epoch.
+            from ..render.scheduler import adaptive_reorder
+
+            perm_in = adaptive_reorder(
+                state.perm, state.cursor, cursor_next, state.screen
+            )
 
         # 2. Movement + collision.
         moved = integrate_movement(cfg, state.cam_center, state.quat, inputs.keys)
@@ -166,7 +175,7 @@ def make_step_fn(
 
         # 3. Rotation (+ queue regeneration for NEXT frame).
         quat, half_theta, perm, cursor_rot, key = apply_rotation(
-            state._replace(cursor=cursor_next), inputs, cfg
+            state._replace(cursor=cursor_next, perm=perm_in), inputs, cfg
         )
 
         # 4. Trace the popped chunks.

@@ -233,6 +233,7 @@ def test_exact_backend_matches_brute_bitwise(rng):
     np.testing.assert_array_equal(np.asarray(ib), np.asarray(ie))
 
 
+@pytest.mark.slow
 def test_exact_backend_drives_the_engine(rng):
     """intersector='exact' is honored end-to-end (engine step + offline
     render) and matches the brute engine bitwise on CPU."""

@@ -67,6 +67,7 @@ def test_full_repaint_cadence_is_64_frames_at_reference_defaults():
     np.testing.assert_array_equal(np.asarray(ids), windows[0])
 
 
+@pytest.mark.slow
 def test_rotation_resets_queue_translation_does_not():
     """The queue regenerates ONLY on rotation (`main.rs:836-841`):
     turning re-renders the whole view; walking does not."""

@@ -957,3 +957,43 @@ def test_sharded_renderer_glass_and_texture_all_backends():
         dev, cams, jax.random.PRNGKey(7))
     assert np.isfinite(np.asarray(frames)).all()
     assert float(mean_lum) > 0.0
+
+
+@pytest.mark.slow
+def test_sharded_engine_adaptive_refresh_steps():
+    """ScreenConfig.adaptive_refresh is honored per band on the mesh
+    (each band reorders its own queue from its own screen rows)."""
+    import jax
+    import numpy as np
+
+    from mirror_maze_tpu.config import (
+        CameraConfig,
+        EngineConfig,
+        MazeConfig,
+        ScreenConfig,
+    )
+    from mirror_maze_tpu.parallel.shard import make_mesh, make_sharded_engine
+    from mirror_maze_tpu.render import upload_scene
+    from mirror_maze_tpu.runtime.state import FrameInputs
+    from mirror_maze_tpu.scene import build_scene
+
+    n_tile = 2
+    cfg = EngineConfig(
+        maze=MazeConfig(width=4, height=4),
+        camera=CameraConfig(spawn=(-5.0, 0.0, -15.0)),
+        screen=ScreenConfig(width=32, height=16 * n_tile, samples_per_pixel=1,
+                            chunks_per_frame=8 * n_tile,
+                            adaptive_refresh=True),
+        intersector="brute",
+    )
+    mesh = make_mesh(1, n_tile)
+    scene = upload_scene(build_scene(cfg.maze))
+    init_fn, step_fn = make_sharded_engine(cfg, mesh)
+    st = init_fn(seed=0)
+    c_band = cfg.screen.total_chunks // n_tile
+    for _ in range(2 * (c_band // 8) + 2):   # cross at least two wraps
+        st, frame = step_fn(scene, st, FrameInputs.idle())
+    perm = np.asarray(st.perm).reshape(n_tile, c_band)
+    for t in range(n_tile):                  # per-band queues stay permutations
+        assert sorted(perm[t].tolist()) == list(range(c_band))
+    assert np.asarray(frame).shape == (cfg.screen.height, cfg.screen.width, 3)

@@ -4,6 +4,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mirror_maze_tpu.config import ScreenConfig
 from mirror_maze_tpu.render.accumulate import (
@@ -173,3 +174,79 @@ def test_chunk_major_scatter_equals_spatial_scatter():
         np.asarray(cm_to_spatial(spatial_to_cm(base_sp, cfg), cfg)),
         np.asarray(base_sp),
     )
+
+
+# --- adaptive epoch reorder (ScreenConfig.adaptive_refresh) -----------------
+
+
+def test_adaptive_reorder_noop_mid_epoch():
+    from mirror_maze_tpu.render.scheduler import adaptive_reorder
+
+    perm = jnp.asarray(np.random.default_rng(0).permutation(64).astype(np.int32))
+    rows = jnp.asarray(np.random.default_rng(1).random((64, 48)).astype(np.float32))
+    out = adaptive_reorder(perm, jnp.int32(8), jnp.int32(16), rows)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(perm))
+
+
+def test_adaptive_reorder_puts_highest_variance_first_at_wrap():
+    from mirror_maze_tpu.render.scheduler import adaptive_reorder
+
+    c = 64
+    perm = jnp.asarray(np.random.default_rng(0).permutation(c).astype(np.int32))
+    rows = np.zeros((c, 48), np.float32)
+    rows[17] = np.tile([0.0, 0.0, 0.0, 1.0, 1.0, 1.0], 8)  # max-variance luma
+    rows[3] = 0.3                                           # flat: zero variance
+    cursor, cursor_next = jnp.int32(60), jnp.int32(4)       # wrapped
+    out = np.asarray(adaptive_reorder(perm, cursor, cursor_next,
+                                      jnp.asarray(rows)))
+    assert sorted(out.tolist()) == list(range(c))           # still a permutation
+    # Highest-variance chunk sits AT the cursor (rolled), so the new
+    # epoch's first window refreshes it first.
+    assert out[4] == 17
+
+
+@pytest.mark.slow
+def test_adaptive_engine_preserves_epoch_coverage():
+    """With adaptive_refresh on, every epoch still refreshes every chunk
+    exactly once (the 64-frame-repaint guarantee survives; only the
+    order adapts)."""
+    from mirror_maze_tpu.config import (
+        CameraConfig,
+        EngineConfig,
+        MazeConfig,
+        ScreenConfig,
+    )
+    from mirror_maze_tpu.render import upload_scene
+    from mirror_maze_tpu.runtime.state import FrameInputs, init_state
+    from mirror_maze_tpu.runtime.step import make_step
+    from mirror_maze_tpu.scene import build_scene
+
+    cfg = EngineConfig(
+        maze=MazeConfig(width=4, height=4),
+        camera=CameraConfig(spawn=(-5.0, 0.0, -15.0)),
+        screen=ScreenConfig(width=32, height=32, samples_per_pixel=1,
+                            chunks_per_frame=16, adaptive_refresh=True),
+        intersector="brute",
+    )
+    dev = upload_scene(build_scene(cfg.maze))
+    step = make_step(dev, cfg)
+    st = init_state(cfg, seed=0)
+    total = cfg.screen.total_chunks  # 64 chunks, 4 per epoch-frame... 16/frame
+    frames_per_epoch = total // 16
+    # Warm two epochs so the adaptive order is active, then check the
+    # third epoch's coverage.
+    for _ in range(2 * frames_per_epoch):
+        st, _ = step(st, FrameInputs.idle())
+    seen = []
+    for _ in range(frames_per_epoch):
+        perm = np.asarray(st.perm)
+        cursor = int(st.cursor)
+        seen.extend(perm[np.arange(cursor, cursor + 16) % total].tolist())
+        st, _ = step(st, FrameInputs.idle())
+    assert sorted(seen) == list(range(total))
+
+
+def test_adaptive_flag_off_is_default_and_harmless():
+    from mirror_maze_tpu.config import ScreenConfig
+
+    assert ScreenConfig().adaptive_refresh is False

@@ -78,6 +78,7 @@ def _assert_states_equal(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=f)
 
 
+@pytest.mark.slow
 def test_sharded_roundtrip_bit_exact_and_resumes(cfg, scene, engine, tmp_path):
     init_fn, step_fn = engine
     st, _ = _walk(step_fn, scene, init_fn(seed=0), 6, turn_at=3)
@@ -95,6 +96,7 @@ def test_sharded_roundtrip_bit_exact_and_resumes(cfg, scene, engine, tmp_path):
     np.testing.assert_array_equal(np.asarray(frame_a), np.asarray(frame_b))
 
 
+@pytest.mark.slow
 def test_sharded_to_single_preserves_screen_camera_and_popsets(cfg, scene, engine):
     init_fn, step_fn = engine
     st, _ = _walk(step_fn, scene, init_fn(seed=0), 7, turn_at=2)
@@ -130,6 +132,7 @@ def test_sharded_to_single_preserves_screen_camera_and_popsets(cfg, scene, engin
     assert int(nxt.frame) == int(st.frame) + 1
 
 
+@pytest.mark.slow
 def test_single_to_sharded_preserves_screen_and_band_queues(cfg, scene, engine):
     st = init_state(cfg, seed=3)
     step1 = make_step(scene, cfg)
@@ -153,6 +156,7 @@ def test_single_to_sharded_preserves_screen_and_band_queues(cfg, scene, engine):
     assert int(nxt.frame) == int(st.frame) + 1
 
 
+@pytest.mark.slow
 def test_cross_layout_checkpoint_loading(cfg, scene, engine, tmp_path):
     init_fn, step_fn = engine
     st, _ = _walk(step_fn, scene, init_fn(seed=0), 4)

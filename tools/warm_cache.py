@@ -5,18 +5,25 @@ compile root cause"): first-run cost is split between the CLIENT XLA
 compile (~40 s per 1080p program; skipped when the persistent
 compilation cache at /tmp/mmx_jax_cache hits — it DOES hit across
 processes for unchanged code) and a SERVER-side kernel compile that
-happens lazily at FIRST EXECUTION (~2-4 min, per Mosaic kernel, shared
-between programs embedding the same kernel). A pure .compile() warms
-only the client half, so this tool also runs ONE forced launch of each
-program to warm the server.
+happens lazily at FIRST EXECUTION. The server half is shared between
+programs embedding the same Mosaic kernel WITHIN one process, but is
+PER-PROCESS and highly variable (measured 120 s and 1093 s for
+identical runs minutes apart) — it cannot be pre-paid cross-process.
 
-Run it once per fresh host/session (or after kernel changes):
+So this tool's value is: (a) it seeds the persistent CLIENT cache for
+every later process (saves the ~40-80 s client compiles), and (b) it
+front-loads the server compile for work done IN THIS PROCESS — import
+it and keep going:
+
+    from tools.warm_cache import main  # or run the CLI first in a REPL
+
+CLI:
 
     python tools/warm_cache.py            # bench point + play step
     python tools/warm_cache.py --frames 60 --width 1920 --height 1080
 
-Subsequent `python bench.py` / play sessions then start in seconds
-instead of minutes (bench's compile_s reflects only the residual).
+A later separate `python bench.py` still pays its own server
+first-execution compile; budget minutes for it (PERF.md).
 """
 
 from __future__ import annotations
