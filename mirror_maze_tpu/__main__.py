@@ -177,6 +177,32 @@ def cmd_demo(args) -> int:
     return 0
 
 
+def cmd_minimap(args) -> int:
+    """Top-down map of the world's actual geometry (utils/minimap.py):
+    walls grey, mirrors cyan, glass pale blue, light panels warm,
+    spheres as discs, spawn camera marked. The reference app has no map
+    view; this draws the Scene arrays directly (a top-down RENDER would
+    only see the ceiling — zero-thickness walls are invisible edge-on).
+    """
+    import numpy as np
+
+    from .render import make_camera
+    from .utils.imageio import write_png
+    from .utils.minimap import render_minimap
+
+    cfg, scene, _dev = _build(args)
+    cam = make_camera(cfg.camera, cfg.screen.width / cfg.screen.height)
+    img = render_minimap(
+        scene, size=args.map_size,
+        camera_center=np.asarray(cam.center),
+        camera_quat=np.asarray(cam.rotation),
+    )
+    write_png(args.out, img)
+    print(f"wrote {args.out} ({scene.num_planes} planes, "
+          f"{img.shape[1]}x{img.shape[0]})")
+    return 0
+
+
 def cmd_play(args) -> int:
     import time
 
@@ -372,7 +398,8 @@ def main(argv=None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
     for name, fn in (("render", cmd_render), ("demo", cmd_demo),
                      ("play", cmd_play), ("multicam", cmd_multicam),
-                     ("animate", cmd_animate)):
+                     ("animate", cmd_animate),
+                     ("minimap", cmd_minimap)):
         sp = sub.add_parser(name)
         sp.set_defaults(fn=fn)
         sp.add_argument("--config", default="reference")
@@ -478,6 +505,9 @@ def main(argv=None) -> int:
                              "looping GIF at this path (device->host "
                              "fetch per sampled frame — prefer a large "
                              "--gif-every over remote links)")
+        sp.add_argument("--map-size", type=int, default=512,
+                        dest="map_size",
+                        help="minimap: output image side in pixels")
         sp.add_argument("--gif-every", type=int, default=8,
                         dest="gif_every",
                         help="demo: sample every Nth frame into --gif")
@@ -487,7 +517,8 @@ def main(argv=None) -> int:
                              "renderer; frames = camera batch)")
         sp.add_argument("--out", default={
             "render": "frame.png", "demo": "demo_out",
-            "multicam": "multicam.png", "animate": "anim.gif"}.get(name))
+            "multicam": "multicam.png", "animate": "anim.gif",
+            "minimap": "minimap.png"}.get(name))
     args = p.parse_args(argv)
     return args.fn(args)
 
