@@ -395,7 +395,7 @@ def _validate(jax) -> None:
         result[backend] = stats
         result["ok"] = result["ok"] and ok
         if backend == "pallas":
-            result["value"] = round(stats["max"], 6)
+            result["value"] = round(stats["max"], 9)
     print(json.dumps(result))
     if not result["ok"]:
         raise SystemExit(1)

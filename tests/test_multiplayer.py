@@ -1,0 +1,118 @@
+"""Multiplayer building blocks (parallel/multiplayer.py), single-process:
+avatar scene surgery, dynamic sphere updates through the jitted step, and
+avatar visibility. The full 2-process DCN exchange is driven by
+tests/test_multihost.py::test_two_player_multiplayer.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mirror_maze_tpu.config import (
+    CameraConfig,
+    EngineConfig,
+    MazeConfig,
+    ScreenConfig,
+    TracerConfig,
+)
+from mirror_maze_tpu.parallel.multiplayer import (
+    PARK,
+    avatar_scene,
+    make_multiplayer_engine,
+    update_avatars,
+)
+from mirror_maze_tpu.render import upload_scene
+from mirror_maze_tpu.runtime.state import FrameInputs, init_state
+from mirror_maze_tpu.runtime.step import make_step_fn
+from mirror_maze_tpu.scene import build_scene
+
+
+def _cfg(intersector="brute"):
+    return EngineConfig(
+        maze=MazeConfig(width=4, height=4),
+        camera=CameraConfig(spawn=(-5.0, 0.0, -15.0)),
+        tracer=TracerConfig(bounce_limit=2, mirror_limit=2),
+        screen=ScreenConfig(width=48, height=48, samples_per_pixel=2,
+                            chunks_per_frame=144),  # full repaint each frame
+        intersector=intersector,
+    )
+
+
+def test_avatar_scene_appends_parked_spheres_with_player_colors():
+    s = build_scene(MazeConfig(width=4, height=4))
+    s2, slots = avatar_scene(s, n_players=3, me=1)
+    assert slots == [s.num_spheres, s.num_spheres + 1]
+    assert s2.num_spheres == s.num_spheres + 2
+    assert np.all(np.asarray(s2.sph_center)[slots] == PARK)
+    # me=1 is skipped: avatars carry player 0's and player 2's colors.
+    from mirror_maze_tpu.parallel.multiplayer import PLAYER_COLORS
+
+    np.testing.assert_allclose(np.asarray(s2.sph_color)[slots[0]],
+                               PLAYER_COLORS[0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s2.sph_color)[slots[1]],
+                               PLAYER_COLORS[2], atol=1e-6)
+
+
+def test_update_avatars_moves_centers_and_c2r2():
+    s = build_scene(MazeConfig(width=4, height=4))
+    s2, slots = avatar_scene(s, n_players=2, me=0, radius=1.5)
+    dev = upload_scene(s2)
+    target = jnp.asarray([[1.0, 0.0, -2.0]], jnp.float32)
+    dev2 = update_avatars(dev, slots, target)
+    np.testing.assert_array_equal(np.asarray(dev2.sph_center)[slots[0]],
+                                  np.asarray(target)[0])
+    want = float(1.0 + 4.0 - 1.5 ** 2)
+    assert abs(float(np.asarray(dev2.sph_c2r2)[slots[0]]) - want) < 1e-5
+    # Non-avatar fields untouched.
+    np.testing.assert_array_equal(np.asarray(dev2.sph_radius),
+                                  np.asarray(dev.sph_radius))
+
+
+def test_avatar_becomes_visible_through_the_jitted_step():
+    """Moving an avatar in front of the camera changes the rendered
+    frame through the SAME jitted step (scene is an argument — no
+    recompile), and parking it restores the avatar-free image."""
+    import jax
+
+    cfg = _cfg()
+    s, slots = avatar_scene(build_scene(cfg.maze), n_players=2, me=0)
+    dev = upload_scene(s)
+    step = jax.jit(make_step_fn(cfg, 32, 4))
+
+    def frame_with(centers):
+        dev2 = update_avatars(dev, slots, jnp.asarray(centers, jnp.float32))
+        st = init_state(cfg, seed=0)
+        st, f = step(dev2, st, FrameInputs.idle())
+        return np.asarray(f)
+
+    parked = frame_with([[PARK, PARK, PARK]])
+    # Spawn (-5, 0, -15) looks along ~+z: park vs in-view must differ.
+    visible = frame_with([[-5.0, 0.0, -10.0]])
+    assert not np.array_equal(parked, visible)
+    again = frame_with([[PARK, PARK, PARK]])
+    np.testing.assert_array_equal(parked, again)
+
+
+def test_multiplayer_engine_rejects_pallas():
+    from mirror_maze_tpu.parallel.shard import make_mesh
+
+    with pytest.raises(ValueError, match="pallas"):
+        make_multiplayer_engine(_cfg(intersector="pallas"),
+                                make_mesh(1, 1), me=0)
+
+
+def test_single_player_engine_runs():
+    """mesh of one player: no avatars, the engine is the plain step."""
+    import jax
+    from jax.sharding import Mesh
+
+    cfg = _cfg()
+    mesh = Mesh(np.array(jax.devices()[:1]), ("player",))
+    dev, init_fn, step_fn = make_multiplayer_engine(cfg, mesh, me=0)
+    st = init_fn(seed=0)
+    for _ in range(2):
+        st, frame = step_fn(st, FrameInputs.make(w=True))
+    assert np.isfinite(np.asarray(frame, np.float32)).all()
+    assert np.asarray(st.cam_center)[2] > -15.0  # walked forward
