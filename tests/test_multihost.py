@@ -189,3 +189,117 @@ def test_two_process_dcn_mesh_renders():
         assert f"multihost engine {i} ok" in out
     cam = [o.split("cam=")[1].split()[0] for o in outs]
     assert cam[0] == cam[1], cam
+
+
+MP_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+pid = int(sys.argv[1]); port = sys.argv[2]
+
+from mirror_maze_tpu.parallel import initialize_multihost
+
+initialize_multihost(
+    coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid
+)
+
+import numpy as np
+from jax.sharding import Mesh
+
+from mirror_maze_tpu.config import (
+    CameraConfig, EngineConfig, MazeConfig, ScreenConfig, TracerConfig,
+)
+from mirror_maze_tpu.parallel.multiplayer import (
+    PARK, make_multiplayer_engine, update_avatars,
+)
+from mirror_maze_tpu.runtime.state import FrameInputs
+
+cfg = EngineConfig(
+    maze=MazeConfig(width=4, height=4),
+    camera=CameraConfig(spawn=(-5.0, 0.0, -15.0)),
+    tracer=TracerConfig(bounce_limit=2, mirror_limit=2),
+    screen=ScreenConfig(width=48, height=48, samples_per_pixel=2,
+                        chunks_per_frame=144),   # full repaint per frame
+    intersector="brute",
+)
+mesh = Mesh(np.array(jax.devices()), ("player",))
+assert mesh.size == 2
+
+dev, init_fn, step_fn = make_multiplayer_engine(cfg, mesh, me=pid)
+st = init_fn(seed=0)
+
+# Player 1 walks INTO player 0's view (spawn looks along +z); player 0
+# holds still. Both step in lockstep — the per-frame all_gather is a
+# true cross-process collective.
+for i in range(40):
+    inp = FrameInputs.make(w=(pid == 1)) if True else FrameInputs.idle()
+    if pid == 0:
+        inp = FrameInputs.idle()
+    st, frame = step_fn(st, inp)
+frame = np.asarray(frame)
+assert np.isfinite(frame.astype(np.float32)).all()
+
+if pid == 0:
+    # Player 0 must SEE player 1: re-render this exact state with the
+    # avatar parked and compare (same jitted step, scene as argument).
+    import jax.numpy as jnp
+    from mirror_maze_tpu.runtime.step import derive_traversal_bounds, make_step_fn
+
+    md, ml = derive_traversal_bounds(dev, cfg, None, None)
+    step_pure = jax.jit(make_step_fn(cfg, md, ml))
+    parked = update_avatars(dev, [dev.sph_center.shape[0] - 1],
+                            jnp.asarray([[PARK, PARK, PARK]], jnp.float32))
+    _, empty = step_pure(parked, st, FrameInputs.idle())
+    _, with_avatar_state_frame = None, None
+    diff = int((np.asarray(empty) != frame).sum())
+    # frame was produced WITH the avatar at player 1's position mid-walk;
+    # a fresh idle step from st without the avatar must differ.
+    print(f"mp {pid} sees_avatar_diff={diff}", flush=True)
+cam = np.asarray(st.cam_center)
+print(f"mp worker {pid} ok z={cam[2]:.4f}", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_player_multiplayer():
+    """The reference's planned multiplayer, realized: two jax.distributed
+    processes, each a player stepping its own engine; per-frame [P, 3]
+    position all_gather over DCN; the walking player renders as a sphere
+    avatar in the stationary player's view."""
+    port = 14200 + os.getpid() % 2000
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if not f.startswith("--xla_force_host_platform_device_count")
+    )
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", MP_WORKER, str(i), str(port)],
+            env=env, cwd="/root/repo",
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("multiplayer workers timed out:\n" + "\n".join(outs))
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"player {i} failed:\n{out[-3000:]}"
+        assert f"mp worker {i} ok" in out
+    # Player 1 walked (z advanced); player 0 stood still.
+    z0 = float(outs[0].split("ok z=")[1].split()[0])
+    z1 = float(outs[1].split("ok z=")[1].split()[0])
+    assert abs(z0 - (-15.0)) < 1e-4
+    assert z1 > -14.0
+    # Player 0's frame with the avatar differs from the avatar-free one.
+    diff = int(outs[0].split("sees_avatar_diff=")[1].split()[0])
+    assert diff > 0
