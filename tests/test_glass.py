@@ -75,6 +75,7 @@ def _sphere_wall_scene(ior=1.5, albedo=(0.9, 0.95, 1.0)):
 # ---------------------------------------------------------------- physics
 
 
+@pytest.mark.slow
 def test_straight_through_center_tints_twice():
     """A ray through a glass sphere's center refracts twice without
     bending: light = wall emission * albedo^2, on every backend."""

@@ -97,6 +97,7 @@ def test_state_checkpoint_roundtrip(tmp_path, tiny_cfg, tiny_device_scene):
         assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_tracer_segment_histogram(tiny_cfg, tiny_device_scene, rng):
     from mirror_maze_tpu.utils.profiling import tracer_segment_histogram
 

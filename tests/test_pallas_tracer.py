@@ -244,6 +244,7 @@ def test_negative_lighting_factor_rejected():
     TracerConfig(sky_strength=0.0, lighting_factor=-0.25)  # dead sky: fine
 
 
+@pytest.mark.slow
 def test_multibounce_statistical_agreement(rng):
     dev, table = _setup()
     cfg = TracerConfig(bounce_limit=3, mirror_limit=4)
@@ -334,6 +335,7 @@ def test_step_dispatches_to_pallas(tiny_cfg, tiny_device_scene):
     assert np.isfinite(fp).all()
 
 
+@pytest.mark.slow
 def test_large_scene_plane_tiling(rng):
     """Scenes beyond one plane tile (>128 planes) must trace identically:
     the tiled running-min merge is exercised against the jnp tracer on a

@@ -141,6 +141,7 @@ def test_graft_entry_dryrun_as_the_driver_invokes_it():
     assert "dryrun_multichip ok" in proc.stdout
 
 
+@pytest.mark.slow
 def test_sharded_renderer_pallas_backend():
     """The fused pallas kernel must compose with shard_map (per-shard
     pallas_call under a (cam, tile) mesh) — config 5 runs it on real
@@ -198,6 +199,7 @@ def _sharded_screen_to_spatial(screen_cm, cfg, n_tile):
     )
 
 
+@pytest.mark.slow
 def test_sharded_engine_matches_camera_and_blurs_seamless():
     """Tile-sharded interactive engine: camera trajectory must be
     bit-identical to the single-chip step (replicated math), output must
