@@ -9,6 +9,8 @@ The reference ships one binary whose only mode is the interactive window
                                                          (WASD + j/l yaw, q quits)
   python -m mirror_maze_tpu animate --out anim.gif       camera-path GIF
                                                          (spin/orbit/waypoints)
+  python -m mirror_maze_tpu serve   --port 8000          interactive session
+                                                         streamed to a browser
 
 All take --config {reference,v0,bvh,fuzzy,interactive,scale} and overrides.
 """
@@ -251,6 +253,30 @@ def cmd_play(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """HTTP serving (runtime/server.py): stream the interactive engine
+    to a browser and take WASD/pointer input back — the datacenter-TPU
+    analog of the reference's local window. Zero new deps."""
+    from .runtime.server import EngineServer
+
+    cfg, scene, dev = _build(args)
+    server = EngineServer(
+        dev, cfg, seed=args.seed or 0,
+        host=args.host, port=args.port,
+        batch_frames=args.batch_frames,
+        adaptive=not args.no_adaptive_batch,
+        sharded_bands=args.sharded_bands,
+        stream_every=args.stream_every,
+        stream_scale=args.stream_scale,
+        jpeg_quality=args.jpeg_quality,
+    )
+    print(f"serving {cfg.screen.width}x{cfg.screen.height} "
+          f"({scene.num_planes} planes) on "
+          f"http://{args.host}:{server.port}/  [ctrl-c stops]")
+    server.serve_forever()
+    return 0
+
+
 def _factor_mesh(batch: int, height: int):
     """(cam, tile) mesh factoring shared by multicam/animate --sharded:
     as many devices as divide the batch on 'cam', the rest on 'tile'
@@ -399,7 +425,7 @@ def main(argv=None) -> int:
     for name, fn in (("render", cmd_render), ("demo", cmd_demo),
                      ("play", cmd_play), ("multicam", cmd_multicam),
                      ("animate", cmd_animate),
-                     ("minimap", cmd_minimap)):
+                     ("minimap", cmd_minimap), ("serve", cmd_serve)):
         sp = sub.add_parser(name)
         sp.set_defaults(fn=fn)
         sp.add_argument("--config", default="reference")
@@ -508,6 +534,25 @@ def main(argv=None) -> int:
         sp.add_argument("--map-size", type=int, default=512,
                         dest="map_size",
                         help="minimap: output image side in pixels")
+        sp.add_argument("--host", default="127.0.0.1",
+                        help="serve: bind address (0.0.0.0 exposes the "
+                             "session on the network)")
+        sp.add_argument("--port", type=int, default=8000,
+                        help="serve: TCP port (0 = ephemeral)")
+        sp.add_argument("--stream-every", type=int, default=2,
+                        dest="stream_every",
+                        help="serve: encode every Nth engine frame into "
+                             "the HTTP stream (device->host fetch per "
+                             "encode)")
+        sp.add_argument("--stream-scale", type=int, default=1,
+                        dest="stream_scale",
+                        help="serve: stride-downsample frames ON DEVICE "
+                             "by this factor before fetching (remote "
+                             "tunnels want 2-4 at 1080p)")
+        sp.add_argument("--jpeg-quality", type=int, default=85,
+                        dest="jpeg_quality",
+                        help="serve: JPEG quality when PIL is available "
+                             "(else builtin PNG)")
         sp.add_argument("--gif-every", type=int, default=8,
                         dest="gif_every",
                         help="demo: sample every Nth frame into --gif")

@@ -1,0 +1,396 @@
+"""HTTP serving: the engine streamed to (and driven from) a browser.
+
+The reference app's only presentation surface is a local AppKit window on
+the machine that owns the GPU (`main.rs:767-939`). A TPU engine's chips
+live in a datacenter, so the production-serving analog is a network
+surface: ``EngineServer`` wraps the SAME donated jitted step (and the same
+batched/adaptive/sharded wiring) the terminal loop drives, and presents it
+over plain HTTP with zero new dependencies (stdlib ``http.server``):
+
+  GET  /        control page — live <img> stream, WASD key capture,
+                pointer-drag mouse-look (the browser stand-in for the
+                reference's KeyDown/KeyUp/MouseMoved pump)
+  GET  /stream  multipart/x-mixed-replace live frame stream
+  GET  /frame   one current frame (image/jpeg via PIL, else image/png)
+  GET  /stats   JSON: frame counter, fps, camera position/yaw, clients
+  POST /input   JSON {w,a,s,d: bool, dx: float} — key HOLD state plus an
+                accumulated mouse-x delta in reference pixels
+
+Input follows the reference's hold model (`main.rs:786-815`): a POST sets
+the held-key booleans it names and ADDS its ``dx``; every engine frame
+samples the current holds and drains the accumulated ``dx``, exactly like
+the terminal pump. The engine steps in ONE dedicated thread (JAX dispatch
+is single-threaded here by design); HTTP handler threads only touch
+encoded bytes and the input bus under locks.
+
+Frames cross device->host only when a client is connected, at
+``stream_every`` frame granularity and optionally stride-downsampled ON
+DEVICE (``stream_scale``) before the fetch — the same remote-tunnel
+economics as the terminal thumbnail (PERF.md rule 4).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from ..config import EngineConfig
+from ..render.scenebuf import DeviceScene
+from .loop import InteractiveLoop
+from .state import FrameInputs
+
+_PAGE = """<!doctype html>
+<html><head><title>mirror-maze-tpu</title><style>
+  body { background:#111; color:#ccc; font:14px monospace; margin:0;
+         display:flex; flex-direction:column; align-items:center }
+  img { image-rendering:pixelated; max-width:100vw; max-height:90vh }
+  #bar { padding:6px }
+</style></head><body>
+<img id="view" src="/stream" draggable="false">
+<div id="bar">WASD move &middot; drag to look &middot; [click view first]
+  <span id="stat"></span></div>
+<script>
+const held = {w:false, a:false, s:false, d:false};
+let dx = 0, dirty = false;
+function post() {
+  if (!dirty) return;
+  dirty = false;
+  const body = JSON.stringify({...held, dx});
+  dx = 0;
+  fetch('/input', {method:'POST', body}).catch(()=>{});
+}
+setInterval(post, 50);
+setInterval(async () => {
+  try {
+    const s = await (await fetch('/stats')).json();
+    document.getElementById('stat').textContent =
+      ` | frame ${s.frame} @ ${s.fps.toFixed(1)} fps ` +
+      `(${s.cam[0].toFixed(1)}, ${s.cam[2].toFixed(1)})`;
+  } catch (e) {}
+}, 1000);
+const keymap = {KeyW:'w', KeyA:'a', KeyS:'s', KeyD:'d'};
+addEventListener('keydown', e => {
+  const k = keymap[e.code];
+  if (k && !held[k]) { held[k] = true; dirty = true; }
+});
+addEventListener('keyup', e => {
+  const k = keymap[e.code];
+  if (k) { held[k] = false; dirty = true; }
+});
+let drag = false;
+const img = document.getElementById('view');
+img.addEventListener('pointerdown', e => {
+  drag = true; img.setPointerCapture(e.pointerId);
+});
+addEventListener('pointerup', () => { drag = false; });
+addEventListener('pointermove', e => {
+  if (drag) { dx += e.movementX; dirty = true; }
+});
+addEventListener('blur', () => {
+  for (const k in held) held[k] = false;
+  dirty = true;
+});
+</script></body></html>
+"""
+
+
+class InputBus:
+    """Thread-safe held-keys + accumulated mouse-dx, sampled per frame."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._held = {"w": False, "a": False, "s": False, "d": False}
+        self._dx = 0.0
+        self._seen = False  # any input since the last poll
+
+    def push(self, event: dict) -> None:
+        with self._lock:
+            for k in self._held:
+                if k in event:
+                    self._held[k] = bool(event[k])
+            self._dx += float(event.get("dx", 0.0))
+            self._seen = True
+
+    def poll(self) -> tuple[FrameInputs, bool]:
+        """(inputs, active): the frame's inputs; ``active`` mirrors the
+        terminal pump's _had_input (drives adaptive batching)."""
+        with self._lock:
+            held, dx, seen = dict(self._held), self._dx, self._seen
+            self._dx, self._seen = 0.0, False
+        active = seen or any(held.values()) or dx != 0.0
+        return FrameInputs.make(**held, mouse_dx=dx), active
+
+
+class FrameHub:
+    """Latest-frame buffer with a wakeup for streaming handlers.
+
+    Holds exactly ONE encoded frame: stream consumers that fall behind
+    skip to the newest (a live view must not buffer a backlog)."""
+
+    def __init__(self):
+        self._cond = threading.Condition()
+        self._seq = 0
+        self._buf: bytes | None = None
+        self._ctype = "image/png"
+        self.clients = 0
+
+    def publish(self, buf: bytes, ctype: str) -> None:
+        with self._cond:
+            self._seq += 1
+            self._buf, self._ctype = buf, ctype
+            self._cond.notify_all()
+
+    def wait_next(self, seen_seq: int, timeout: float = 1.0):
+        """Block until a frame newer than seen_seq exists (or timeout);
+        returns (seq, bytes, ctype) — bytes is None on timeout/no frame."""
+        with self._cond:
+            if self._seq <= seen_seq:
+                self._cond.wait(timeout)
+            if self._seq <= seen_seq or self._buf is None:
+                return seen_seq, None, self._ctype
+            return self._seq, self._buf, self._ctype
+
+
+class EngineServer:
+    """Serve an interactive engine session over HTTP.
+
+    Reuses InteractiveLoop's engine wiring — per-frame or scan-batched
+    launches, the adaptive input path, optional tile-sharded bands — and
+    replaces its stdin pump + terminal display with the network surface
+    above. ``port=0`` binds an ephemeral port (see ``.port``; tests).
+    """
+
+    def __init__(
+        self,
+        scene: DeviceScene,
+        cfg: EngineConfig,
+        seed: int = 0,
+        host: str = "127.0.0.1",
+        port: int = 8000,
+        batch_frames: int = 1,
+        adaptive: bool = True,
+        sharded_bands: int | None = None,
+        stream_every: int = 2,
+        stream_scale: int = 1,
+        jpeg_quality: int = 85,
+    ):
+        import jax
+
+        self.cfg = cfg
+        self.engine = InteractiveLoop(
+            scene, cfg, seed=seed, batch_frames=batch_frames,
+            adaptive=adaptive, sharded_bands=sharded_bands,
+        )
+        self.bus = InputBus()
+        self.hub = FrameHub()
+        self.stream_every = max(1, int(stream_every))
+        self.stream_scale = max(1, int(stream_scale))
+        self.jpeg_quality = int(jpeg_quality)
+        self._stop = threading.Event()
+        self._fps = 0.0
+        self._frames_stepped = 0
+        # Host-side camera snapshot, updated ONLY by the engine thread
+        # (stats() must not touch device state from HTTP threads: the
+        # step donates its state argument, so a reference grabbed
+        # mid-step can point at a freed buffer).
+        self._cam_snapshot = (
+            [float(c) for c in np.asarray(self.engine.state.cam_center)],
+            float(np.asarray(self.engine.state.half_theta)),
+        )
+
+        @functools.partial(jax.jit, static_argnums=1)
+        def _thumb(frame, step_px: int):
+            return frame[::step_px, ::step_px]
+
+        self._thumb = _thumb
+
+        hub, bus, me = self.hub, self.bus, self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):  # quiet access log
+                pass
+
+            def _send(self, code, ctype, body: bytes):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Cache-Control", "no-store")
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path in ("/", "/index.html"):
+                    self._send(200, "text/html", _PAGE.encode())
+                elif self.path == "/stats":
+                    self._send(200, "application/json",
+                               json.dumps(me.stats()).encode())
+                elif self.path == "/frame":
+                    seq, buf, ctype = hub.wait_next(0, timeout=5.0)
+                    if buf is None:
+                        self._send(503, "text/plain", b"no frame yet\n")
+                    else:
+                        self._send(200, ctype, buf)
+                elif self.path == "/stream":
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type",
+                        "multipart/x-mixed-replace; boundary=mmxframe",
+                    )
+                    self.send_header("Cache-Control", "no-store")
+                    self.end_headers()
+                    hub.clients += 1
+                    seen = 0
+                    try:
+                        while not me._stop.is_set():
+                            seen, buf, ctype = hub.wait_next(seen, 1.0)
+                            if buf is None:
+                                continue
+                            self.wfile.write(
+                                b"--mmxframe\r\n"
+                                + f"Content-Type: {ctype}\r\n"
+                                  f"Content-Length: {len(buf)}"
+                                  "\r\n\r\n".encode()
+                                + buf + b"\r\n"
+                            )
+                    except (BrokenPipeError, ConnectionResetError,
+                            TimeoutError):
+                        pass
+                    finally:
+                        hub.clients -= 1
+                else:
+                    self._send(404, "text/plain", b"not found\n")
+
+            def do_POST(self):
+                if self.path == "/input":
+                    n = int(self.headers.get("Content-Length", 0) or 0)
+                    try:
+                        event = json.loads(self.rfile.read(n) or b"{}")
+                    except ValueError:
+                        self._send(400, "text/plain", b"bad json\n")
+                        return
+                    if isinstance(event, dict):
+                        bus.push(event)
+                    self._send(200, "application/json", b"{}")
+                else:
+                    self._send(404, "text/plain", b"not found\n")
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.httpd.daemon_threads = True
+        self.port = self.httpd.server_address[1]
+        self._http_thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True
+        )
+        self._engine_thread = threading.Thread(
+            target=self._run_engine, daemon=True
+        )
+
+    # -- engine side ------------------------------------------------------
+
+    def _encode(self, frame) -> tuple[bytes, str]:
+        if self.stream_scale > 1:
+            frame = self._thumb(frame, self.stream_scale)
+        arr = np.asarray(frame)
+        from ..utils.imageio import jpeg_bytes, png_bytes
+
+        buf = jpeg_bytes(arr, quality=self.jpeg_quality)
+        if buf is not None:
+            return buf, "image/jpeg"
+        return png_bytes(arr, level=1), "image/png"
+
+    def _run_engine(self) -> None:
+        eng = self.engine
+        fps = self.cfg.screen.fps
+        spf = 1.0 / fps
+        active_until = 0
+        n = 0
+        encoded_at = -self.stream_every
+        snapped_at = 0
+        t0 = time.monotonic()
+        deadline = time.monotonic()
+        while not self._stop.is_set():
+            inp, active = self.bus.poll()
+            # Same adaptive policy as InteractiveLoop.run: per-frame
+            # stepping while input is hot (keys land next frame), scan
+            # batches when idle.
+            if eng.adaptive and active:
+                active_until = n + int(fps)
+            if (eng.adaptive and eng.step_one is not None
+                    and (active or n < active_until)):
+                eng.state, eng.frame = eng.step_one(eng.state, inp)
+                stepped = 1
+            else:
+                eng.state, eng.frame = eng.step(eng.state, inp)
+                stepped = eng.batch_frames
+            n += stepped
+            self._frames_stepped = n
+            self._fps = n / max(time.monotonic() - t0, 1e-6)
+            # Encode only when someone is (or could be) watching: the
+            # /frame endpoint needs one frame banked, so always keep the
+            # first; after that, fetch+encode only with clients attached.
+            if n >= encoded_at + self.stream_every and (
+                self.hub.clients > 0 or encoded_at < 0
+            ):
+                encoded_at = n
+                buf, ctype = self._encode(eng.frame)
+                self.hub.publish(buf, ctype)
+            # Camera snapshot for /stats — a tiny device fetch, so ride
+            # the encode cadence with clients attached and drop to ~1 Hz
+            # idle (each fetch is a full round trip on a remote tunnel).
+            snap_every = (
+                self.stream_every if self.hub.clients > 0
+                else max(int(fps), 1)
+            )
+            if n >= snapped_at + snap_every:
+                snapped_at = n
+                self._cam_snapshot = (
+                    [float(c) for c in np.asarray(eng.state.cam_center)],
+                    float(np.asarray(eng.state.half_theta)),
+                )
+            deadline += spf * stepped
+            delay = deadline - time.monotonic()
+            if delay > 0:
+                self._stop.wait(delay)
+            else:
+                deadline = time.monotonic()
+
+    # -- public surface ----------------------------------------------------
+
+    def stats(self) -> dict:
+        cam, half_theta = self._cam_snapshot
+        return {
+            "frame": int(self._frames_stepped),
+            "fps": float(self._fps),
+            "cam": cam,
+            "half_theta": half_theta,
+            "clients": int(self.hub.clients),
+            "width": self.cfg.screen.width,
+            "height": self.cfg.screen.height,
+        }
+
+    def start(self) -> None:
+        self._engine_thread.start()
+        self._http_thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self._engine_thread.join(timeout=10.0)
+
+    def serve_forever(self) -> None:
+        """start() and block until KeyboardInterrupt."""
+        self.start()
+        try:
+            while True:
+                time.sleep(0.5)
+        except KeyboardInterrupt:
+            pass
+        finally:
+            self.stop()

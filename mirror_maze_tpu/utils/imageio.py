@@ -16,9 +16,7 @@ import numpy as np
 
 def write_png(path: str, img: np.ndarray) -> None:
     """Write an [H, W, 3] uint8 (or float in [0,1]) array as PNG."""
-    img = np.asarray(img)
-    if img.dtype != np.uint8:
-        img = np.round(np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)
+    img = _to_u8(img)
     try:
         from PIL import Image
 
@@ -26,10 +24,24 @@ def write_png(path: str, img: np.ndarray) -> None:
         return
     except ImportError:
         pass
-    _write_png_builtin(path, img)
+    with open(path, "wb") as f:
+        f.write(png_bytes(img, level=6))
 
 
-def _write_png_builtin(path: str, img: np.ndarray) -> None:
+def _to_u8(img: np.ndarray) -> np.ndarray:
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        img = np.round(np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)
+    return np.ascontiguousarray(img)
+
+
+def png_bytes(img: np.ndarray, level: int = 1) -> bytes:
+    """Encode an [H, W, 3] frame as PNG bytes (builtin codec, no deps).
+
+    ``level`` is the zlib effort: the HTTP stream encoder uses 1 (encode
+    time beats size on a live stream); file writes use 6.
+    """
+    img = _to_u8(img)
     h, w, _ = img.shape
     raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
 
@@ -42,11 +54,28 @@ def _write_png_builtin(path: str, img: np.ndarray) -> None:
         )
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(chunk(b"IHDR", ihdr))
-        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
-        f.write(chunk(b"IEND", b""))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, level))
+        + chunk(b"IEND", b"")
+    )
+
+
+def jpeg_bytes(img: np.ndarray, quality: int = 85) -> bytes | None:
+    """Encode as JPEG via PIL (None when PIL is absent) — ~10x smaller
+    than PNG for path-traced frames, the right default for streaming."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
+
+    buf = io.BytesIO()
+    Image.fromarray(_to_u8(img), mode="RGB").save(
+        buf, format="JPEG", quality=quality
+    )
+    return buf.getvalue()
 
 
 def ansi_frame(img: np.ndarray, max_cols: int = 100) -> str:

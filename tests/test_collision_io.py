@@ -47,11 +47,12 @@ def test_png_roundtrip(tmp_path):
 
 
 def test_png_builtin_writer(tmp_path):
-    from mirror_maze_tpu.utils.imageio import _write_png_builtin, read_png
+    from mirror_maze_tpu.utils.imageio import png_bytes, read_png
 
     img = np.random.default_rng(0).integers(0, 255, (8, 5, 3), dtype=np.uint8)
     p = str(tmp_path / "b.png")
-    _write_png_builtin(p, img)
+    with open(p, "wb") as f:
+        f.write(png_bytes(img))
     assert np.array_equal(read_png(p)[..., :3], img)
 
 

@@ -1,0 +1,199 @@
+"""HTTP serving (runtime/server.py): endpoints, input, streaming.
+
+The server wraps the same jitted step as the terminal loop; these tests
+drive it end-to-end over real sockets on a tiny CPU config — page,
+stats, single-frame fetch, the multipart stream, and the input bus
+actually moving/turning the camera."""
+
+import json
+import socket
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from mirror_maze_tpu.runtime.server import EngineServer, FrameHub, InputBus
+
+
+def _get(port, path, timeout=10.0):
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}{path}", timeout=timeout
+    ) as r:
+        return r.status, r.headers.get("Content-Type", ""), r.read()
+
+
+def _post(port, path, obj, timeout=10.0):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(obj).encode(),
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status
+
+
+def _wait_stats(port, pred, timeout=30.0):
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < timeout:
+        _, _, body = _get(port, "/stats")
+        s = json.loads(body)
+        if pred(s):
+            return s
+        time.sleep(0.05)
+    raise AssertionError(f"stats predicate not met within {timeout}s: {s}")
+
+
+@pytest.fixture(scope="module")
+def server(tiny_cfg, tiny_device_scene):
+    # 30 fps pacing keeps the CPU engine thread honest but fast enough
+    # for the movement assertions below.
+    cfg = tiny_cfg.replace(screen=tiny_cfg.screen.__class__(
+        width=32, height=32, samples_per_pixel=2, chunks_per_frame=8,
+        fps=30,
+    ))
+    srv = EngineServer(
+        tiny_device_scene, cfg, seed=0, port=0, stream_every=1,
+    )
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def test_page_and_stats(server):
+    status, ctype, body = _get(server.port, "/")
+    assert status == 200 and "text/html" in ctype
+    assert b"/stream" in body and b"/input" in body
+    s = _wait_stats(server.port, lambda s: s["frame"] > 0)
+    assert s["width"] == 32 and s["height"] == 32
+    assert len(s["cam"]) == 3 and all(np.isfinite(s["cam"]))
+
+
+def test_single_frame_endpoint(server):
+    status, ctype, body = _get(server.port, "/frame")
+    assert status == 200
+    if ctype == "image/png":
+        assert body.startswith(b"\x89PNG\r\n\x1a\n")
+    else:
+        assert ctype == "image/jpeg" and body[:2] == b"\xff\xd8"
+    # Decodable and the right shape either way.
+    if ctype == "image/png":
+        img = read_png_bytes(body)
+    else:
+        import io
+
+        from PIL import Image
+
+        img = np.asarray(Image.open(io.BytesIO(body)))
+    assert img.shape[0] == 32 and img.shape[1] == 32
+
+
+def read_png_bytes(buf):
+    import io
+
+    try:
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(buf)))
+    except ImportError:
+        import tempfile
+
+        from mirror_maze_tpu.utils.imageio import read_png
+
+        with tempfile.NamedTemporaryFile(suffix=".png") as f:
+            f.write(buf)
+            f.flush()
+            return read_png(f.name)
+
+
+def test_input_moves_and_turns_camera(server):
+    s0 = _wait_stats(server.port, lambda s: s["frame"] > 0)
+    # Hold W (forward) — the engine must advance the camera along +z
+    # from the spawn corridor (reference hold model, main.rs:786-815).
+    assert _post(server.port, "/input", {"w": True}) == 200
+    s1 = _wait_stats(
+        server.port,
+        lambda s: abs(s["cam"][2] - s0["cam"][2]) > 0.5,
+    )
+    assert _post(server.port, "/input", {"w": False}) == 200
+    # Released: position settles (drain in-flight frames first).
+    s2 = _wait_stats(
+        server.port, lambda s: s["frame"] > s1["frame"] + 10
+    )
+    s3 = _wait_stats(
+        server.port, lambda s: s["frame"] > s2["frame"] + 10
+    )
+    assert abs(s3["cam"][2] - s2["cam"][2]) < 0.2
+    # Mouse delta turns: half_theta integrates -dx/512 (main.rs:922-925).
+    ht0 = s3["half_theta"]
+    assert _post(server.port, "/input", {"dx": 256.0}) == 200
+    s4 = _wait_stats(
+        server.port,
+        lambda s: abs(s["half_theta"] - ht0) > 0.1,
+    )
+    assert np.isfinite(s4["half_theta"])
+
+
+def test_stream_delivers_multipart_frames(server):
+    # Raw socket: urllib would block for the infinite body.
+    with socket.create_connection(("127.0.0.1", server.port), 10) as sk:
+        sk.settimeout(20.0)
+        sk.sendall(
+            b"GET /stream HTTP/1.1\r\nHost: t\r\n\r\n"
+        )
+        buf = b""
+        # Expect headers + at least two frame parts.
+        while buf.count(b"--mmxframe") < 3:
+            chunk = sk.recv(65536)
+            assert chunk, "stream closed early"
+            buf += chunk
+    head, _, rest = buf.partition(b"\r\n\r\n")
+    assert b"200" in head.split(b"\r\n")[0]
+    assert b"multipart/x-mixed-replace" in head
+    part = rest.split(b"--mmxframe")[1]
+    assert b"Content-Type: image/" in part
+    payload = part.partition(b"\r\n\r\n")[2]
+    assert payload.startswith(b"\x89PNG") or payload[:2] == b"\xff\xd8"
+
+
+def test_bad_requests(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server.port, "/nope")
+    assert e.value.code == 404
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/input",
+        data=b"not json", method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=10)
+    assert e.value.code == 400
+
+
+def test_input_bus_hold_and_drain():
+    bus = InputBus()
+    bus.push({"w": True, "dx": 3.0})
+    bus.push({"dx": 4.0})
+    inp, active = bus.poll()
+    assert active
+    assert bool(inp.keys[3]) and float(inp.mouse_dx) == 7.0
+    # dx drains; held keys persist (hold model).
+    inp2, active2 = bus.poll()
+    assert active2  # w still held
+    assert bool(inp2.keys[3]) and float(inp2.mouse_dx) == 0.0
+    bus.push({"w": False})
+    inp3, active3 = bus.poll()
+    assert not bool(inp3.keys[3])
+    inp4, active4 = bus.poll()
+    assert not active4
+
+
+def test_frame_hub_latest_wins():
+    hub = FrameHub()
+    hub.publish(b"a", "image/png")
+    hub.publish(b"b", "image/png")
+    seq, buf, _ = hub.wait_next(0, timeout=0.1)
+    assert buf == b"b" and seq == 2
+    # No newer frame: times out with None.
+    seq2, buf2, _ = hub.wait_next(seq, timeout=0.05)
+    assert buf2 is None and seq2 == seq
