@@ -54,6 +54,29 @@ def run_scripted(
     return st, frame
 
 
+class FramePacer:
+    """Frame-deadline gate shared by every interactive driver.
+
+    The reference gates on an NSDate deadline compare (`main.rs:775-776`).
+    This is the host twin: advance the deadline by frames*spf, sleep the
+    remainder, and RESET (not accumulate) when behind so a slow stretch
+    doesn't turn into a permanent sprint. ``sleep`` is injectable so the
+    HTTP server can pace with its stop-event's interruptible wait.
+    """
+
+    def __init__(self, fps: float):
+        self.spf = 1.0 / float(fps)
+        self.deadline = time.monotonic()
+
+    def wait(self, stepped: int, sleep=time.sleep) -> None:
+        self.deadline += self.spf * stepped
+        delay = self.deadline - time.monotonic()
+        if delay > 0:
+            sleep(delay)
+        else:
+            self.deadline = time.monotonic()
+
+
 def _lead_first_frame(k: int, inp: FrameInputs):
     """[k]-leading input pytree: frame 0 = the polled input, idle tail.
     Built IN-JIT (broadcast + where) — eager per-leaf stacking would pay
@@ -212,6 +235,22 @@ class InteractiveLoop:
             # touching self.state.
             self.step_one(init_state(cfg, seed), FrameInputs.idle())
         self._finish_init(jax)
+
+    def choose_step(self, n: int, active: bool):
+        """THE adaptive per-frame-vs-batch policy, shared by the terminal
+        loop and the HTTP server (runtime/server.py) so the two drivers
+        cannot drift: while input is active (and for ~1 s after — the hot
+        window), step PER-FRAME so keys land next frame; otherwise run the
+        scan batch for launch amortization. Returns (step_fn, stepped)."""
+        if self.adaptive and active:
+            self._active_until = n + int(self.cfg.screen.fps)
+        if (
+            self.adaptive
+            and self.step_one is not None
+            and (active or n < self._active_until)
+        ):
+            return self.step_one, 1
+        return self.step, self.batch_frames
 
     def _finish_init(self, jax):
         # Device-side thumbnail for the terminal display: fetching the
@@ -412,7 +451,7 @@ class InteractiveLoop:
         tty_in = sys.stdin is not None and sys.stdin.isatty()
         fd = sys.stdin.fileno() if tty_in else -1
         old = termios.tcgetattr(fd) if tty_in else None
-        spf = 1.0 / self.cfg.screen.fps
+        pacer = FramePacer(self.cfg.screen.fps)
         try:
             if tty_in:
                 # cbreak with TCSADRAIN, not tty.setcbreak's TCSAFLUSH:
@@ -432,25 +471,10 @@ class InteractiveLoop:
             n = 0
             shown = 0
             t_start = time.monotonic()
-            deadline = time.monotonic()
             while max_frames is None or n < max_frames:
                 inp = self._poll_keys()
-                # Adaptive batching: step per-frame while input is hot
-                # (keys land next frame, not next batch boundary),
-                # re-batch after ~1 s idle.
-                if self.adaptive and self._had_input:
-                    self._active_until = n + int(self.cfg.screen.fps)
-                single = (
-                    self.adaptive
-                    and self.step_one is not None
-                    and (self._had_input or n < self._active_until)
-                )
-                if single:
-                    self.state, self.frame = self.step_one(self.state, inp)
-                    stepped = 1
-                else:
-                    self.state, self.frame = self.step(self.state, inp)
-                    stepped = self.batch_frames
+                step_fn, stepped = self.choose_step(n, self._had_input)
+                self.state, self.frame = step_fn(self.state, inp)
                 if wd is not None:
                     self.state = wd.check(self.state, n=stepped)
                 n += stepped
@@ -476,12 +500,7 @@ class InteractiveLoop:
                     )
                     sys.stdout.write("\x1b[H\x1b[2J" + art + status + "\n")
                     sys.stdout.flush()
-                deadline += spf * stepped
-                delay = deadline - time.monotonic()
-                if delay > 0:
-                    time.sleep(delay)
-                else:
-                    deadline = time.monotonic()
+                pacer.wait(stepped)
         except KeyboardInterrupt:
             pass
         finally:

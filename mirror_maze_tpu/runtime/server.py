@@ -31,7 +31,6 @@ economics as the terminal thumbnail (PERF.md rule 4).
 
 from __future__ import annotations
 
-import functools
 import json
 import threading
 import time
@@ -130,14 +129,50 @@ class FrameHub:
     """Latest-frame buffer with a wakeup for streaming handlers.
 
     Holds exactly ONE encoded frame: stream consumers that fall behind
-    skip to the newest (a live view must not buffer a backlog)."""
+    skip to the newest (a live view must not buffer a backlog). The
+    client counter and the one-shot encode request are guarded by the
+    same condition lock — handler threads and the engine thread both
+    touch them (an unsynchronized lost update on ``clients`` could
+    under-count to 0 with a live stream attached and stall it)."""
 
     def __init__(self):
         self._cond = threading.Condition()
         self._seq = 0
         self._buf: bytes | None = None
         self._ctype = "image/png"
-        self.clients = 0
+        self._clients = 0
+        self._want_encode = False
+
+    @property
+    def clients(self) -> int:
+        with self._cond:
+            return self._clients
+
+    def attach(self) -> None:
+        with self._cond:
+            self._clients += 1
+
+    def detach(self) -> None:
+        with self._cond:
+            self._clients -= 1
+
+    def current_seq(self) -> int:
+        with self._cond:
+            return self._seq
+
+    def request_encode(self) -> None:
+        """One-shot ask for a fresh encode: the engine thread honors it on
+        its next frame even with zero stream clients attached (the /frame
+        endpoint's freshness hook — without it, a stream-less /frame
+        would serve the first-ever banked frame forever)."""
+        with self._cond:
+            self._want_encode = True
+            self._cond.notify_all()
+
+    def take_encode_request(self) -> bool:
+        with self._cond:
+            want, self._want_encode = self._want_encode, False
+            return want
 
     def publish(self, buf: bytes, ctype: str) -> None:
         with self._cond:
@@ -148,9 +183,12 @@ class FrameHub:
     def wait_next(self, seen_seq: int, timeout: float = 1.0):
         """Block until a frame newer than seen_seq exists (or timeout);
         returns (seq, bytes, ctype) — bytes is None on timeout/no frame."""
+        end = time.monotonic() + timeout
         with self._cond:
-            if self._seq <= seen_seq:
-                self._cond.wait(timeout)
+            while self._seq <= seen_seq:
+                remaining = end - time.monotonic()
+                if remaining <= 0 or not self._cond.wait(remaining):
+                    break
             if self._seq <= seen_seq or self._buf is None:
                 return seen_seq, None, self._ctype
             return self._seq, self._buf, self._ctype
@@ -179,8 +217,6 @@ class EngineServer:
         stream_scale: int = 1,
         jpeg_quality: int = 85,
     ):
-        import jax
-
         self.cfg = cfg
         self.engine = InteractiveLoop(
             scene, cfg, seed=seed, batch_frames=batch_frames,
@@ -194,6 +230,7 @@ class EngineServer:
         self._stop = threading.Event()
         self._fps = 0.0
         self._frames_stepped = 0
+        self._error: str | None = None
         # Host-side camera snapshot, updated ONLY by the engine thread
         # (stats() must not touch device state from HTTP threads: the
         # step donates its state argument, so a reference grabbed
@@ -203,11 +240,10 @@ class EngineServer:
             float(np.asarray(self.engine.state.half_theta)),
         )
 
-        @functools.partial(jax.jit, static_argnums=1)
-        def _thumb(frame, step_px: int):
-            return frame[::step_px, ::step_px]
-
-        self._thumb = _thumb
+        # The engine already jitted a device-side stride-sample helper
+        # (InteractiveLoop._finish_init); reuse it instead of building a
+        # duplicate with its own jit cache entry.
+        self._thumb = self.engine._thumb
 
         hub, bus, me = self.hub, self.bus, self
 
@@ -232,7 +268,17 @@ class EngineServer:
                     self._send(200, "application/json",
                                json.dumps(me.stats()).encode())
                 elif self.path == "/frame":
-                    seq, buf, ctype = hub.wait_next(0, timeout=5.0)
+                    # Ask the engine for a FRESH encode and wait for it:
+                    # without the request, a stream-less session would
+                    # serve its first banked frame forever (encoding is
+                    # otherwise gated on stream clients).
+                    cur = hub.current_seq()
+                    hub.request_encode()
+                    seq, buf, ctype = hub.wait_next(cur, timeout=5.0)
+                    if buf is None:
+                        # Engine stalled/stopped: fall back to whatever
+                        # frame is banked rather than erroring a viewer.
+                        seq, buf, ctype = hub.wait_next(0, timeout=0.0)
                     if buf is None:
                         self._send(503, "text/plain", b"no frame yet\n")
                     else:
@@ -245,7 +291,7 @@ class EngineServer:
                     )
                     self.send_header("Cache-Control", "no-store")
                     self.end_headers()
-                    hub.clients += 1
+                    hub.attach()
                     seen = 0
                     try:
                         while not me._stop.is_set():
@@ -263,12 +309,27 @@ class EngineServer:
                             TimeoutError):
                         pass
                     finally:
-                        hub.clients -= 1
+                        hub.detach()
                 else:
                     self._send(404, "text/plain", b"not found\n")
 
             def do_POST(self):
                 if self.path == "/input":
+                    # Same-origin check: browsers attach an Origin header
+                    # to fetch POSTs; reject ones whose authority doesn't
+                    # match the Host the client connected to. Blocks
+                    # CSRF/DNS-rebinding pages from driving the camera
+                    # (non-browser clients send no Origin and pass).
+                    origin = self.headers.get("Origin")
+                    if origin:
+                        from urllib.parse import urlsplit
+
+                        netloc = urlsplit(origin).netloc
+                        if netloc and netloc != self.headers.get("Host"):
+                            self._send(
+                                403, "text/plain", b"cross-origin\n"
+                            )
+                            return
                     n = int(self.headers.get("Content-Length", 0) or 0)
                     try:
                         event = json.loads(self.rfile.read(n) or b"{}")
@@ -305,37 +366,46 @@ class EngineServer:
         return png_bytes(arr, level=1), "image/png"
 
     def _run_engine(self) -> None:
+        # A dead engine thread must not look like a healthy server: log
+        # the traceback, record it for /stats, and stop the session so
+        # clients observe the failure instead of stale frames forever.
+        try:
+            self._engine_loop()
+        except Exception:  # noqa: BLE001 — terminal: report and stop
+            import sys
+            import traceback
+
+            self._error = traceback.format_exc()
+            sys.stderr.write(self._error)
+            self._stop.set()
+
+    def _engine_loop(self) -> None:
+        from .loop import FramePacer
+
         eng = self.engine
         fps = self.cfg.screen.fps
-        spf = 1.0 / fps
-        active_until = 0
         n = 0
         encoded_at = -self.stream_every
         snapped_at = 0
         t0 = time.monotonic()
-        deadline = time.monotonic()
+        pacer = FramePacer(fps)
         while not self._stop.is_set():
             inp, active = self.bus.poll()
-            # Same adaptive policy as InteractiveLoop.run: per-frame
-            # stepping while input is hot (keys land next frame), scan
-            # batches when idle.
-            if eng.adaptive and active:
-                active_until = n + int(fps)
-            if (eng.adaptive and eng.step_one is not None
-                    and (active or n < active_until)):
-                eng.state, eng.frame = eng.step_one(eng.state, inp)
-                stepped = 1
-            else:
-                eng.state, eng.frame = eng.step(eng.state, inp)
-                stepped = eng.batch_frames
+            # THE shared adaptive policy (InteractiveLoop.choose_step):
+            # per-frame stepping while input is hot, scan batches idle.
+            step_fn, stepped = eng.choose_step(n, active)
+            eng.state, eng.frame = step_fn(eng.state, inp)
             n += stepped
             self._frames_stepped = n
             self._fps = n / max(time.monotonic() - t0, 1e-6)
-            # Encode only when someone is (or could be) watching: the
-            # /frame endpoint needs one frame banked, so always keep the
-            # first; after that, fetch+encode only with clients attached.
-            if n >= encoded_at + self.stream_every and (
-                self.hub.clients > 0 or encoded_at < 0
+            # Encode when someone is (or could be) watching: the first
+            # frame is always banked for /frame; after that, fetch+encode
+            # with stream clients attached (at stream_every cadence) or
+            # immediately when a /frame request asked for a fresh one.
+            want = self.hub.take_encode_request()
+            if want or (
+                n >= encoded_at + self.stream_every
+                and (self.hub.clients > 0 or encoded_at < 0)
             ):
                 encoded_at = n
                 buf, ctype = self._encode(eng.frame)
@@ -353,12 +423,7 @@ class EngineServer:
                     [float(c) for c in np.asarray(eng.state.cam_center)],
                     float(np.asarray(eng.state.half_theta)),
                 )
-            deadline += spf * stepped
-            delay = deadline - time.monotonic()
-            if delay > 0:
-                self._stop.wait(delay)
-            else:
-                deadline = time.monotonic()
+            pacer.wait(stepped, sleep=self._stop.wait)
 
     # -- public surface ----------------------------------------------------
 
@@ -372,6 +437,7 @@ class EngineServer:
             "clients": int(self.hub.clients),
             "width": self.cfg.screen.width,
             "height": self.cfg.screen.height,
+            "error": self._error,
         }
 
     def start(self) -> None:

@@ -116,8 +116,10 @@ def render_minimap(
             continue  # zero-footprint (degenerate runs)
         # Floor/ceiling cover the world: skip their interior (kind 2
         # horizontals have BOTH edges horizontal -> area footprint).
-        exz = np.array([[v[i, 0], v[i, 2]], [u[i, 0], u[i, 2]]])
-        if np.all(np.abs(np.cross(exz[0], exz[1])) > 1e-9):
+        # Scalar z-component of the 2-D cross product (np.cross on 2-D
+        # inputs is deprecated in NumPy 2.0).
+        cross_z = v[i, 0] * u[i, 2] - v[i, 2] * u[i, 0]
+        if abs(cross_z) > 1e-9:
             continue
         if em[i, 3] > 0.0:
             color, thick = LIGHT, 3

@@ -170,6 +170,98 @@ def test_bad_requests(server):
     assert e.value.code == 400
 
 
+def test_frame_endpoint_is_fresh(server):
+    """/frame with NO stream client attached must serve a current frame,
+    not the first-ever banked one (advisor r3 medium): each request asks
+    the engine for a fresh encode via FrameHub.request_encode."""
+    _wait_stats(server.port, lambda s: s["frame"] > 0)
+    _, _, body1 = _get(server.port, "/frame")
+    # Turn the camera hard: the pixel queue resets and the view changes,
+    # so a FRESH frame cannot be byte-identical to the old one.
+    assert _post(server.port, "/input", {"dx": 512.0}) == 200
+    s = _wait_stats(server.port, lambda s: s["frame"] > 0)
+    _wait_stats(server.port, lambda t: t["frame"] > s["frame"] + 8)
+    _, _, body2 = _get(server.port, "/frame")
+    assert body2 != body1
+
+
+def test_input_rejects_cross_origin(server):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/input",
+        data=json.dumps({"w": True}).encode(),
+        headers={"Origin": "http://evil.example:8000"},
+        method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=10)
+    assert e.value.code == 403
+    # Same-origin posts (Origin matching Host) pass.
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/input",
+        data=json.dumps({"w": False}).encode(),
+        headers={"Origin": f"http://127.0.0.1:{server.port}"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=10) as r:
+        assert r.status == 200
+
+
+def _open_stream(port):
+    sk = socket.create_connection(("127.0.0.1", port), 10)
+    sk.settimeout(20.0)
+    sk.sendall(b"GET /stream HTTP/1.1\r\nHost: t\r\n\r\n")
+    return sk
+
+
+def _read_parts(sk, want, buf=b""):
+    while buf.count(b"--mmxframe") < want:
+        chunk = sk.recv(65536)
+        assert chunk, "stream closed early"
+        buf += chunk
+    return buf
+
+
+def test_stream_multiple_clients(server):
+    """Two concurrent stream clients both receive frames; one going slow
+    (not reading) or closing must not stall the other — handlers run in
+    their own threads and the hub only ever hands out the newest frame."""
+    a = _open_stream(server.port)
+    b = _open_stream(server.port)
+    try:
+        buf_a = _read_parts(a, 2)
+        buf_b = _read_parts(b, 2)
+        assert b"multipart/x-mixed-replace" in buf_a
+        assert b"multipart/x-mixed-replace" in buf_b
+        # b goes silent (stops reading) then drops; a keeps streaming.
+        b.close()
+        _read_parts(a, 5, buf_a)
+    finally:
+        a.close()
+    # The hub's client count settles back (detach under the lock) —
+    # closed sockets surface to their handler on the next write.
+    t0 = time.monotonic()
+    while server.hub.clients > 0 and time.monotonic() - t0 < 10:
+        time.sleep(0.05)
+    assert server.hub.clients == 0
+
+
+def test_frame_hub_clients_and_requests():
+    hub = FrameHub()
+    assert hub.clients == 0
+    hub.attach()
+    hub.attach()
+    assert hub.clients == 2
+    hub.detach()
+    assert hub.clients == 1
+    hub.detach()
+    assert hub.clients == 0
+    # One-shot encode request: set, taken once, then clear.
+    assert not hub.take_encode_request()
+    hub.request_encode()
+    assert hub.take_encode_request()
+    assert not hub.take_encode_request()
+
+
 def test_input_bus_hold_and_drain():
     bus = InputBus()
     bus.push({"w": True, "dx": 3.0})
