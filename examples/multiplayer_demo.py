@@ -1,16 +1,22 @@
-"""Two-player multiplayer demo (parallel/multiplayer.py).
+"""N-player multiplayer demo (parallel/multiplayer.py).
 
-Launches two `jax.distributed` processes — the TPU-native realization of
-the reference's planned-but-never-built multiplayer (its `Cargo.toml`
-ships an unused `local-ip-address` dependency) — in the LITERAL seed-0
-reference world. Player 1 walks down the spawn corridor; player 0
-stands at the reference spawn and watches player 1's sphere avatar
-recede, saving its view as a GIF.
+Launches ``--players`` `jax.distributed` processes — the TPU-native
+realization of the reference's planned-but-never-built multiplayer (its
+`Cargo.toml` ships an unused `local-ip-address` dependency) — in the
+LITERAL seed-0 reference world. Players 1..N-1 stroll down the spawn
+corridor (each with its own gait and a slight heading of its own);
+player 0 stands at the reference spawn and watches their colored sphere
+avatars, saving its view as a GIF.
 
-    python examples/multiplayer_demo.py [--out mp.gif] [--frames 96]
+    python examples/multiplayer_demo.py [--players 3] [--out mp.gif]
+                                        [--frames 96]
 
 Each player steps its own single-chip engine; the only wire traffic is
-one [2, 3] position all_gather per frame.
+one [P, 3] position all_gather per frame. For a hands-on session use
+the CLI instead: one terminal per player, e.g.
+
+    python -m mirror_maze_tpu play --players 2 --player-id 0 &
+    python -m mirror_maze_tpu play --players 2 --player-id 1
 """
 
 from __future__ import annotations
@@ -26,12 +32,13 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 pid = int(sys.argv[1]); port = sys.argv[2]
-out = sys.argv[3]; n_frames = int(sys.argv[4])
+out = sys.argv[3]; n_frames = int(sys.argv[4]); n_players = int(sys.argv[5])
 
 from mirror_maze_tpu.parallel import initialize_multihost
 
 initialize_multihost(
-    coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid
+    coordinator_address=f"localhost:{port}", num_processes=n_players,
+    process_id=pid,
 )
 
 import numpy as np
@@ -43,7 +50,7 @@ from mirror_maze_tpu.config import (
 from mirror_maze_tpu.parallel.multiplayer import make_multiplayer_engine
 from mirror_maze_tpu.runtime.state import FrameInputs
 
-spawn = (-5.0, 0.0, -45.0) if pid == 0 else (-5.0, 0.0, -38.0)
+spawn = (-5.0, 0.0, -45.0) if pid == 0 else (-5.0, 0.0, -45.0 + 7.0 * pid)
 cfg = EngineConfig(
     maze=MazeConfig(rng="reference"),
     camera=CameraConfig(spawn=spawn, look_dir=(0.1, 0.0, 1.0)),
@@ -58,8 +65,13 @@ dev, init_fn, step_fn = make_multiplayer_engine(cfg, mesh, me=pid,
 st = init_fn(seed=0)
 frames = []
 for i in range(n_frames):
-    # Player 1 strolls down the corridor; player 0 spectates.
-    inp = FrameInputs.make(w=(pid == 1 and i % 3 != 2))
+    # Players 1..N-1 stroll down the corridor, each with its own gait
+    # (phase-shifted pauses) and a tiny heading of its own so avatars
+    # separate laterally; player 0 spectates.
+    inp = FrameInputs.make(
+        w=(pid > 0 and (i + pid) % 3 != 2),
+        mouse_dx=(12.0 * (pid - 1.5) if pid > 0 and i < 4 else 0.0),
+    )
     st, frame = step_fn(st, inp)
     if pid == 0 and i % 4 == 3:
         frames.append(np.asarray(frame))
@@ -77,6 +89,7 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="multiplayer.gif")
     p.add_argument("--frames", type=int, default=96)
+    p.add_argument("--players", type=int, default=2)
     p.add_argument("--port", type=int, default=None)
     args = p.parse_args()
     port = args.port or 15200 + os.getpid() % 2000
@@ -91,10 +104,10 @@ def main() -> int:
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", WORKER, str(i), str(port),
-             args.out, str(args.frames)],
+             args.out, str(args.frames), str(args.players)],
             env=env, cwd=repo,
         )
-        for i in range(2)
+        for i in range(args.players)
     ]
     rc = 0
     for p_ in procs:

@@ -205,11 +205,52 @@ def cmd_minimap(args) -> int:
     return 0
 
 
+def _play_multiplayer(args) -> int:
+    """N-player session: this process is ONE player (`--player-id`) in a
+    jax.distributed cluster of `--players` processes; remote players
+    render as colored sphere avatars (parallel/multiplayer.py). Launch
+    one process per player, same --players/--coordinator, distinct
+    --player-id (see examples/multiplayer_demo.py for a one-machine
+    CPU launcher)."""
+    import jax
+    import numpy as np
+
+    from .parallel import initialize_multihost
+    from .parallel.multiplayer import make_multiplayer_engine
+    from .runtime.loop import InteractiveLoop
+
+    n = initialize_multihost(
+        coordinator_address=args.coordinator,
+        num_processes=args.players,
+        process_id=args.player_id,
+    )
+    if n != args.players:
+        raise SystemExit(
+            f"cluster came up with {n} processes, wanted {args.players}"
+        )
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices())[:args.players], ("player",))
+    cfg, scene, _dev = _build(args)
+    dev, init_fn, step_fn = make_multiplayer_engine(
+        cfg, mesh, me=args.player_id, scene=scene
+    )
+    print(f"player {args.player_id}/{args.players} up "
+          f"({dev.num_spheres} spheres incl. avatars); WASD move, "
+          f"j/l turn, q quits.")
+    loop = InteractiveLoop.from_engine(cfg, step_fn, init_fn(args.seed or 0))
+    display = None if args.display == "none" else args.display
+    loop.run(max_frames=args.frames, out_png=args.out, display=display)
+    return 0
+
+
 def cmd_play(args) -> int:
     import time
 
     from .runtime.loop import InteractiveLoop
 
+    if args.players > 1:
+        return _play_multiplayer(args)
     cfg, scene, dev = _build(args)
     print("WASD move, j/l turn, q quits. Frames render headless; "
           "final view saved on exit.")
@@ -502,6 +543,19 @@ def main(argv=None) -> int:
                              "real chips or the virtual CPU mesh via "
                              "JAX_PLATFORMS=cpu + XLA_FLAGS="
                              "--xla_force_host_platform_device_count)")
+        sp.add_argument("--players", type=int, default=1,
+                        help="play: total players in a multiplayer "
+                             "session (one OS process per player; run "
+                             "each with the same --players/--coordinator "
+                             "and a distinct --player-id; remote players "
+                             "appear as colored sphere avatars)")
+        sp.add_argument("--player-id", type=int, default=0,
+                        dest="player_id",
+                        help="play: this process's player index "
+                             "(0..players-1)")
+        sp.add_argument("--coordinator", default="localhost:12321",
+                        help="play: jax.distributed coordinator "
+                             "host:port (player 0's machine)")
         sp.add_argument("--anim", default="spin",
                         choices=("spin", "orbit", "waypoints"),
                         help="animate: camera path type")

@@ -14,14 +14,21 @@ centers are ARRAYS of the jitted step's scene argument, so moving them
 per frame recompiles nothing.
 
 Scope (a complete, tested capability — not a stub):
-- avatars ride the jnp sphere intersector (`render/intersect.py
-  sphere_ts`), so the engine must run `intersector="brute"` or
-  `"exact"` — the pallas kernel bakes sphere MXU operands at upload
-  (scenebuf.py) and would render avatars at their parked positions;
-  `make_multiplayer_engine` enforces this.
+- avatars run on EVERY backend, including the flagship pallas kernel:
+  the jnp intersectors read `sph_center`/`sph_c2r2` directly, and for
+  `intersector="pallas"` the step re-derives the kernel's sphere MXU
+  operand groups from those same arrays IN-JIT each frame
+  (scenebuf.make_sphere_refresh — upload-time packing alone would pin
+  avatars at their park positions), so moved centers reach the kernel
+  with no recompile and no host repack.
 - avatars do not collide (players pass through each other): the
   collision fold uses the leaf boxes captured at upload, which hold the
   avatars' far-outside park positions by construction.
+- CPU-test caveat (CLAUDE.md): the INTERPRETED pallas path deadlocks
+  under multi-process (jax.distributed) shard_map, so multi-process CPU
+  tests drive brute/exact; the pallas multiplayer path is exercised
+  single-process under interpret (tests/test_multiplayer.py) and is
+  unaffected on real chips (Mosaic, no callbacks).
 
 Driven end-to-end by the 2-process DCN test
 (tests/test_multihost.py::test_two_player_multiplayer) and the
@@ -50,13 +57,26 @@ except AttributeError:  # pragma: no cover
 # real geometry (and its collision leaf box never triggers).
 PARK = 1.0e6
 
-# Default per-player avatar albedos (cycled).
+# Named per-player avatar albedos; players beyond these get distinct
+# golden-angle hues (player_color).
 PLAYER_COLORS = (
     (0.9, 0.25, 0.2),
     (0.2, 0.55, 0.9),
     (0.3, 0.85, 0.35),
     (0.95, 0.8, 0.25),
 )
+
+
+def player_color(i: int, colors=PLAYER_COLORS) -> tuple:
+    """Player i's avatar albedo: the named palette first, then
+    golden-angle hues — every player count gets DISTINCT colors
+    (cycling a 4-entry palette gave players 0 and 4 the same avatar)."""
+    if i < len(colors):
+        return tuple(colors[i])
+    import colorsys
+
+    h = (i * 0.6180339887498949) % 1.0
+    return colorsys.hsv_to_rgb(h, 0.65, 0.9)
 
 
 def avatar_scene(scene, n_players: int, me: int, radius: float = 1.0,
@@ -69,7 +89,7 @@ def avatar_scene(scene, n_players: int, me: int, radius: float = 1.0,
     if a == 0:
         return scene, []
     centers = np.full((a, 3), PARK, np.float32)
-    col = np.array([colors[i % len(colors)] for i in others], np.float32)
+    col = np.array([player_color(i, colors) for i in others], np.float32)
     s = scene.num_spheres
 
     def cat(old, new):
@@ -112,8 +132,10 @@ def update_avatars(dev: DeviceScene, slots, centers: jnp.ndarray) -> DeviceScene
 def make_position_exchange(mesh: Mesh):
     """Jitted all_gather of every player's [3] position over the global
     ``("player",)`` mesh: exchange(global [P, 3] with my row local)
-    -> replicated [P, 3]. The per-frame wire traffic of the whole
-    multiplayer feature."""
+    -> the LOCAL DEVICE's replicated [P, 3] shard, as a device array —
+    it feeds straight into the jitted step with no host round trip
+    (np.asarray it for host consumers). The per-frame wire traffic of
+    the whole multiplayer feature."""
     gathered = jax.jit(
         shard_map(
             lambda c: jax.lax.all_gather(c[0], "player"),
@@ -122,7 +144,7 @@ def make_position_exchange(mesh: Mesh):
         )
     )
 
-    def exchange(my_center) -> np.ndarray:
+    def exchange(my_center) -> jnp.ndarray:
         mine = jnp.asarray(my_center, jnp.float32)[None]
         glob = jax.make_array_from_single_device_arrays(
             (mesh.size, 3),
@@ -130,7 +152,7 @@ def make_position_exchange(mesh: Mesh):
             [jax.device_put(mine, jax.local_devices()[0])],
         )
         out = gathered(glob)
-        return np.asarray(out.addressable_shards[0].data)
+        return out.addressable_shards[0].data
 
     return exchange
 
@@ -147,32 +169,44 @@ def make_multiplayer_engine(cfg: EngineConfig, mesh: Mesh, me: int,
     collective and one sphere-row update per frame.
     """
     from ..render import upload_scene
+    from ..render.scenebuf import make_sphere_refresh
     from ..runtime.state import init_state
     from ..runtime.step import derive_traversal_bounds, make_step_fn
     from ..scene import build_scene
 
-    if cfg.intersector == "pallas":
-        raise ValueError(
-            "multiplayer avatars need intersector='brute' or 'exact': the "
-            "pallas kernel bakes sphere MXU operands at upload, so moved "
-            "avatars would render at their parked positions"
-        )
     n_players = mesh.size
     host_scene = scene if scene is not None else build_scene(cfg.maze)
     host_scene, slots = avatar_scene(host_scene, n_players, me, radius)
     dev = upload_scene(host_scene)
     exchange = make_position_exchange(mesh)
     md, ml = derive_traversal_bounds(dev, cfg, None, None)
-    step_pure = make_step_fn(cfg, md, ml)
-    step_jit = jax.jit(step_pure, donate_argnums=(1,))
-    others = [i for i in range(n_players) if i != me]
+    base_step = make_step_fn(cfg, md, ml)
+    refresh = (
+        make_sphere_refresh(dev)
+        if cfg.intersector == "pallas" and slots else None
+    )
+    others = np.asarray(
+        [i for i in range(n_players) if i != me], np.int32
+    )
+
+    # ONE jitted program per frame: avatar-row surgery, the (pallas-
+    # only) in-jit sphere-operand repack, and the whole engine step.
+    # Eager per-frame update_avatars ops were 2 extra device dispatches
+    # per frame — pure round-trip latency over a remote tunnel.
+    def fused(scene_, positions, state, inputs):
+        if slots:
+            scene_ = update_avatars(scene_, slots, positions[others])
+        if refresh is not None:
+            scene_ = refresh(scene_)
+        return base_step(scene_, state, inputs)
+
+    step_jit = jax.jit(fused, donate_argnums=(2,))
 
     def init_fn(seed: int = 0):
         return init_state(cfg, seed)
 
     def step_fn(state, inputs):
-        positions = exchange(state.cam_center)       # [P, 3] replicated
-        dev2 = update_avatars(dev, slots, jnp.asarray(positions[others]))
-        return step_jit(dev2, state, inputs)
+        positions = exchange(state.cam_center)   # [P, 3] device-resident
+        return step_jit(dev, positions, state, inputs)
 
     return dev, init_fn, step_fn

@@ -338,10 +338,13 @@ def build_sphere_table(scene) -> np.ndarray:
     return t
 
 
-def _pack_sphere_group(t: np.ndarray, tile: int = PLANE_TILE,
-                       textured: bool = False):
-    """Pack the [S, 18] sphere table (build_sphere_table) into tiled
-    matmul operands
+def _sphere_group_ops(xp, t, tile: int, textured: bool):
+    """Sphere-group packing, parameterized over the array namespace so
+    the HOST packer (xp=numpy, upload time — eager device ops here paid
+    36-72 s of remote-tunnel compiles, see _pack_group) and the IN-JIT
+    twin (xp=jax.numpy, per-step — dynamic sphere centers) are one
+    implementation that cannot drift. Pack the [S, 18] sphere table
+    (build_sphere_table) into tiled matmul operands
     (W [T, 2*PT, 8], propsT [T, 32, PT], aabbs [T, 8]) — the mode-3
     analog of _pack_group. W row blocks per tile (quantity-major):
       0: b-part  = -D.c                 -> coeffs [0, 0      | -c, 0]
@@ -360,40 +363,40 @@ def _pack_sphere_group(t: np.ndarray, tile: int = PLANE_TILE,
     pt = min(_round_up(s, 8), tile)
     n_tiles = -(-_round_up(s, 8) // pt)
     s8 = n_tiles * pt
-    valid = np.arange(s8)[:, None] < s
-    t = np.pad(t, ((0, s8 - s), (0, 0)))
+    valid = np.arange(s8)[:, None] < s      # static (shape-derived)
+    t = xp.pad(t, ((0, s8 - s), (0, 0)))
 
     c = t[:, 0:3]
-    lo = np.where(valid, c - 1.0 / np.where(valid, t[:, 3:4], 1.0), BIG)
-    hi = np.where(valid, c + 1.0 / np.where(valid, t[:, 3:4], 1.0), -BIG)
+    lo = xp.where(valid, c - 1.0 / xp.where(valid, t[:, 3:4], 1.0), BIG)
+    hi = xp.where(valid, c + 1.0 / xp.where(valid, t[:, 3:4], 1.0), -BIG)
     lo = lo.reshape(n_tiles, pt, 3)
     hi = hi.reshape(n_tiles, pt, 3)
-    aabbs = np.concatenate(
+    aabbs = xp.concatenate(
         [lo.min(axis=1) - 1e-2, hi.max(axis=1) + 1e-2,
-         np.zeros((n_tiles, 2), np.float32)], axis=1
+         xp.zeros((n_tiles, 2), np.float32)], axis=1
     ).astype(np.float32)                                      # [T, 8]
 
-    z3 = np.zeros((s8, 3), np.float32)
-    z1 = np.zeros((s8, 1), np.float32)
-    c2r2 = np.where(valid, t[:, 4:5], BIG)
+    z3 = xp.zeros((s8, 3), np.float32)
+    z1 = xp.zeros((s8, 1), np.float32)
+    c2r2 = xp.where(valid, t[:, 4:5], BIG)
     quantities = [
-        np.concatenate([z3, z1, -c, z1], axis=1),             # b-part
-        np.concatenate([-2.0 * c, c2r2, z3, z1], axis=1),     # q-part
+        xp.concatenate([z3, z1, -c, z1], axis=1),             # b-part
+        xp.concatenate([-2.0 * c, c2r2, z3, z1], axis=1),     # q-part
     ]
-    q = np.stack([x.reshape(n_tiles, pt, 8) for x in quantities], axis=1)
+    q = xp.stack([x.reshape(n_tiles, pt, 8) for x in quantities], axis=1)
     w = q.reshape(n_tiles, 2 * pt, 8)
 
     vf = valid.astype(np.float32)
-    props = np.concatenate(
+    props = xp.concatenate(
         [
             c * vf,                # center (normal reconstruction)
             t[:, 5:8],             # albedo
             t[:, 8:11],            # emission (premultiplied)
             t[:, 11:12],           # is_mirror
             t[:, 3:4] * vf,        # inv_r
-            vf,                    # is_sphere flag
+            xp.asarray(vf),        # is_sphere flag
             t[:, 12:13] * vf,      # ior (0 = opaque; mode-5 group only)
-            np.zeros((s8, PROP_WIDTH - 13), np.float32),
+            xp.zeros((s8, PROP_WIDTH - 13), np.float32),
         ],
         axis=1,
     )                                                          # [S8, 16]
@@ -401,20 +404,42 @@ def _pack_sphere_group(t: np.ndarray, tile: int = PLANE_TILE,
         # Second block (textured scenes): texture params; the dual-
         # basis slots stay zero (UV checkers are undefined on spheres —
         # Scene validation rejects sph_tex_kind 1).
-        props2 = np.concatenate(
+        props2 = xp.concatenate(
             [
                 t[:, 13:14] * vf,                     # tex_kind
-                np.where(valid, t[:, 14:15], 1.0),   # tex_scale
+                xp.where(valid, t[:, 14:15], 1.0),   # tex_scale
                 t[:, 15:18],                          # tex_color2
-                np.zeros((s8, PROP_WIDTH - 5), np.float32),
+                xp.zeros((s8, PROP_WIDTH - 5), np.float32),
             ],
             axis=1,
         )
-        props = np.concatenate([props, props2], axis=1)       # [S8, 32]
+        props = xp.concatenate([props, props2], axis=1)       # [S8, 32]
+    # bf16 split via ml_dtypes: jnp.bfloat16 IS the ml_dtypes scalar
+    # type, so host and in-jit conversions are the identical rounding.
     hi_p = props.astype(ml_dtypes.bfloat16).astype(np.float32)
-    props = np.concatenate([hi_p, props - hi_p], axis=1)
+    props = xp.concatenate([hi_p, props - hi_p], axis=1)
     props_t = props.reshape(n_tiles, pt, props.shape[1]).transpose(0, 2, 1)
     return w, props_t, aabbs
+
+
+def _pack_sphere_group(t: np.ndarray, tile: int = PLANE_TILE,
+                       textured: bool = False):
+    """Host-NumPy sphere-group packer (upload time) — see
+    _sphere_group_ops for the layout contract."""
+    return _sphere_group_ops(np, np.asarray(t), tile, textured)
+
+
+def pack_sphere_group_jnp(t, tile: int = PLANE_TILE,
+                          textured: bool = False):
+    """In-jit twin of _pack_sphere_group over a TRACED [S, 18] sphere
+    table: bitwise-identical operands on equal input (same
+    _sphere_group_ops code path; tests/test_multiplayer.py pins it).
+    This is what makes sphere MXU operands DYNAMIC: deriving them from
+    scene ARGUMENTS inside the jitted step lets moved sphere centers
+    (multiplayer avatars, parallel/multiplayer.py) reach the pallas
+    kernel with no recompile and no host repack — upload-time packing
+    alone would bake the avatars' park positions."""
+    return _sphere_group_ops(jnp, jnp.asarray(t), tile, textured)
 
 
 def pack_intersection_tables(plane_table, tile_by_mode=None,

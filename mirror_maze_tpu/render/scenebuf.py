@@ -194,6 +194,97 @@ def upload_scene(
     )
 
 
+def sphere_table_device(dev: DeviceScene) -> jnp.ndarray:
+    """Assemble the [S, 18] sphere table (pallas_tracer
+    build_sphere_table layout) IN-JIT from the DeviceScene's sphere
+    arrays. Column-for-column identical to the host builder on a scene
+    whose device arrays came from upload_scene: inv_r and c2r2 are the
+    very constants upload derived (c2r2 f64-summed once on host), the
+    premultiplied emission is the same f32 product, and the tex columns
+    are DeviceScene.sph_tex verbatim (zeros/ones defaults when the
+    scene is untextured — unused by the untextured packer)."""
+    s = dev.num_spheres
+    em = dev.sph_emission
+    if dev.sph_tex is not None:
+        tex_cols = dev.sph_tex
+    else:
+        tex_cols = jnp.concatenate(
+            [jnp.zeros((s, 1), jnp.float32),
+             jnp.ones((s, 1), jnp.float32),
+             jnp.zeros((s, 3), jnp.float32)], axis=1
+        )
+    ior = (dev.sph_ior if dev.sph_ior is not None
+           else jnp.zeros((s,), jnp.float32))
+    return jnp.concatenate(
+        [
+            dev.sph_center,                                   # 0:3
+            dev.sph_inv_r[:, None],                           # 3
+            dev.sph_c2r2[:, None],                            # 4
+            dev.sph_color,                                    # 5:8
+            em[:, :3] * em[:, 3:4],                           # 8:11
+            dev.sph_is_mirror.astype(jnp.float32)[:, None],   # 11
+            ior[:, None],                                     # 12
+            tex_cols,                                         # 13:18
+        ],
+        axis=1,
+    )
+
+
+def make_sphere_refresh(dev: DeviceScene):
+    """Build refresh(scene) -> scene re-deriving the pallas kernel's
+    sphere MXU operand groups (mxu_tables modes 3/5) from the scene's
+    ``sph_*`` ARRAYS, in-jit (pallas_tracer.pack_sphere_group_jnp).
+
+    Composed in front of the jitted step, this makes sphere centers
+    fully DYNAMIC on the flagship pallas backend: update_avatars moves
+    ``sph_center``/``sph_c2r2`` and the kernel sees the moved spheres
+    on the same compiled program — without it, upload-time packing
+    pins every sphere where upload_scene saw it. The glass/opaque
+    partition and the textured flag are STATIC properties captured here
+    from the CONCRETE scene (they shape the packed operands); only the
+    sphere VALUES may change per frame. Returns None for sphere-free
+    scenes (nothing to refresh — and the traced step is unchanged).
+    """
+    from .pallas_tracer import pack_sphere_group_jnp
+
+    if dev.num_spheres == 0:
+        return None
+    ior = (np.asarray(dev.sph_ior) if dev.sph_ior is not None
+           else np.zeros(dev.num_spheres, np.float32))
+    idx_opaque = np.where(~(ior > 0.0))[0]
+    idx_glass = np.where(ior > 0.0)[0]
+    textured = dev.tex is not None
+
+    def refresh(d: DeviceScene) -> DeviceScene:
+        table = sphere_table_device(d)
+        groups = list(d.mxu_tables)
+        if idx_opaque.size:
+            groups[3] = pack_sphere_group_jnp(
+                table[idx_opaque], textured=textured
+            )
+        if idx_glass.size:
+            groups[5] = pack_sphere_group_jnp(
+                table[idx_glass], textured=textured
+            )
+        return d._replace(mxu_tables=tuple(groups))
+
+    # The repacked operands must slot into the uploaded structure: same
+    # shapes (S and the default tile are both static), else the jit
+    # would silently recompile per call. Checked once, eagerly, here.
+    check = jax.eval_shape(refresh, dev)
+    for mode in (3, 5):
+        got, want = check.mxu_tables[mode], dev.mxu_tables[mode]
+        if (got is None) != (want is None) or (
+            want is not None
+            and tuple(a.shape for a in got) != tuple(a.shape for a in want)
+        ):
+            raise ValueError(
+                f"sphere refresh shape mismatch for mode {mode}: "
+                f"{got} vs uploaded {want} (non-default tile_by_mode?)"
+            )
+    return refresh
+
+
 def _pack_tex(kind, scale, color2) -> np.ndarray:
     """[*, 5] texture rows: (kind, scale, color2 rgb)."""
     return np.concatenate(

@@ -236,6 +236,29 @@ class InteractiveLoop:
             self.step_one(init_state(cfg, seed), FrameInputs.idle())
         self._finish_init(jax)
 
+    @classmethod
+    def from_engine(cls, cfg: EngineConfig, step_fn, state) -> "InteractiveLoop":
+        """Wrap an EXTERNALLY built engine (e.g. the multiplayer step,
+        parallel/multiplayer.py make_multiplayer_engine) in the terminal
+        driver — input pump, display, pacing, watchdog — without
+        building (and compiling) the standard single-chip step.
+        ``step_fn(state, inputs) -> (state, frame)``; per-frame stepping
+        only (a multiplayer exchange must run every frame)."""
+        import jax
+
+        self = cls.__new__(cls)
+        self.cfg = cfg
+        self.batch_frames = 1
+        self.adaptive = False
+        self._active_until = 0
+        self._had_input = False
+        self.step = step_fn
+        self.step_one = None
+        self.state = state
+        self.frame = None
+        self._finish_init(jax)
+        return self
+
     def choose_step(self, n: int, active: bool):
         """THE adaptive per-frame-vs-batch policy, shared by the terminal
         loop and the HTTP server (runtime/server.py) so the two drivers

@@ -261,6 +261,157 @@ print(f"mp worker {pid} ok z={cam[2]:.4f}", flush=True)
 """
 
 
+MP3_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+pid = int(sys.argv[1]); port = sys.argv[2]
+
+from mirror_maze_tpu.parallel import initialize_multihost
+
+initialize_multihost(
+    coordinator_address=f"localhost:{port}", num_processes=3, process_id=pid
+)
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from mirror_maze_tpu.config import (
+    CameraConfig, EngineConfig, MazeConfig, ScreenConfig, TracerConfig,
+)
+from mirror_maze_tpu.parallel.multiplayer import (
+    PARK, make_multiplayer_engine, make_position_exchange, player_color,
+    update_avatars,
+)
+from mirror_maze_tpu.runtime.state import FrameInputs
+
+cfg = EngineConfig(
+    maze=MazeConfig(width=4, height=4),
+    camera=CameraConfig(spawn=(-5.0, 0.0, -15.0)),
+    tracer=TracerConfig(bounce_limit=2, mirror_limit=2),
+    screen=ScreenConfig(width=48, height=48, samples_per_pixel=2,
+                        chunks_per_frame=144),   # full repaint per frame
+    intersector="brute",
+)
+mesh = Mesh(np.array(jax.devices()), ("player",))
+assert mesh.size == 3
+
+dev, init_fn, step_fn = make_multiplayer_engine(cfg, mesh, me=pid)
+
+# Slot/color bookkeeping: my scene's LAST TWO spheres are the other two
+# players' avatars, carrying THEIR palette colors in ascending player
+# order on every process.
+others = [i for i in range(3) if i != pid]
+got = np.asarray(dev.sph_color)[-2:]
+want = np.array([player_color(i) for i in others], np.float32)
+assert np.allclose(got, want, atol=1e-6), (got, want)
+
+st = init_fn(seed=0)
+# Player 0 stands still; player 1 walks straight ahead; player 2 turns
+# ~20 deg then walks — three distinct positions, both movers inside
+# player 0's (90-deg) view cone.
+for i in range(40):
+    if pid == 1:
+        inp = FrameInputs.make(w=True)
+    elif pid == 2:
+        inp = FrameInputs.make(w=(i >= 10), mouse_dx=(90.0 if i < 2 else 0.0))
+    else:
+        inp = FrameInputs.idle()
+    st, frame = step_fn(st, inp)
+frame = np.asarray(frame)
+assert np.isfinite(frame.astype(np.float32)).all()
+cam = np.asarray(st.cam_center)
+
+# The exchange is a COLLECTIVE: every player calls it (a pid-0-only
+# call would hang the cluster), player 0 uses the rows.
+exchange = make_position_exchange(mesh)
+rows = np.asarray(exchange(st.cam_center))
+if pid == 0:
+    # The gathered rows ARE the other players' cameras (ordering check
+    # done by the harness against their printed positions).
+    print("rows " + " ".join(f"{v:.4f}" for v in rows.reshape(-1)), flush=True)
+    # Player 0 must see EACH avatar: parking one at a time must change
+    # the re-rendered frame (same jitted step, scene as argument).
+    from mirror_maze_tpu.runtime.step import derive_traversal_bounds, make_step_fn
+
+    md, ml = derive_traversal_bounds(dev, cfg, None, None)
+    step_pure = jax.jit(make_step_fn(cfg, md, ml))
+    a1, a2 = dev.sph_center.shape[0] - 2, dev.sph_center.shape[0] - 1
+    live = update_avatars(dev, [a1, a2], jnp.asarray(rows[1:3], jnp.float32))
+    park = jnp.asarray([[PARK, PARK, PARK]], jnp.float32)
+    _, f_live = step_pure(live, st, FrameInputs.idle())
+    _, f_no1 = step_pure(update_avatars(live, [a1], park), st, FrameInputs.idle())
+    _, f_no2 = step_pure(update_avatars(live, [a2], park), st, FrameInputs.idle())
+    d1 = int((np.asarray(f_no1) != np.asarray(f_live)).sum())
+    d2 = int((np.asarray(f_no2) != np.asarray(f_live)).sum())
+    print(f"mp3 sees d1={d1} d2={d2}", flush=True)
+
+# Final barrier (another collective): players 1/2 must not exit while
+# player 0 is still re-rendering, or its shutdown barrier times out.
+np.asarray(exchange(st.cam_center))
+print(f"mp3 worker {pid} ok cam={cam[0]:.4f},{cam[1]:.4f},{cam[2]:.4f}",
+      flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_three_player_multiplayer():
+    """N > 2 players: the all_gather ordering (gathered row i is player
+    i's camera), per-player avatar slot/color bookkeeping, and player 0
+    seeing BOTH moving avatars — each parked avatar changes the frame."""
+    port = 15300 + os.getpid() % 2000
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if not f.startswith("--xla_force_host_platform_device_count")
+    )
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", MP3_WORKER, str(i), str(port)],
+            env=env, cwd="/root/repo",
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(3)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("3-player workers timed out:\n" + "\n".join(outs))
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"player {i} failed:\n{out[-3000:]}"
+        assert f"mp3 worker {i} ok" in out
+    cams = [
+        [float(v) for v in o.split("ok cam=")[1].split()[0].split(",")]
+        for o in outs
+    ]
+    import math
+
+    # Distinct final positions: 1 walked straight, 2 turned then walked.
+    assert abs(cams[1][2] - (-15.0)) > 1.5
+    assert math.hypot(cams[2][0] - (-5.0), cams[2][2] - (-15.0)) > 1.5
+    assert math.hypot(cams[1][0] - cams[2][0], cams[1][2] - cams[2][2]) > 1.0
+    # all_gather ordering: player 0's gathered rows == each worker's cam.
+    rows = [float(v) for v in outs[0].split("rows ")[1].split()[:9]]
+    for i in range(3):
+        assert all(
+            abs(r - c) < 1e-4
+            for r, c in zip(rows[3 * i:3 * i + 3], cams[i])
+        ), (rows, cams)
+    # Player 0 sees both avatars (each parked one changes the frame).
+    d1 = int(outs[0].split("d1=")[1].split()[0])
+    d2 = int(outs[0].split("d2=")[1].split()[0])
+    assert d1 > 0 and d2 > 0, (d1, d2)
+
+
 @pytest.mark.slow
 def test_two_player_multiplayer():
     """The reference's planned multiplayer, realized: two jax.distributed

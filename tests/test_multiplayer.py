@@ -95,12 +95,103 @@ def test_avatar_becomes_visible_through_the_jitted_step():
     np.testing.assert_array_equal(parked, again)
 
 
-def test_multiplayer_engine_rejects_pallas():
-    from mirror_maze_tpu.parallel.shard import make_mesh
+@pytest.mark.parametrize("textured", [False, True])
+@pytest.mark.parametrize("s", [1, 3, 9])
+def test_pack_sphere_group_jnp_matches_host_bitwise(s, textured):
+    """The in-jit sphere-group packer must produce BITWISE the operands
+    the host packer built at upload — that identity is what lets the
+    refresh path slot into a compiled program without changing any
+    golden (shared _sphere_group_ops implementation)."""
+    import jax
 
-    with pytest.raises(ValueError, match="pallas"):
-        make_multiplayer_engine(_cfg(intersector="pallas"),
-                                make_mesh(1, 1), me=0)
+    from mirror_maze_tpu.render.pallas_tracer import (
+        SPHERE_WIDTH,
+        _pack_sphere_group,
+        pack_sphere_group_jnp,
+    )
+
+    rng = np.random.default_rng(s * 7 + textured)
+    t = rng.standard_normal((s, SPHERE_WIDTH)).astype(np.float32)
+    t[:, 3] = np.abs(t[:, 3]) + 0.5          # inv_r > 0
+    t[:, 13] = rng.integers(0, 3, s)          # tex kinds
+    host = _pack_sphere_group(t, textured=textured)
+    twin = jax.jit(
+        lambda x: pack_sphere_group_jnp(x, textured=textured)
+    )(jnp.asarray(t))
+    for h, j, name in zip(host, twin, ("W", "propsT", "aabbs")):
+        np.testing.assert_array_equal(
+            np.asarray(h), np.asarray(j), err_msg=name
+        )
+
+
+def test_sphere_refresh_is_identity_on_unmoved_scene():
+    """make_sphere_refresh on an untouched uploaded scene reproduces the
+    uploaded mxu_tables exactly (opaque AND glass groups)."""
+    import dataclasses as dc
+
+    import jax
+
+    from mirror_maze_tpu.render.scenebuf import make_sphere_refresh
+
+    s, slots = avatar_scene(build_scene(MazeConfig(width=4, height=4)),
+                            n_players=3, me=0)
+    # Make one avatar glass so the mode-5 group exists too.
+    ior = np.asarray(s.sph_ior).copy()
+    ior[slots[1]] = 1.5
+    s = dc.replace(s, sph_ior=ior)
+    dev = upload_scene(s)
+    refresh = make_sphere_refresh(dev)
+    out = jax.jit(refresh)(dev)
+    for mode in (3, 5):
+        assert dev.mxu_tables[mode] is not None
+        for h, j, name in zip(dev.mxu_tables[mode], out.mxu_tables[mode],
+                              ("W", "propsT", "aabbs")):
+            np.testing.assert_array_equal(
+                np.asarray(h), np.asarray(j), err_msg=f"mode{mode}:{name}"
+            )
+
+
+def test_avatar_becomes_visible_through_the_pallas_kernel():
+    """The flagship path: avatar centers flow through the in-jit sphere
+    repack into the pallas kernel (interpret on CPU) — moving the
+    avatar changes the frame on the SAME jitted step, parking restores
+    the avatar-free image bit-exactly."""
+    import jax
+
+    from mirror_maze_tpu.render.scenebuf import make_sphere_refresh
+
+    cfg = _cfg(intersector="pallas")
+    s, slots = avatar_scene(build_scene(cfg.maze), n_players=2, me=0)
+    dev = upload_scene(s)
+    refresh = make_sphere_refresh(dev)
+    base = make_step_fn(cfg, 32, 4)
+    step = jax.jit(lambda d, st, inp: base(refresh(d), st, inp))
+
+    def frame_with(centers):
+        dev2 = update_avatars(dev, slots, jnp.asarray(centers, jnp.float32))
+        st = init_state(cfg, seed=0)
+        st, f = step(dev2, st, FrameInputs.idle())
+        return np.asarray(f)
+
+    parked = frame_with([[PARK, PARK, PARK]])
+    visible = frame_with([[-5.0, 0.0, -10.0]])
+    assert not np.array_equal(parked, visible)
+    again = frame_with([[PARK, PARK, PARK]])
+    np.testing.assert_array_equal(parked, again)
+
+
+def test_multiplayer_engine_accepts_pallas():
+    """mesh of one player, flagship backend: the engine builds and runs
+    (refresh is skipped with no avatars — sphere-free scene)."""
+    import jax
+    from jax.sharding import Mesh
+
+    cfg = _cfg(intersector="pallas")
+    mesh = Mesh(np.array(jax.devices()[:1]), ("player",))
+    dev, init_fn, step_fn = make_multiplayer_engine(cfg, mesh, me=0)
+    st = init_fn(seed=0)
+    st, frame = step_fn(st, FrameInputs.make(w=True))
+    assert np.isfinite(np.asarray(frame, np.float32)).all()
 
 
 def test_single_player_engine_runs():
