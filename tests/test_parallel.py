@@ -205,6 +205,56 @@ def test_sharded_features_match_unsharded(feature):
 
 
 @pytest.mark.slow
+def test_watchdog_rolls_back_poisoned_sharded_state():
+    """A `play --sharded-bands` session gets the SAME rollback
+    protection as single-chip play: the watchdog's snapshot/copy cycle
+    must preserve the ShardedEngineState's shardings so the recovered
+    state feeds straight back into the shard_map step."""
+    from mirror_maze_tpu.parallel.shard import make_sharded_engine
+    from mirror_maze_tpu.runtime.state import FrameInputs
+    from mirror_maze_tpu.runtime.watchdog import Watchdog, state_is_finite
+
+    n_tile = 2
+    cfg = EngineConfig(
+        maze=MazeConfig(width=4, height=4),
+        camera=CameraConfig(spawn=(-5.0, 0.0, -15.0)),
+        tracer=TracerConfig(bounce_limit=2, mirror_limit=2),
+        screen=ScreenConfig(width=32, height=16 * n_tile,
+                            samples_per_pixel=2,
+                            chunks_per_frame=4 * n_tile),
+        intersector="brute",
+    )
+    mesh = make_mesh(1, n_tile)
+    dev = upload_scene(build_scene(cfg.maze))
+    init_fn, step_fn = make_sharded_engine(cfg, mesh)
+    st = init_fn(seed=0)
+    wd = Watchdog(interval=1)
+    for _ in range(3):
+        st, _ = step_fn(dev, st, FrameInputs.make(w=True))
+        st = wd.check(st)
+    assert wd.rollbacks == 0
+    good_center = np.asarray(st.cam_center)
+
+    bad = st._replace(cam_center=st.cam_center * np.float32("nan"))
+    assert not state_is_finite(bad)
+    recovered = wd.check(bad)
+    assert wd.rollbacks == 1
+    np.testing.assert_array_equal(
+        np.asarray(recovered.cam_center), good_center
+    )
+    # The recovered state's shardings must satisfy the shard_map step:
+    # the engine continues (and can roll back a second time).
+    recovered, frame = step_fn(dev, recovered, FrameInputs.idle())
+    assert state_is_finite(recovered)
+    assert np.isfinite(np.asarray(frame).astype(np.float32)).all()
+    bad2 = recovered._replace(quat=recovered.quat * np.float32("inf"))
+    recovered2 = wd.check(bad2)
+    assert wd.rollbacks == 2
+    assert state_is_finite(recovered2)
+    step_fn(dev, recovered2, FrameInputs.idle())
+
+
+@pytest.mark.slow
 def test_graft_entry_compiles_and_dryruns():
     import importlib
     import sys
