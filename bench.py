@@ -288,6 +288,18 @@ def main() -> None:
         "kernel_planes": int(dev_scene.plane_table.shape[0]),
     }
     print(json.dumps(result))
+    if compile_s > 120:
+        import sys
+
+        print(
+            f"note: compile_s {compile_s:.0f}s is the per-process "
+            "SERVER-side Mosaic kernel compile (PERF.md 'cold compile "
+            "root cause'; measured variance 2-18 min, and shipping a "
+            "serialized AOT executable does NOT bypass it — PERF.md "
+            "'AOT executable serialization'). Batch work into one "
+            "process; tools/warm_cache.py front-loads it.",
+            file=sys.stderr,
+        )
 
 
 def _validate(jax) -> None:

@@ -314,3 +314,29 @@ def test_interactive_ansi_display_smoke(tiny_cfg, tiny_device_scene):
     assert "\x1b[38;2;" in out             # 24-bit foreground color runs
     assert "▀" in out                 # half-block glyph
     assert "frame 8" in out or "frame 6" in out  # status line painted
+
+
+@pytest.mark.slow
+def test_interactive_loop_from_engine(tiny_cfg, tiny_device_scene):
+    """from_engine wraps an externally built step (the multiplayer
+    driver's path) in the terminal loop: per-frame stepping, pacing,
+    and the watchdog all run without building the standard engine."""
+    from mirror_maze_tpu.runtime.loop import InteractiveLoop
+    from mirror_maze_tpu.runtime.state import init_state
+    from mirror_maze_tpu.runtime.step import make_step
+
+    calls = []
+    base = make_step(tiny_device_scene, tiny_cfg)
+
+    def step_fn(state, inputs):
+        calls.append(1)
+        return base(state, inputs)
+
+    loop = InteractiveLoop.from_engine(
+        tiny_cfg, step_fn, init_state(tiny_cfg, seed=0)
+    )
+    assert loop.step_one is None and loop.batch_frames == 1
+    loop.run(max_frames=4, display=None)
+    assert len(calls) == 4
+    assert int(loop.state.frame) == 4
+    assert np.isfinite(np.asarray(loop.frame, np.float32)).all()
