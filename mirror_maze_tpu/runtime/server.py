@@ -387,7 +387,11 @@ class EngineServer:
         n = 0
         encoded_at = -self.stream_every
         snapped_at = 0
-        t0 = time.monotonic()
+        # Sliding-window fps: a cumulative n/(now-t0) average carries the
+        # multi-minute first-launch compile forever (stats read ~4 fps
+        # half an hour into a healthy 60 fps session); rate over the
+        # trailing ~1 s window instead.
+        win_n, win_t = 0, time.monotonic()
         pacer = FramePacer(fps)
         while not self._stop.is_set():
             inp, active = self.bus.poll()
@@ -397,7 +401,10 @@ class EngineServer:
             eng.state, eng.frame = step_fn(eng.state, inp)
             n += stepped
             self._frames_stepped = n
-            self._fps = n / max(time.monotonic() - t0, 1e-6)
+            now = time.monotonic()
+            if now - win_t >= 1.0:
+                self._fps = (n - win_n) / (now - win_t)
+                win_n, win_t = n, now
             # Encode when someone is (or could be) watching: the first
             # frame is always banked for /frame; after that, fetch+encode
             # with stream clients attached (at stream_every cadence) or
