@@ -20,8 +20,11 @@ Input follows the reference's hold model (`main.rs:786-815`): a POST sets
 the held-key booleans it names and ADDS its ``dx``; every engine frame
 samples the current holds and drains the accumulated ``dx``, exactly like
 the terminal pump. The engine steps in ONE dedicated thread (JAX dispatch
-is single-threaded here by design); HTTP handler threads only touch
-encoded bytes and the input bus under locks.
+is single-threaded here by design); a dedicated ENCODER thread pays the
+device->host fetch + encode so streaming overlaps stepping (the fetch is
+~250 ms at 1080p over the axon tunnel — inline it serialized with the
+step, PERF.md "serve surface"); HTTP handler threads only touch encoded
+bytes and the input bus under locks.
 
 Frames cross device->host only when a client is connected, at
 ``stream_every`` frame granularity and optionally stride-downsampled ON
@@ -351,6 +354,16 @@ class EngineServer:
         self._engine_thread = threading.Thread(
             target=self._run_engine, daemon=True
         )
+        # Encoder pipeline: the engine thread hands the newest DEVICE
+        # frame over; this thread pays the device->host fetch + encode.
+        # Overlapping the ~250 ms tunnel fetch with stepping nearly
+        # doubled streamed fps at 1080p (PERF.md "serve surface").
+        # Latest-wins: a slow encode drops to the newest frame.
+        self._enc_cond = threading.Condition()
+        self._enc_frame = None
+        self._encoder_thread = threading.Thread(
+            target=self._run_encoder, daemon=True
+        )
 
     # -- engine side ------------------------------------------------------
 
@@ -409,14 +422,18 @@ class EngineServer:
             # frame is always banked for /frame; after that, fetch+encode
             # with stream clients attached (at stream_every cadence) or
             # immediately when a /frame request asked for a fresh one.
+            # The engine thread only HANDS OVER the device frame — the
+            # encoder thread pays the fetch+encode, so stepping and the
+            # tunnel transfer overlap (see _run_encoder).
             want = self.hub.take_encode_request()
             if want or (
                 n >= encoded_at + self.stream_every
                 and (self.hub.clients > 0 or encoded_at < 0)
             ):
                 encoded_at = n
-                buf, ctype = self._encode(eng.frame)
-                self.hub.publish(buf, ctype)
+                with self._enc_cond:
+                    self._enc_frame = eng.frame
+                    self._enc_cond.notify()
             # Camera snapshot for /stats — a tiny device fetch, so ride
             # the encode cadence with clients attached and drop to ~1 Hz
             # idle (each fetch is a full round trip on a remote tunnel).
@@ -431,6 +448,28 @@ class EngineServer:
                     float(np.asarray(eng.state.half_theta)),
                 )
             pacer.wait(stepped, sleep=self._stop.wait)
+
+    def _run_encoder(self) -> None:
+        """Fetch + encode frames handed over by the engine thread, newest
+        first. Runs until stop; a failure here is as terminal as an
+        engine failure (clients would silently stop receiving frames)."""
+        try:
+            while not self._stop.is_set():
+                with self._enc_cond:
+                    while self._enc_frame is None:
+                        if self._stop.is_set():
+                            return
+                        self._enc_cond.wait(0.5)
+                    frame, self._enc_frame = self._enc_frame, None
+                buf, ctype = self._encode(frame)
+                self.hub.publish(buf, ctype)
+        except Exception:  # noqa: BLE001 — terminal: report and stop
+            import sys
+            import traceback
+
+            self._error = traceback.format_exc()
+            sys.stderr.write(self._error)
+            self._stop.set()
 
     # -- public surface ----------------------------------------------------
 
@@ -449,13 +488,17 @@ class EngineServer:
 
     def start(self) -> None:
         self._engine_thread.start()
+        self._encoder_thread.start()
         self._http_thread.start()
 
     def stop(self) -> None:
         self._stop.set()
+        with self._enc_cond:
+            self._enc_cond.notify_all()
         self.httpd.shutdown()
         self.httpd.server_close()
         self._engine_thread.join(timeout=10.0)
+        self._encoder_thread.join(timeout=10.0)
 
     def serve_forever(self) -> None:
         """start() and block until KeyboardInterrupt."""
