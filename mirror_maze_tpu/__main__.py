@@ -310,6 +310,8 @@ def cmd_serve(args) -> int:
         stream_every=args.stream_every,
         stream_scale=args.stream_scale,
         jpeg_quality=args.jpeg_quality,
+        host_scene=scene,
+        map_size=args.map_size,
     )
     print(f"serving {cfg.screen.width}x{cfg.screen.height} "
           f"({scene.num_planes} planes) on "
@@ -587,7 +589,8 @@ def main(argv=None) -> int:
                              "--gif-every over remote links)")
         sp.add_argument("--map-size", type=int, default=512,
                         dest="map_size",
-                        help="minimap: output image side in pixels")
+                        help="minimap: output image side in pixels "
+                             "(serve: side of the live /map overlay)")
         sp.add_argument("--host", default="127.0.0.1",
                         help="serve: bind address (0.0.0.0 exposes the "
                              "session on the network)")

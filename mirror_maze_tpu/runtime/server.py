@@ -9,9 +9,12 @@ over plain HTTP with zero new dependencies (stdlib ``http.server``):
 
   GET  /        control page — live <img> stream, WASD key capture,
                 pointer-drag mouse-look (the browser stand-in for the
-                reference's KeyDown/KeyUp/MouseMoved pump)
+                reference's KeyDown/KeyUp/MouseMoved pump), minimap
+                overlay (when the server has the host scene)
   GET  /stream  multipart/x-mixed-replace live frame stream
   GET  /frame   one current frame (image/jpeg via PIL, else image/png)
+  GET  /map     live top-down minimap PNG with the camera marker
+                (utils/minimap.py; host-side NumPy — no device work)
   GET  /stats   JSON: frame counter, fps, camera position/yaw, clients
   POST /input   JSON {w,a,s,d: bool, dx: float} — key HOLD state plus an
                 accumulated mouse-x delta in reference pixels
@@ -52,8 +55,11 @@ _PAGE = """<!doctype html>
          display:flex; flex-direction:column; align-items:center }
   img { image-rendering:pixelated; max-width:100vw; max-height:90vh }
   #bar { padding:6px }
+  #map { position:fixed; top:8px; right:8px; width:160px; height:160px;
+         opacity:0.85; border:1px solid #333; display:none }
 </style></head><body>
 <img id="view" src="/stream" draggable="false">
+<img id="map" draggable="false">
 <div id="bar">WASD move &middot; drag to look &middot; [click view first]
   <span id="stat"></span></div>
 <script>
@@ -75,6 +81,15 @@ setInterval(async () => {
       `(${s.cam[0].toFixed(1)}, ${s.cam[2].toFixed(1)})`;
   } catch (e) {}
 }, 1000);
+const map = document.getElementById('map');
+let mapOk = true;
+setInterval(() => {
+  if (!mapOk) return;
+  const probe = new Image();
+  probe.onload = () => { map.src = probe.src; map.style.display = 'block'; };
+  probe.onerror = () => { mapOk = false; };
+  probe.src = '/map?t=' + Date.now();
+}, 2000);
 const keymap = {KeyW:'w', KeyA:'a', KeyS:'s', KeyD:'d'};
 addEventListener('keydown', e => {
   const k = keymap[e.code];
@@ -219,8 +234,16 @@ class EngineServer:
         stream_every: int = 2,
         stream_scale: int = 1,
         jpeg_quality: int = 85,
+        host_scene=None,
+        map_size: int = 320,
     ):
+        """``host_scene`` (the builder's Scene, optional) enables the
+        live ``/map`` endpoint + page overlay — the DeviceScene carries
+        derived intersection constants, not the raw quad geometry the
+        minimap rasterizer draws."""
         self.cfg = cfg
+        self.host_scene = host_scene
+        self.map_size = int(map_size)
         self.engine = InteractiveLoop(
             scene, cfg, seed=seed, batch_frames=batch_frames,
             adaptive=adaptive, sharded_bands=sharded_bands,
@@ -241,6 +264,7 @@ class EngineServer:
         self._cam_snapshot = (
             [float(c) for c in np.asarray(self.engine.state.cam_center)],
             float(np.asarray(self.engine.state.half_theta)),
+            [float(q) for q in np.asarray(self.engine.state.quat)],
         )
 
         # The engine already jitted a device-side stride-sample helper
@@ -270,6 +294,13 @@ class EngineServer:
                 elif self.path == "/stats":
                     self._send(200, "application/json",
                                json.dumps(me.stats()).encode())
+                elif self.path.split("?")[0] == "/map":
+                    buf = me.render_map()
+                    if buf is None:
+                        self._send(404, "text/plain",
+                                   b"no host scene for map\n")
+                    else:
+                        self._send(200, "image/png", buf)
                 elif self.path == "/frame":
                     # Ask the engine for a FRESH encode and wait for it:
                     # without the request, a stream-less session would
@@ -446,6 +477,7 @@ class EngineServer:
                 self._cam_snapshot = (
                     [float(c) for c in np.asarray(eng.state.cam_center)],
                     float(np.asarray(eng.state.half_theta)),
+                    [float(q) for q in np.asarray(eng.state.quat)],
                 )
             pacer.wait(stepped, sleep=self._stop.wait)
 
@@ -473,8 +505,32 @@ class EngineServer:
 
     # -- public surface ----------------------------------------------------
 
+    def render_map(self) -> bytes | None:
+        """Live top-down minimap PNG with the camera marker, from the
+        LATEST host-side camera snapshot — pure NumPy rasterization
+        (utils/minimap.py), no device work from HTTP threads. Cached by
+        snapshot, so idle sessions re-serve the same bytes."""
+        if self.host_scene is None:
+            return None
+        cam, _half, quat = self._cam_snapshot
+        key = (tuple(cam), tuple(quat))
+        cached = getattr(self, "_map_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        from ..utils.imageio import png_bytes
+        from ..utils.minimap import render_minimap
+
+        img = render_minimap(
+            self.host_scene, size=self.map_size,
+            camera_center=np.asarray(cam, np.float32),
+            camera_quat=np.asarray(quat, np.float32),
+        )
+        buf = png_bytes(img, level=1)
+        self._map_cache = (key, buf)
+        return buf
+
     def stats(self) -> dict:
-        cam, half_theta = self._cam_snapshot
+        cam, half_theta, _quat = self._cam_snapshot
         return {
             "frame": int(self._frames_stepped),
             "fps": float(self._fps),

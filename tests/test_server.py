@@ -46,7 +46,7 @@ def _wait_stats(port, pred, timeout=30.0):
 
 
 @pytest.fixture(scope="module")
-def server(tiny_cfg, tiny_device_scene):
+def server(tiny_cfg, tiny_scene, tiny_device_scene):
     # 30 fps pacing keeps the CPU engine thread honest but fast enough
     # for the movement assertions below.
     cfg = tiny_cfg.replace(screen=tiny_cfg.screen.__class__(
@@ -55,6 +55,7 @@ def server(tiny_cfg, tiny_device_scene):
     ))
     srv = EngineServer(
         tiny_device_scene, cfg, seed=0, port=0, stream_every=1,
+        host_scene=tiny_scene, map_size=96,
     )
     srv.start()
     yield srv
@@ -260,6 +261,30 @@ def test_frame_hub_clients_and_requests():
     hub.request_encode()
     assert hub.take_encode_request()
     assert not hub.take_encode_request()
+
+
+def test_live_map_endpoint(server):
+    """/map serves a top-down minimap PNG with the live camera marker;
+    without a host scene it 404s (the DeviceScene lacks raw geometry)."""
+    status, ctype, body = _get(server.port, "/map")
+    assert status == 200 and ctype == "image/png"
+    img = read_png_bytes(body)
+    assert img.shape == (96, 96, 3)
+    # The camera marker is drawn (CAMERA red dominates its pixel).
+    assert (img[..., 0].astype(int) - img[..., 2].astype(int) > 100).any()
+    # The page embeds the overlay.
+    _, _, page = _get(server.port, "/")
+    assert b'id="map"' in page and b"/map?t=" in page
+    # No host scene -> 404 (cheaper than building a second server:
+    # clear the scene on the live one and restore).
+    saved = server.host_scene
+    server.host_scene = None
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(server.port, "/map")
+        assert e.value.code == 404
+    finally:
+        server.host_scene = saved
 
 
 def test_input_bus_hold_and_drain():
