@@ -338,6 +338,27 @@ def build_sphere_table(scene) -> np.ndarray:
     return t
 
 
+def _bf16_round_trip(xp, x):
+    """bf16(x) as float32 — round-to-nearest-even, host and IN-JIT.
+
+    The host path is ml_dtypes (what the plane packer uses). The traced
+    path MUST NOT be ``astype(bf16).astype(f32)``: on TPU, XLA folds
+    that up-down convert chain to the identity (measured on silicon,
+    round 4 — refreshed props arrived un-split, hi = x and residual 0,
+    silently discarding the split-precision select's whole point), so
+    the rounding is spelled in integer bit ops the compiler cannot
+    elide: u + 0x7FFF + (u >> 16 & 1), truncate — classic RNE to the
+    top 16 bits, bitwise-equal to ml_dtypes for all finite values
+    (pinned by tests on CPU and by the silicon refresh check)."""
+    if xp is np:
+        return x.astype(ml_dtypes.bfloat16).astype(np.float32)
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    rounded = (
+        u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))
+    ) & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(rounded, jnp.float32)
+
+
 def _sphere_group_ops(xp, t, tile: int, textured: bool):
     """Sphere-group packing, parameterized over the array namespace so
     the HOST packer (xp=numpy, upload time — eager device ops here paid
@@ -414,9 +435,7 @@ def _sphere_group_ops(xp, t, tile: int, textured: bool):
             axis=1,
         )
         props = xp.concatenate([props, props2], axis=1)       # [S8, 32]
-    # bf16 split via ml_dtypes: jnp.bfloat16 IS the ml_dtypes scalar
-    # type, so host and in-jit conversions are the identical rounding.
-    hi_p = props.astype(ml_dtypes.bfloat16).astype(np.float32)
+    hi_p = _bf16_round_trip(xp, props)
     props = xp.concatenate([hi_p, props - hi_p], axis=1)
     props_t = props.reshape(n_tiles, pt, props.shape[1]).transpose(0, 2, 1)
     return w, props_t, aabbs

@@ -95,6 +95,37 @@ def test_avatar_becomes_visible_through_the_jitted_step():
     np.testing.assert_array_equal(parked, again)
 
 
+def test_bf16_round_trip_matches_ml_dtypes_bitwise():
+    """The traced bf16 rounding is integer bit ops (XLA folds a plain
+    astype up-down chain to the IDENTITY on TPU — measured, round 4);
+    it must equal ml_dtypes RNE bitwise on every finite input class."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from mirror_maze_tpu.render.pallas_tracer import _bf16_round_trip
+
+    r = np.random.default_rng(0)
+    with np.errstate(over="ignore"):  # the 1e38 class is MEANT to test
+        x = np.concatenate([       # rounding at the overflow boundary
+            r.standard_normal(1 << 16).astype(np.float32),
+            (r.standard_normal(4096) * 1e-40).astype(np.float32),
+            (r.standard_normal(4096) * 1e38).astype(np.float32),
+            # Exact ties around the 16-bit cut.
+            np.float32(1.0)
+            + np.arange(256, dtype=np.float32) * np.float32(2 ** -8),
+            np.array([0.0, -0.0, 1e6, -1e6, 0.2, 0.3, 2.0 / 3],
+                     np.float32),
+        ])
+    with np.errstate(over="ignore"):  # 1e38 class overflows to inf
+        host = _bf16_round_trip(np, x)
+        np.testing.assert_array_equal(
+            host, x.astype(ml_dtypes.bfloat16).astype(np.float32)
+        )
+    dev = np.asarray(jax.jit(lambda v: _bf16_round_trip(jnp, v))(x))
+    np.testing.assert_array_equal(host, dev)
+
+
 @pytest.mark.parametrize("textured", [False, True])
 @pytest.mark.parametrize("s", [1, 3, 9])
 def test_pack_sphere_group_jnp_matches_host_bitwise(s, textured):
