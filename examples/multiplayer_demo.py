@@ -50,7 +50,10 @@ from mirror_maze_tpu.config import (
 from mirror_maze_tpu.parallel.multiplayer import make_multiplayer_engine
 from mirror_maze_tpu.runtime.state import FrameInputs
 
-spawn = (-5.0, 0.0, -45.0) if pid == 0 else (-5.0, 0.0, -45.0 + 7.0 * pid)
+# Walkers start staggered down the corridor AND offset laterally so the
+# nearer avatar does not occlude the farther one from the spectator.
+spawn = ((-5.0, 0.0, -45.0) if pid == 0
+         else (-5.0 + 1.8 * (pid - 1.5), 0.0, -45.0 + 5.0 * pid))
 cfg = EngineConfig(
     maze=MazeConfig(rng="reference"),
     camera=CameraConfig(spawn=spawn, look_dir=(0.1, 0.0, 1.0)),

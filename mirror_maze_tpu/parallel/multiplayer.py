@@ -80,16 +80,22 @@ def player_color(i: int, colors=PLAYER_COLORS) -> tuple:
 
 
 def avatar_scene(scene, n_players: int, me: int, radius: float = 1.0,
-                 colors=PLAYER_COLORS):
+                 colors=PLAYER_COLORS, glow: float = 0.0):
     """Append n_players - 1 avatar spheres (every player but ``me``) to a
     host Scene, parked at PARK. Avatar i keeps player i's color on every
-    process, so "the red player" is red in everyone's view."""
+    process, so "the red player" is red in everyone's view. ``glow`` > 0
+    makes avatars softly EMISSIVE in their own color (emission strength
+    = glow) so players stay visible in the maze's dark corridors —
+    0 (default) keeps them passive diffuse spheres."""
     others = [i for i in range(n_players) if i != me]
     a = len(others)
     if a == 0:
         return scene, []
     centers = np.full((a, 3), PARK, np.float32)
     col = np.array([player_color(i, colors) for i in others], np.float32)
+    emission = np.concatenate(
+        [col, np.full((a, 1), float(glow), np.float32)], axis=1
+    )
     s = scene.num_spheres
 
     def cat(old, new):
@@ -101,7 +107,7 @@ def avatar_scene(scene, n_players: int, me: int, radius: float = 1.0,
         sph_radius=cat(scene.sph_radius, np.full(a, radius, np.float32)),
         sph_color=cat(scene.sph_color, col),
         sph_is_mirror=cat(scene.sph_is_mirror, np.zeros(a, bool)),
-        sph_emission=cat(scene.sph_emission, np.zeros((a, 4), np.float32)),
+        sph_emission=cat(scene.sph_emission, emission),
         sph_ior=cat(scene.sph_ior, np.zeros(a, np.float32)),
         sph_tex_kind=cat(scene.sph_tex_kind, np.zeros(a, np.uint8)),
         sph_tex_scale=cat(scene.sph_tex_scale, np.ones(a, np.float32)),
@@ -158,7 +164,8 @@ def make_position_exchange(mesh: Mesh):
 
 
 def make_multiplayer_engine(cfg: EngineConfig, mesh: Mesh, me: int,
-                            scene=None, radius: float = 1.0):
+                            scene=None, radius: float = 1.0,
+                            glow: float = 0.25):
     """Build (dev_scene, init_fn, step_fn) for one player process.
 
     step_fn(state, inputs) -> (state, frame): exchanges positions over
@@ -166,7 +173,9 @@ def make_multiplayer_engine(cfg: EngineConfig, mesh: Mesh, me: int,
     single-chip step with the updated scene as an ARGUMENT. Camera
     semantics, progressive refresh, and the present pipeline are the
     single-chip engine's, untouched — multiplayer adds one [P, 3]
-    collective and one sphere-row update per frame.
+    collective and one sphere-row update per frame. ``glow`` gives
+    avatars a soft self-emission in their own color (avatar_scene) so
+    players read in dark corridors; 0 for passive spheres.
     """
     from ..render import upload_scene
     from ..render.scenebuf import make_sphere_refresh
@@ -176,7 +185,8 @@ def make_multiplayer_engine(cfg: EngineConfig, mesh: Mesh, me: int,
 
     n_players = mesh.size
     host_scene = scene if scene is not None else build_scene(cfg.maze)
-    host_scene, slots = avatar_scene(host_scene, n_players, me, radius)
+    host_scene, slots = avatar_scene(host_scene, n_players, me, radius,
+                                     glow=glow)
     dev = upload_scene(host_scene)
     exchange = make_position_exchange(mesh)
     md, ml = derive_traversal_bounds(dev, cfg, None, None)
