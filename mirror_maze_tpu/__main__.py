@@ -622,7 +622,32 @@ def main(argv=None) -> int:
             "multicam": "multicam.png", "animate": "anim.gif",
             "minimap": "minimap.png"}.get(name))
     args = p.parse_args(argv)
-    return args.fn(args)
+    # Long-wait heartbeat: first TPU work in a fresh process can sit
+    # minutes in the SERVER-side kernel compile (PERF.md "cold compile
+    # root cause"), which looks exactly like a hang. Say so, a few
+    # times, instead of letting the user kill a healthy compile (a
+    # killed in-flight client can wedge the tunnel for later processes).
+    import threading
+
+    done = threading.Event()
+
+    def _heartbeat():
+        waited = 0
+        while not done.wait(120) and waited < 3:
+            waited += 1
+            print(
+                f"note: {2 * waited} min in — if this is the first run "
+                "of this configuration, the TPU server-side kernel "
+                "compile takes 2-18 min (PERF.md; tools/warm_cache.py "
+                "front-loads it). Avoid killing mid-compile.",
+                file=sys.stderr,
+            )
+
+    threading.Thread(target=_heartbeat, daemon=True).start()
+    try:
+        return args.fn(args)
+    finally:
+        done.set()
 
 
 if __name__ == "__main__":
