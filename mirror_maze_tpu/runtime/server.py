@@ -392,6 +392,8 @@ class EngineServer:
         # Latest-wins: a slow encode drops to the newest frame.
         self._enc_cond = threading.Condition()
         self._enc_frame = None
+        self._encoded_n = 0
+        self._encode_ms = 0.0
         self._encoder_thread = threading.Thread(
             target=self._run_encoder, daemon=True
         )
@@ -493,8 +495,11 @@ class EngineServer:
                             return
                         self._enc_cond.wait(0.5)
                     frame, self._enc_frame = self._enc_frame, None
+                t0 = time.monotonic()
                 buf, ctype = self._encode(frame)
                 self.hub.publish(buf, ctype)
+                self._encoded_n += 1
+                self._encode_ms = 1000.0 * (time.monotonic() - t0)
         except Exception:  # noqa: BLE001 — terminal: report and stop
             import sys
             import traceback
@@ -539,6 +544,11 @@ class EngineServer:
             "clients": int(self.hub.clients),
             "width": self.cfg.screen.width,
             "height": self.cfg.screen.height,
+            # Streaming pipeline: frames fetched+encoded so far and the
+            # last fetch+encode duration (the tunnel-bound stage that
+            # caps delivered fps — PERF.md "serve surface").
+            "encoded": int(self._encoded_n),
+            "encode_ms": round(float(self._encode_ms), 1),
             "error": self._error,
         }
 
