@@ -205,13 +205,10 @@ def cmd_minimap(args) -> int:
     return 0
 
 
-def _play_multiplayer(args) -> int:
-    """N-player session: this process is ONE player (`--player-id`) in a
-    jax.distributed cluster of `--players` processes; remote players
-    render as colored sphere avatars (parallel/multiplayer.py). Launch
-    one process per player, same --players/--coordinator, distinct
-    --player-id (see examples/multiplayer_demo.py for a one-machine
-    CPU launcher)."""
+def _build_multiplayer(args):
+    """Join the jax.distributed cluster and build this player's engine
+    wrapped for the terminal/server drivers. Shared by
+    `play --players N` and `serve --players N`."""
     import jax
     import numpy as np
 
@@ -235,10 +232,23 @@ def _play_multiplayer(args) -> int:
     dev, init_fn, step_fn = make_multiplayer_engine(
         cfg, mesh, me=args.player_id, scene=scene
     )
+    loop = InteractiveLoop.from_engine(
+        cfg, step_fn, init_fn(args.seed or 0)
+    )
+    return cfg, scene, dev, loop
+
+
+def _play_multiplayer(args) -> int:
+    """N-player session: this process is ONE player (`--player-id`) in a
+    jax.distributed cluster of `--players` processes; remote players
+    render as colored sphere avatars (parallel/multiplayer.py). Launch
+    one process per player, same --players/--coordinator, distinct
+    --player-id (see examples/multiplayer_demo.py for a one-machine
+    CPU launcher)."""
+    cfg, scene, dev, loop = _build_multiplayer(args)
     print(f"player {args.player_id}/{args.players} up "
           f"({dev.num_spheres} spheres incl. avatars); WASD move, "
           f"j/l turn, q quits.")
-    loop = InteractiveLoop.from_engine(cfg, step_fn, init_fn(args.seed or 0))
     display = None if args.display == "none" else args.display
     loop.run(max_frames=args.frames, out_png=args.out, display=display)
     return 0
@@ -297,10 +307,17 @@ def cmd_play(args) -> int:
 def cmd_serve(args) -> int:
     """HTTP serving (runtime/server.py): stream the interactive engine
     to a browser and take WASD/pointer input back — the datacenter-TPU
-    analog of the reference's local window. Zero new deps."""
+    analog of the reference's local window. Zero new deps. With
+    --players N this process is ONE multiplayer player (one serve
+    process per player, distinct --player-id and --port): every player
+    plays from a browser, avatars exchanged over jax.distributed."""
     from .runtime.server import EngineServer
 
-    cfg, scene, dev = _build(args)
+    engine = None
+    if args.players > 1:
+        cfg, scene, dev, engine = _build_multiplayer(args)
+    else:
+        cfg, scene, dev = _build(args)
     server = EngineServer(
         dev, cfg, seed=args.seed or 0,
         host=args.host, port=args.port,
@@ -312,9 +329,12 @@ def cmd_serve(args) -> int:
         jpeg_quality=args.jpeg_quality,
         host_scene=scene,
         map_size=args.map_size,
+        engine=engine,
     )
+    who = (f" [player {args.player_id}/{args.players}]"
+           if args.players > 1 else "")
     print(f"serving {cfg.screen.width}x{cfg.screen.height} "
-          f"({scene.num_planes} planes) on "
+          f"({scene.num_planes} planes){who} on "
           f"http://{args.host}:{server.port}/  [ctrl-c stops]")
     server.serve_forever()
     return 0
@@ -546,10 +566,11 @@ def main(argv=None) -> int:
                              "JAX_PLATFORMS=cpu + XLA_FLAGS="
                              "--xla_force_host_platform_device_count)")
         sp.add_argument("--players", type=int, default=1,
-                        help="play: total players in a multiplayer "
+                        help="play/serve: total players in a multiplayer "
                              "session (one OS process per player; run "
                              "each with the same --players/--coordinator "
-                             "and a distinct --player-id; remote players "
+                             "and a distinct --player-id — for serve "
+                             "also a distinct --port; remote players "
                              "appear as colored sphere avatars)")
         sp.add_argument("--player-id", type=int, default=0,
                         dest="player_id",

@@ -236,15 +236,23 @@ class EngineServer:
         jpeg_quality: int = 85,
         host_scene=None,
         map_size: int = 320,
+        engine=None,
     ):
         """``host_scene`` (the builder's Scene, optional) enables the
         live ``/map`` endpoint + page overlay — the DeviceScene carries
         derived intersection constants, not the raw quad geometry the
-        minimap rasterizer draws."""
+        minimap rasterizer draws.
+
+        ``engine`` (optional) serves an EXTERNALLY built engine instead
+        of constructing the standard InteractiveLoop — any object with
+        the loop's driving surface (``state``/``frame``/``choose_step``/
+        ``_thumb``), e.g. ``InteractiveLoop.from_engine`` wrapping the
+        multiplayer step: that is how ``serve --players N`` puts each
+        player's view in a browser."""
         self.cfg = cfg
         self.host_scene = host_scene
         self.map_size = int(map_size)
-        self.engine = InteractiveLoop(
+        self.engine = engine if engine is not None else InteractiveLoop(
             scene, cfg, seed=seed, batch_frames=batch_frames,
             adaptive=adaptive, sharded_bands=sharded_bands,
         )

@@ -454,3 +454,86 @@ def test_two_player_multiplayer():
     # Player 0's frame with the avatar differs from the avatar-free one.
     diff = int(outs[0].split("sees_avatar_diff=")[1].split()[0])
     assert diff > 0
+
+
+@pytest.mark.slow
+def test_two_player_browser_serve():
+    """Multiplayer over the BROWSER surface: one `serve --players 2`
+    process per player; input POSTed to player 1's HTTP port moves that
+    player while both engines step in lockstep through the per-frame
+    position exchange (the serve engine thread IS the multiplayer
+    driver via InteractiveLoop.from_engine)."""
+    import json
+    import urllib.request
+
+    base = 18500 + os.getpid() % 500
+    coord = 17600 + os.getpid() % 500
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if not f.startswith("--xla_force_host_platform_device_count")
+    )
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "mirror_maze_tpu", "serve",
+             "--players", "2", "--player-id", str(i),
+             "--coordinator", f"localhost:{coord}",
+             "--config", "v0", "--width", "48", "--height", "48",
+             "--spp", "2", "--port", str(base + i)],
+            env=env, cwd="/root/repo",
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+
+    def stats(port, timeout=5.0):
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=timeout
+        ) as r:
+            return json.loads(r.read())
+
+    def post(port, obj):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/input",
+            data=json.dumps(obj).encode(), method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=5.0) as r:
+            assert r.status == 200
+
+    import time as time_mod
+    try:
+        # Wait for both servers to come up and step.
+        deadline = time_mod.monotonic() + 240
+        up = [False, False]
+        while time_mod.monotonic() < deadline and not all(up):
+            for i in range(2):
+                if not up[i]:
+                    try:
+                        up[i] = stats(base + i)["frame"] >= 0
+                    except OSError:
+                        pass
+            time_mod.sleep(1)
+        assert all(up), "servers did not come up"
+        # Player 1 walks via its HTTP input; player 0 stands.
+        post(base + 1, {"w": True})
+        deadline = time_mod.monotonic() + 120
+        moved = False
+        while time_mod.monotonic() < deadline and not moved:
+            moved = abs(stats(base + 1)["cam"][2] - (-15.0)) > 1.0
+            time_mod.sleep(1)
+        post(base + 1, {"w": False})
+        assert moved, "player 1 did not move over HTTP input"
+        s0 = stats(base + 0)
+        assert abs(s0["cam"][2] - (-15.0)) < 1e-4   # player 0 held still
+        assert s0["frame"] > 0 and s0["error"] is None
+        assert stats(base + 1)["error"] is None
+    finally:
+        for p in procs:
+            p.terminate()
+        for p in procs:
+            try:
+                p.wait(timeout=20)
+            except subprocess.TimeoutExpired:
+                p.kill()
