@@ -230,7 +230,8 @@ def _build_multiplayer(args):
     mesh = Mesh(np.asarray(jax.devices())[:args.players], ("player",))
     cfg, scene, _dev = _build(args)
     dev, init_fn, step_fn = make_multiplayer_engine(
-        cfg, mesh, me=args.player_id, scene=scene
+        cfg, mesh, me=args.player_id, scene=scene,
+        glow=args.avatar_glow,
     )
     loop = InteractiveLoop.from_engine(
         cfg, step_fn, init_fn(args.seed or 0)
@@ -577,8 +578,13 @@ def main(argv=None) -> int:
                         help="play: this process's player index "
                              "(0..players-1)")
         sp.add_argument("--coordinator", default="localhost:12321",
-                        help="play: jax.distributed coordinator "
+                        help="play/serve: jax.distributed coordinator "
                              "host:port (player 0's machine)")
+        sp.add_argument("--avatar-glow", type=float, default=0.25,
+                        dest="avatar_glow",
+                        help="play/serve multiplayer: avatar "
+                             "self-emission strength in the player's "
+                             "color (0 = passive spheres)")
         sp.add_argument("--anim", default="spin",
                         choices=("spin", "orbit", "waypoints"),
                         help="animate: camera path type")
