@@ -23,10 +23,21 @@ import time
 
 
 def _build(args):
+    """World + device upload for single-engine commands."""
+    from .render import upload_scene
+
+    cfg, scene, noise = _build_world(args)
+    return cfg, scene, upload_scene(scene, noise=noise)
+
+
+def _build_world(args):
+    """Config + host scene (+ noise texture) WITHOUT the device upload —
+    callers that hand the scene to an engine builder (multiplayer) use
+    this directly so the upload (host MXU packing + device transfer)
+    happens exactly once, with the right noise."""
     import dataclasses
 
     from .config import NAMED_CONFIGS
-    from .render import upload_scene
     from .scene import build_scene
 
     cfg = NAMED_CONFIGS[args.config]()
@@ -99,7 +110,7 @@ def _build(args):
         from .utils.noise import load_noise_png
 
         noise = load_noise_png(args.noise_png)
-    return cfg, scene, upload_scene(scene, noise=noise)
+    return cfg, scene, noise
 
 
 def cmd_render(args) -> int:
@@ -227,11 +238,19 @@ def _build_multiplayer(args):
         )
     from jax.sharding import Mesh
 
-    mesh = Mesh(np.asarray(jax.devices())[:args.players], ("player",))
-    cfg, scene, _dev = _build(args)
+    # ONE device per PROCESS: jax.devices() orders by process, so the
+    # first-N slice on a multi-chip host hands every mesh slot to
+    # process 0 and the position all_gather can never run. Each
+    # player's slot must be a device that player's process owns.
+    mesh = Mesh(
+        np.asarray([jax.local_devices(process_index=i)[0]
+                    for i in range(args.players)]),
+        ("player",),
+    )
+    cfg, scene, noise = _build_world(args)
     dev, init_fn, step_fn = make_multiplayer_engine(
         cfg, mesh, me=args.player_id, scene=scene,
-        glow=args.avatar_glow,
+        glow=args.avatar_glow, noise=noise,
     )
     loop = InteractiveLoop.from_engine(
         cfg, step_fn, init_fn(args.seed or 0)
@@ -263,13 +282,16 @@ def cmd_play(args) -> int:
     if args.players > 1:
         return _play_multiplayer(args)
     cfg, scene, dev = _build(args)
-    print("WASD move, j/l turn, q quits. Frames render headless; "
-          "final view saved on exit.")
+    # Engine construction (and its jit compiles) BEFORE the banner: the
+    # startup heartbeat stops at the first print, and the banner should
+    # mean "ready to play", not "about to compile for minutes".
     loop = InteractiveLoop(
         dev, cfg, seed=args.seed or 0, batch_frames=args.batch_frames,
         adaptive=not args.no_adaptive_batch,
         sharded_bands=args.sharded_bands,
     )
+    print("WASD move, j/l turn, q quits. Frames render headless; "
+          "final view saved on exit.")
     display = None if args.display == "none" else args.display
     if args.load_state:
         # Checkpoints resume across engine layouts: sharded checkpoints
@@ -654,9 +676,25 @@ def main(argv=None) -> int:
     # root cause"), which looks exactly like a hang. Say so, a few
     # times, instead of letting the user kill a healthy compile (a
     # killed in-flight client can wedge the tunnel for later processes).
+    # It stops at the command's FIRST OWN OUTPUT — once the command is
+    # talking (serving banner, frames, bench line), the silence is over
+    # and further notes would be misleading noise (e.g. printed into an
+    # interactive session's raw-mode display).
     import threading
 
     done = threading.Event()
+
+    class _FirstWriteTee:
+        def __init__(self, raw):
+            self._raw = raw
+
+        def write(self, s):
+            if s.strip():
+                done.set()
+            return self._raw.write(s)
+
+        def __getattr__(self, name):
+            return getattr(self._raw, name)
 
     def _heartbeat():
         waited = 0
@@ -671,10 +709,13 @@ def main(argv=None) -> int:
             )
 
     threading.Thread(target=_heartbeat, daemon=True).start()
+    saved_stdout = sys.stdout
+    sys.stdout = _FirstWriteTee(saved_stdout)
     try:
         return args.fn(args)
     finally:
         done.set()
+        sys.stdout = saved_stdout
 
 
 if __name__ == "__main__":

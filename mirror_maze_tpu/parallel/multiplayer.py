@@ -165,7 +165,7 @@ def make_position_exchange(mesh: Mesh):
 
 def make_multiplayer_engine(cfg: EngineConfig, mesh: Mesh, me: int,
                             scene=None, radius: float = 1.0,
-                            glow: float = 0.25):
+                            glow: float = 0.25, noise=None):
     """Build (dev_scene, init_fn, step_fn) for one player process.
 
     step_fn(state, inputs) -> (state, frame): exchanges positions over
@@ -187,7 +187,9 @@ def make_multiplayer_engine(cfg: EngineConfig, mesh: Mesh, me: int,
     host_scene = scene if scene is not None else build_scene(cfg.maze)
     host_scene, slots = avatar_scene(host_scene, n_players, me, radius,
                                      glow=glow)
-    dev = upload_scene(host_scene)
+    # ``noise`` (e.g. the reference texture for noise_rng configs) rides
+    # into the one upload here — callers must not pre-upload.
+    dev = upload_scene(host_scene, noise=noise)
     exchange = make_position_exchange(mesh)
     md, ml = derive_traversal_bounds(dev, cfg, None, None)
     base_step = make_step_fn(cfg, md, ml)

@@ -357,21 +357,9 @@ class EngineServer:
 
             def do_POST(self):
                 if self.path == "/input":
-                    # Same-origin check: browsers attach an Origin header
-                    # to fetch POSTs; reject ones whose authority doesn't
-                    # match the Host the client connected to. Blocks
-                    # CSRF/DNS-rebinding pages from driving the camera
-                    # (non-browser clients send no Origin and pass).
-                    origin = self.headers.get("Origin")
-                    if origin:
-                        from urllib.parse import urlsplit
-
-                        netloc = urlsplit(origin).netloc
-                        if netloc and netloc != self.headers.get("Host"):
-                            self._send(
-                                403, "text/plain", b"cross-origin\n"
-                            )
-                            return
+                    if not me._input_allowed(self.headers):
+                        self._send(403, "text/plain", b"cross-origin\n")
+                        return
                     n = int(self.headers.get("Content-Length", 0) or 0)
                     try:
                         event = json.loads(self.rfile.read(n) or b"{}")
@@ -517,6 +505,40 @@ class EngineServer:
             self._stop.set()
 
     # -- public surface ----------------------------------------------------
+
+    _LOOPBACK = ("127.0.0.1", "localhost", "::1", "[::1]")
+
+    def _input_allowed(self, headers) -> bool:
+        """Gate POST /input against web-page-driven abuse.
+
+        Two independent checks:
+        - Origin (when a browser sends one) must be a real authority
+          matching the request's Host — classic cross-site POSTs fail;
+          ``Origin: null`` (sandboxed iframes, data: pages) is REJECTED
+          rather than skipped.
+        - When the server is bound to loopback, the Host header's
+          hostname must itself be a loopback name: a DNS-rebinding page
+          controls BOTH Origin and Host (they match each other), but it
+          cannot make its hostname literally "127.0.0.1"/"localhost"
+          without losing the rebinding. (Bound to a public address the
+          legitimate Host is deployment-specific; only the Origin check
+          applies.)
+        Non-browser clients (curl, scripts) send no Origin and pass the
+        Origin check; the Host check still applies on loopback binds.
+        """
+        from urllib.parse import urlsplit
+
+        origin = headers.get("Origin")
+        if origin is not None:
+            netloc = urlsplit(origin).netloc
+            if not netloc or netloc != headers.get("Host"):
+                return False
+        bound = self.httpd.server_address[0]
+        if bound in self._LOOPBACK:
+            host = (headers.get("Host") or "").rsplit(":", 1)[0]
+            if host.lower() not in self._LOOPBACK:
+                return False
+        return True
 
     def render_map(self) -> bytes | None:
         """Live top-down minimap PNG with the camera marker, from the

@@ -205,6 +205,29 @@ def test_input_rejects_cross_origin(server):
     )
     with urllib.request.urlopen(req, timeout=10) as r:
         assert r.status == 200
+    # Origin: null (sandboxed iframe / data: page) is rejected, not
+    # skipped.
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/input",
+        data=json.dumps({"w": True}).encode(),
+        headers={"Origin": "null"}, method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=10)
+    assert e.value.code == 403
+    # DNS rebinding: Origin and Host AGREE but name a non-loopback host
+    # while the server is bound to loopback — rejected by the Host
+    # check even though the Origin check passes.
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/input",
+        data=json.dumps({"w": True}).encode(),
+        headers={"Origin": "http://evil.example:80",
+                 "Host": "evil.example:80"},
+        method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=10)
+    assert e.value.code == 403
 
 
 def _open_stream(port):
