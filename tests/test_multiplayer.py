@@ -225,6 +225,21 @@ def test_multiplayer_engine_accepts_pallas():
     assert np.isfinite(np.asarray(frame, np.float32)).all()
 
 
+def test_multiplayer_engine_takes_noise_texture():
+    """--noise-png must reach the multiplayer upload (it was silently
+    dropped when the CLI pre-uploaded and discarded the scene)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from mirror_maze_tpu.parallel.multiplayer import make_multiplayer_engine
+
+    cfg = _cfg()
+    noise = np.random.default_rng(3).random((64, 64)).astype(np.float32)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("player",))
+    dev, _, _ = make_multiplayer_engine(cfg, mesh, me=0, noise=noise)
+    np.testing.assert_array_equal(np.asarray(dev.noise), noise)
+
+
 def test_single_player_engine_runs():
     """mesh of one player: no avatars, the engine is the plain step."""
     import jax
