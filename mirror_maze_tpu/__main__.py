@@ -258,19 +258,48 @@ def _build_multiplayer(args):
     return cfg, scene, dev, loop
 
 
+def _warn_multiplayer_flags(args) -> None:
+    """Flags the multiplayer driver cannot honor must SAY so (advisor
+    r4): multiplayer is locked to per-frame stepping (the position
+    exchange runs every frame) on the plain single-chip engine."""
+    if args.batch_frames > 1:
+        print("warning: --batch-frames is ignored with --players > 1 "
+              "(the per-frame position exchange cannot batch)",
+              file=sys.stderr)
+    if args.sharded_bands:
+        print("warning: --sharded-bands is ignored with --players > 1 "
+              "(each player is one single-chip engine)", file=sys.stderr)
+
+
 def _play_multiplayer(args) -> int:
     """N-player session: this process is ONE player (`--player-id`) in a
     jax.distributed cluster of `--players` processes; remote players
     render as colored sphere avatars (parallel/multiplayer.py). Launch
     one process per player, same --players/--coordinator, distinct
     --player-id (see examples/multiplayer_demo.py for a one-machine
-    CPU launcher)."""
+    CPU launcher). --load-state/--save-state checkpoint THIS player's
+    engine state (each player keeps its own file; avatars re-park and
+    re-exchange on the first resumed frame)."""
+    _warn_multiplayer_flags(args)
     cfg, scene, dev, loop = _build_multiplayer(args)
+    if args.load_state:
+        from .runtime.state import load_state
+
+        loop.state = load_state(args.load_state, cfg)
+        print(f"resumed from {args.load_state} "
+              f"(frame {int(loop.state.frame)})")
     print(f"player {args.player_id}/{args.players} up "
           f"({dev.num_spheres} spheres incl. avatars); WASD move, "
-          f"j/l turn, q quits.")
+          f"j/l turn, q quits. If any player exits, the session is over "
+          f"for everyone (the per-frame exchange is a collective).")
     display = None if args.display == "none" else args.display
     loop.run(max_frames=args.frames, out_png=args.out, display=display)
+    if args.save_state:
+        from .runtime.state import save_state
+
+        save_state(args.save_state, loop.state)
+        print(f"state saved to {args.save_state} (resume with "
+              f"--load-state)")
     return 0
 
 
@@ -338,6 +367,7 @@ def cmd_serve(args) -> int:
 
     engine = None
     if args.players > 1:
+        _warn_multiplayer_flags(args)
         cfg, scene, dev, engine = _build_multiplayer(args)
     else:
         cfg, scene, dev = _build(args)
@@ -353,7 +383,25 @@ def cmd_serve(args) -> int:
         host_scene=scene,
         map_size=args.map_size,
         engine=engine,
+        ckpt_path=args.save_state,
     )
+    if args.load_state:
+        # Resume the session (same semantics as play --load-state): the
+        # server's engine has not started stepping yet, so replacing its
+        # state here is race-free. Sharded checkpoints restore/convert
+        # through the same loaders the terminal driver uses.
+        if args.sharded_bands and args.players <= 1:
+            from .parallel.shard import load_sharded_state
+
+            server.engine.state = load_sharded_state(
+                args.load_state, cfg, args.sharded_bands
+            )
+        else:
+            from .runtime.state import load_state
+
+            server.engine.state = load_state(args.load_state, cfg)
+        print(f"resumed from {args.load_state} "
+              f"(frame {int(server.engine.state.frame)})")
     who = (f" [player {args.player_id}/{args.players}]"
            if args.players > 1 else "")
     print(f"serving {cfg.screen.width}x{cfg.screen.height} "
@@ -542,9 +590,14 @@ def main(argv=None) -> int:
                              "around the spawn yaw)")
         sp.add_argument("--save-state", default=None,
                         help="write the full engine state (.npz) on exit "
-                             "— bit-exact resume via --load-state")
+                             "— bit-exact resume via --load-state. serve: "
+                             "also enables POST /ckpt (live checkpoint to "
+                             "this path) and saves on shutdown. "
+                             "multiplayer: per-player file")
         sp.add_argument("--load-state", default=None,
-                        help="resume play from a saved state checkpoint")
+                        help="resume play/serve from a saved state "
+                             "checkpoint (multiplayer: each player loads "
+                             "its own)")
         sp.add_argument("--scene", default=None,
                         help="render a saved scene (.npz from "
                              "scene.save_scene) instead of generating "
@@ -594,7 +647,11 @@ def main(argv=None) -> int:
                              "each with the same --players/--coordinator "
                              "and a distinct --player-id — for serve "
                              "also a distinct --port; remote players "
-                             "appear as colored sphere avatars)")
+                             "appear as colored sphere avatars). The "
+                             "per-frame exchange is a collective: a "
+                             "player exiting (q/crash) ends the session "
+                             "for every remaining player — the others "
+                             "block in the exchange rather than play on")
         sp.add_argument("--player-id", type=int, default=0,
                         dest="player_id",
                         help="play: this process's player index "

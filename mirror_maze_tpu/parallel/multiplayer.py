@@ -168,14 +168,35 @@ def make_multiplayer_engine(cfg: EngineConfig, mesh: Mesh, me: int,
                             glow: float = 0.25, noise=None):
     """Build (dev_scene, init_fn, step_fn) for one player process.
 
-    step_fn(state, inputs) -> (state, frame): exchanges positions over
-    the mesh, moves the remote avatars, and runs the standard donated
-    single-chip step with the updated scene as an ARGUMENT. Camera
-    semantics, progressive refresh, and the present pipeline are the
-    single-chip engine's, untouched — multiplayer adds one [P, 3]
-    collective and one sphere-row update per frame. ``glow`` gives
-    avatars a soft self-emission in their own color (avatar_scene) so
-    players read in dark corridors; 0 for passive spheres.
+    step_fn(state, inputs) -> (state, frame) is ONE device launch per
+    frame: the position ``all_gather`` composes INTO the jitted fused
+    step (a shard_map over the global ``("player",)`` mesh wrapping
+    avatar-row surgery, the pallas-only in-jit sphere-operand repack,
+    and the whole donated engine step). Multiplayer is locked to
+    per-frame stepping — the one cadence that cannot amortize launches
+    — so a separate exchange dispatch cost a full tunnel round trip
+    (~25-40 ms remote, PERF.md rule 2) every frame; fusing removes it.
+
+    Mesh-program mechanics: scene/state/inputs enter with replicated
+    specs (``P()``) — each process supplies its OWN local values via a
+    zero-copy global wrap (`_to_global`; check_vma=False, no transfer,
+    no resharding: every value is consumed on the device that produced
+    it). Inside the body, ``lax.all_gather(cam_center, "player")``
+    collects each device's row — the per-frame wire traffic. The
+    returned state/frame are unwrapped back to plain local arrays, so
+    drivers (terminal loop, HTTP server, watchdog, checkpoints) see the
+    exact same state surface as the single-player engine. The
+    per-process programs differ only in constants (my avatar slots /
+    ``others`` rows); the op and collective sequence is identical on
+    every process, as multi-process jit requires. One exception keeps
+    the CPU validation path alive: interpreted pallas inside a
+    multi-process shard_map deadlocks (documented io_callback livelock),
+    so that combination alone uses the round-4 two-launch form.
+
+    Camera semantics, progressive refresh, and the present pipeline are
+    the single-chip engine's, untouched. ``glow`` gives avatars a soft
+    self-emission in their own color (avatar_scene) so players read in
+    dark corridors; 0 for passive spheres.
     """
     from ..render import upload_scene
     from ..render.scenebuf import make_sphere_refresh
@@ -190,7 +211,6 @@ def make_multiplayer_engine(cfg: EngineConfig, mesh: Mesh, me: int,
     # ``noise`` (e.g. the reference texture for noise_rng configs) rides
     # into the one upload here — callers must not pre-upload.
     dev = upload_scene(host_scene, noise=noise)
-    exchange = make_position_exchange(mesh)
     md, ml = derive_traversal_bounds(dev, cfg, None, None)
     base_step = make_step_fn(cfg, md, ml)
     refresh = (
@@ -201,24 +221,105 @@ def make_multiplayer_engine(cfg: EngineConfig, mesh: Mesh, me: int,
         [i for i in range(n_players) if i != me], np.int32
     )
 
-    # ONE jitted program per frame: avatar-row surgery, the (pallas-
-    # only) in-jit sphere-operand repack, and the whole engine step.
-    # Eager per-frame update_avatars ops were 2 extra device dispatches
-    # per frame — pure round-trip latency over a remote tunnel.
-    def fused(scene_, positions, state, inputs):
+    repl = NamedSharding(mesh, P())
+    my_dev = jax.local_devices()[0]
+
+    def _to_global(tree):
+        """Zero-copy wrap of a LOCAL pytree as global arrays on the
+        mesh (metadata only — the data stays where it is). P() is a
+        per-process claim, not a transfer: with check_vma=False each
+        device computes on its own values (the multiplayer point —
+        states differ per player)."""
+        return jax.tree.map(
+            lambda x: jax.make_array_from_single_device_arrays(
+                jnp.shape(x), repl,
+                [jax.device_put(jnp.asarray(x), my_dev)],
+            ),
+            tree,
+        )
+
+    def _to_local(tree):
+        """Unwrap global outputs to plain single-device arrays (metadata
+        only), restoring the single-player state/frame surface."""
+        return jax.tree.map(
+            lambda x: x.addressable_shards[0].data, tree
+        )
+
+    def body(scene_, state, inputs):
+        # The per-frame wire traffic of the whole feature: one [P, 3]
+        # camera-position all_gather riding the same launch as the step.
+        positions = jax.lax.all_gather(state.cam_center, "player")
         if slots:
             scene_ = update_avatars(scene_, slots, positions[others])
         if refresh is not None:
             scene_ = refresh(scene_)
         return base_step(scene_, state, inputs)
 
-    step_jit = jax.jit(fused, donate_argnums=(2,))
+    # The CPU TPU-semantics INTERPRETER's io_callback machinery deadlocks
+    # when an interpreted pallas call runs inside a MULTI-PROCESS
+    # shard_map (CLAUDE.md/PERF.md; the first step hangs in the buffer
+    # allocator). Real chips compile via Mosaic (no callbacks) and are
+    # unaffected, as is any single-process mesh. Where the deadlock
+    # would bite — multi-process CPU with the pallas kernel OR the
+    # fused pallas present in the step — fall back to the two-launch
+    # form (separate exchange + local jitted step), trading one tunnel
+    # round trip for liveness on the CPU validation path only.
+    step_has_pallas = (
+        cfg.intersector == "pallas" or cfg.screen.pallas_present
+    )
+    fuse = not (
+        n_players > 1 and step_has_pallas
+        and jax.default_backend() == "cpu"
+    )
 
     def init_fn(seed: int = 0):
         return init_state(cfg, seed)
 
-    def step_fn(state, inputs):
-        positions = exchange(state.cam_center)   # [P, 3] device-resident
-        return step_jit(dev, positions, state, inputs)
+    if fuse:
+        step_glob = jax.jit(
+            shard_map(
+                body, mesh=mesh, in_specs=(P(), P(), P()),
+                out_specs=(P(), P()), check_vma=False,
+            ),
+            donate_argnums=(1,),
+        )
+        g_scene = _to_global(dev)   # static across frames: wrap once
+
+        def step_fn(state, inputs):
+            try:
+                out_state, frame = step_glob(
+                    g_scene, _to_global(state), _to_global(inputs)
+                )
+            except Exception as e:  # noqa: BLE001 — annotate the death
+                if n_players > 1:
+                    raise RuntimeError(
+                        "multiplayer step failed — most likely a peer "
+                        "left the session (the per-frame exchange is a "
+                        "collective); the session is over for everyone"
+                    ) from e
+                raise
+            return _to_local(out_state), _to_local(frame)
+    else:
+        exchange = make_position_exchange(mesh)
+
+        def fused_local(scene_, positions, state, inputs):
+            if slots:
+                scene_ = update_avatars(scene_, slots, positions[others])
+            if refresh is not None:
+                scene_ = refresh(scene_)
+            return base_step(scene_, state, inputs)
+
+        step_local = jax.jit(fused_local, donate_argnums=(2,))
+
+        def step_fn(state, inputs):
+            try:
+                positions = exchange(state.cam_center)  # [P, 3] device
+                return step_local(dev, positions, state, inputs)
+            except Exception as e:  # noqa: BLE001 — annotate the death
+                raise RuntimeError(
+                    "multiplayer step failed — most likely a peer left "
+                    "the session (the per-frame exchange is a "
+                    "collective); the session is over for everyone"
+                ) from e
 
     return dev, init_fn, step_fn

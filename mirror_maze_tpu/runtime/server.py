@@ -18,6 +18,10 @@ over plain HTTP with zero new dependencies (stdlib ``http.server``):
   GET  /stats   JSON: frame counter, fps, camera position/yaw, clients
   POST /input   JSON {w,a,s,d: bool, dx: float} — key HOLD state plus an
                 accumulated mouse-x delta in reference pixels
+  POST /ckpt    checkpoint the live session to the server's configured
+                ckpt_path (CLI --save-state); the engine thread saves at
+                its next frame boundary (bit-exact .npz, resume with
+                --load-state). 409 when no path was configured.
 
 Input follows the reference's hold model (`main.rs:786-815`): a POST sets
 the held-key booleans it names and ADDS its ``dx``; every engine frame
@@ -83,12 +87,19 @@ setInterval(async () => {
 }, 1000);
 const map = document.getElementById('map');
 let mapOk = true;
-setInterval(() => {
+setInterval(async () => {
   if (!mapOk) return;
-  const probe = new Image();
-  probe.onload = () => { map.src = probe.src; map.style.display = 'block'; };
-  probe.onerror = () => { mapOk = false; };
-  probe.src = '/map?t=' + Date.now();
+  try {
+    // fetch (not an Image probe) so the HTTP status is visible: only a
+    // 404 — "this server has no host scene" — disables the overlay for
+    // the session; transient network/5xx errors just retry next tick.
+    const r = await fetch('/map?t=' + Date.now());
+    if (r.status === 404) { mapOk = false; return; }
+    if (!r.ok) return;
+    const u = URL.createObjectURL(await r.blob());
+    map.onload = () => { map.style.display = 'block'; URL.revokeObjectURL(u); };
+    map.src = u;
+  } catch (e) {}
 }, 2000);
 const keymap = {KeyW:'w', KeyA:'a', KeyS:'s', KeyD:'d'};
 addEventListener('keydown', e => {
@@ -237,6 +248,8 @@ class EngineServer:
         host_scene=None,
         map_size: int = 320,
         engine=None,
+        watchdog_interval: int | None = 128,
+        ckpt_path: str | None = None,
     ):
         """``host_scene`` (the builder's Scene, optional) enables the
         live ``/map`` endpoint + page overlay — the DeviceScene carries
@@ -248,7 +261,22 @@ class EngineServer:
         the loop's driving surface (``state``/``frame``/``choose_step``/
         ``_thumb``), e.g. ``InteractiveLoop.from_engine`` wrapping the
         multiplayer step: that is how ``serve --players N`` puts each
-        player's view in a browser."""
+        player's view in a browser.
+
+        ``watchdog_interval`` wires runtime/watchdog.py into the serve
+        engine loop, same as the terminal driver (InteractiveLoop.run):
+        the state is validated every that many frames and rolled back to
+        the last good snapshot if it went non-finite — covering the
+        single-chip, sharded_bands, AND externally-built (multiplayer)
+        engines, with the rollback count surfaced in /stats. None
+        disables. Without it a browser session stepping a poisoned state
+        would render garbage forever while /stats reported a healthy fps.
+
+        ``ckpt_path`` enables the POST /ckpt endpoint and the save-on-
+        stop checkpoint (runtime/state.py save_state .npz — bit-exact
+        resume via ``serve --load-state`` / ``play --load-state``). The
+        path is FIXED at construction (CLI --save-state): clients can
+        trigger a save but never choose where it lands."""
         self.cfg = cfg
         self.host_scene = host_scene
         self.map_size = int(map_size)
@@ -265,6 +293,17 @@ class EngineServer:
         self._fps = 0.0
         self._frames_stepped = 0
         self._error: str | None = None
+        self.watchdog_interval = watchdog_interval
+        self._rollbacks = 0
+        self.ckpt_path = ckpt_path
+        # Checkpoint handshake: HTTP handlers REQUEST a save; only the
+        # engine thread touches the state (the donated step frees a
+        # buffer grabbed mid-step from another thread), so it performs
+        # the save between frames and bumps _ckpt_done.
+        self._ckpt_cond = threading.Condition()
+        self._ckpt_req = 0
+        self._ckpt_done = 0
+        self._ckpt_info: dict | None = None
         # Host-side camera snapshot, updated ONLY by the engine thread
         # (stats() must not touch device state from HTTP threads: the
         # step donates its state argument, so a reference grabbed
@@ -369,6 +408,30 @@ class EngineServer:
                     if isinstance(event, dict):
                         bus.push(event)
                     self._send(200, "application/json", b"{}")
+                elif self.path == "/ckpt":
+                    # Session persistence: save the full engine state to
+                    # the server's FIXED ckpt_path (never client-chosen).
+                    # Same abuse gate as /input — a cross-site page must
+                    # not be able to trigger disk writes.
+                    if not me._input_allowed(self.headers):
+                        self._send(403, "text/plain", b"cross-origin\n")
+                        return
+                    if me.ckpt_path is None:
+                        self._send(
+                            409, "text/plain",
+                            b"no checkpoint path configured "
+                            b"(serve --save-state PATH)\n",
+                        )
+                        return
+                    info = me.request_checkpoint()
+                    if info is None:
+                        self._send(503, "text/plain", b"engine stalled\n")
+                    elif "error" in info:
+                        self._send(500, "application/json",
+                                   json.dumps(info).encode())
+                    else:
+                        self._send(200, "application/json",
+                                   json.dumps(info).encode())
                 else:
                     self._send(404, "text/plain", b"not found\n")
 
@@ -423,8 +486,17 @@ class EngineServer:
 
     def _engine_loop(self) -> None:
         from .loop import FramePacer
+        from .watchdog import Watchdog
 
         eng = self.engine
+        # Watchdog parity with the terminal driver (InteractiveLoop.run):
+        # periodic finite-state validation + rollback, on EVERY engine
+        # kind this server can drive (single-chip, sharded_bands, and
+        # from_engine/multiplayer — whose own run() path is bypassed).
+        wd = (
+            Watchdog(self.watchdog_interval)
+            if self.watchdog_interval else None
+        )
         fps = self.cfg.screen.fps
         n = 0
         encoded_at = -self.stream_every
@@ -441,6 +513,11 @@ class EngineServer:
             # per-frame stepping while input is hot, scan batches idle.
             step_fn, stepped = eng.choose_step(n, active)
             eng.state, eng.frame = step_fn(eng.state, inp)
+            if wd is not None:
+                eng.state = wd.check(eng.state, n=stepped)
+                self._rollbacks = wd.rollbacks
+            if self._ckpt_req > self._ckpt_done:
+                self._do_checkpoint(eng)
             n += stepped
             self._frames_stepped = n
             now = time.monotonic()
@@ -504,9 +581,44 @@ class EngineServer:
             sys.stderr.write(self._error)
             self._stop.set()
 
+    def _do_checkpoint(self, eng) -> None:
+        """Save the engine state (engine thread only — between frames the
+        state is stable and no donation is in flight) and release every
+        waiting /ckpt handler."""
+        from .state import save_state
+
+        try:
+            save_state(self.ckpt_path, eng.state)
+            info = {
+                "path": self.ckpt_path,
+                "frame": int(np.asarray(eng.state.frame).reshape(-1)[0]),
+            }
+        except Exception as e:  # noqa: BLE001 — surface to the requester
+            info = {"error": f"{type(e).__name__}: {e}"}
+        with self._ckpt_cond:
+            self._ckpt_done = self._ckpt_req
+            self._ckpt_info = info
+            self._ckpt_cond.notify_all()
+
+    def request_checkpoint(self, timeout: float = 30.0) -> dict | None:
+        """Ask the engine thread to checkpoint at its next frame boundary
+        and wait for the result dict (None on timeout / stopped engine /
+        no ckpt_path configured)."""
+        if self.ckpt_path is None:
+            return None
+        with self._ckpt_cond:
+            my = self._ckpt_req = self._ckpt_req + 1
+            end = time.monotonic() + timeout
+            while self._ckpt_done < my and not self._stop.is_set():
+                remaining = end - time.monotonic()
+                if remaining <= 0:
+                    return None
+                self._ckpt_cond.wait(min(remaining, 0.5))
+            return self._ckpt_info if self._ckpt_done >= my else None
+
     # -- public surface ----------------------------------------------------
 
-    _LOOPBACK = ("127.0.0.1", "localhost", "::1", "[::1]")
+    _LOOPBACK = ("127.0.0.1", "localhost", "::1")
 
     def _input_allowed(self, headers) -> bool:
         """Gate POST /input against web-page-driven abuse.
@@ -524,7 +636,10 @@ class EngineServer:
           legitimate Host is deployment-specific; only the Origin check
           applies.)
         Non-browser clients (curl, scripts) send no Origin and pass the
-        Origin check; the Host check still applies on loopback binds.
+        Origin check; the Host check still applies on loopback binds —
+        which also means a reverse proxy on the same box forwarding to a
+        loopback bind must rewrite Host to a loopback name (or the bind
+        must be non-loopback) for /input to be accepted.
         """
         from urllib.parse import urlsplit
 
@@ -534,9 +649,14 @@ class EngineServer:
             if not netloc or netloc != headers.get("Host"):
                 return False
         bound = self.httpd.server_address[0]
-        if bound in self._LOOPBACK:
-            host = (headers.get("Host") or "").rsplit(":", 1)[0]
-            if host.lower() not in self._LOOPBACK:
+        if bound in self._LOOPBACK or bound == "::1":
+            # urlsplit-based hostname: strips the port AND the IPv6
+            # brackets (a naive rsplit(":") turned "[::1]" into "[:").
+            try:
+                host = urlsplit("//" + (headers.get("Host") or "")).hostname
+            except ValueError:
+                return False
+            if (host or "") not in self._LOOPBACK:
                 return False
         return True
 
@@ -579,6 +699,11 @@ class EngineServer:
             # caps delivered fps — PERF.md "serve surface").
             "encoded": int(self._encoded_n),
             "encode_ms": round(float(self._encode_ms), 1),
+            # Watchdog rollbacks this session (0 on a healthy run;
+            # None when the watchdog is disabled).
+            "rollbacks": (
+                int(self._rollbacks) if self.watchdog_interval else None
+            ),
             "error": self._error,
         }
 
@@ -589,12 +714,25 @@ class EngineServer:
 
     def stop(self) -> None:
         self._stop.set()
+        with self._ckpt_cond:
+            self._ckpt_cond.notify_all()
         with self._enc_cond:
             self._enc_cond.notify_all()
         self.httpd.shutdown()
         self.httpd.server_close()
         self._engine_thread.join(timeout=10.0)
         self._encoder_thread.join(timeout=10.0)
+        if self.ckpt_path is not None and not self._engine_thread.is_alive():
+            # Save-on-stop (play --save-state parity): the engine thread
+            # has joined, so the state is stable and safe to fetch here.
+            from .state import save_state
+
+            try:
+                save_state(self.ckpt_path, self.engine.state)
+            except Exception as e:  # noqa: BLE001 — shutdown best-effort
+                import sys
+
+                sys.stderr.write(f"checkpoint on stop failed: {e}\n")
 
     def serve_forever(self) -> None:
         """start() and block until KeyboardInterrupt."""
