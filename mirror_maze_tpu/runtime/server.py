@@ -444,25 +444,40 @@ class EngineServer:
         self._engine_thread = threading.Thread(
             target=self._run_engine, daemon=True
         )
-        # Encoder pipeline: the engine thread hands the newest DEVICE
-        # frame over; this thread pays the device->host fetch + encode.
-        # Overlapping the ~250 ms tunnel fetch with stepping nearly
-        # doubled streamed fps at 1080p (PERF.md "serve surface").
-        # Latest-wins: a slow encode drops to the newest frame.
+        # Streaming pipeline, THREE stages overlapped (latest-wins
+        # handoffs): the engine thread hands the newest DEVICE frame to
+        # the FETCHER (which pays the device->host transfer — ~250-500 ms
+        # at 1080p over the axon tunnel, the stream's measured ceiling),
+        # which hands the host array to the ENCODER (JPEG/PNG). Round 4
+        # overlapped fetch+encode with stepping (2x streamed fps); this
+        # splits fetch from encode too, so the encode of frame N rides
+        # under the fetch of frame N+1 and delivered fps approaches the
+        # pure-fetch bound (PERF.md "serve surface").
         self._enc_cond = threading.Condition()
         self._enc_frame = None
+        self._fetch_cond = threading.Condition()
+        self._fetched = None
+        self._fetched_n = 0
+        self._fetch_ms = 0.0
         self._encoded_n = 0
         self._encode_ms = 0.0
+        self._fetcher_thread = threading.Thread(
+            target=self._run_fetcher, daemon=True
+        )
         self._encoder_thread = threading.Thread(
             target=self._run_encoder, daemon=True
         )
 
     # -- engine side ------------------------------------------------------
 
-    def _encode(self, frame) -> tuple[bytes, str]:
+    def _fetch(self, frame) -> np.ndarray:
+        """Device->host transfer of one (optionally device-downsampled)
+        frame — the tunnel-bound stage."""
         if self.stream_scale > 1:
             frame = self._thumb(frame, self.stream_scale)
-        arr = np.asarray(frame)
+        return np.asarray(frame)
+
+    def _encode_arr(self, arr: np.ndarray) -> tuple[bytes, str]:
         from ..utils.imageio import jpeg_bytes, png_bytes
 
         buf = jpeg_bytes(arr, quality=self.jpeg_quality)
@@ -556,10 +571,12 @@ class EngineServer:
                 )
             pacer.wait(stepped, sleep=self._stop.wait)
 
-    def _run_encoder(self) -> None:
-        """Fetch + encode frames handed over by the engine thread, newest
-        first. Runs until stop; a failure here is as terminal as an
-        engine failure (clients would silently stop receiving frames)."""
+    def _run_fetcher(self) -> None:
+        """Fetch device frames handed over by the engine thread, newest
+        first, and hand the host arrays to the encoder (latest-wins: a
+        slow encode drops to the newest fetched frame). Runs until stop;
+        a failure here is as terminal as an engine failure (clients
+        would silently stop receiving frames)."""
         try:
             while not self._stop.is_set():
                 with self._enc_cond:
@@ -569,7 +586,34 @@ class EngineServer:
                         self._enc_cond.wait(0.5)
                     frame, self._enc_frame = self._enc_frame, None
                 t0 = time.monotonic()
-                buf, ctype = self._encode(frame)
+                arr = self._fetch(frame)
+                self._fetch_ms = 1000.0 * (time.monotonic() - t0)
+                with self._fetch_cond:
+                    self._fetched = arr
+                    self._fetched_n += 1
+                    self._fetch_cond.notify()
+        except Exception:  # noqa: BLE001 — terminal: report and stop
+            import sys
+            import traceback
+
+            self._error = traceback.format_exc()
+            sys.stderr.write(self._error)
+            self._stop.set()
+
+    def _run_encoder(self) -> None:
+        """Encode fetched host arrays and publish to the hub — overlaps
+        with the NEXT frame's device fetch (the tunnel-bound stage), so
+        delivered fps approaches the pure-fetch bound."""
+        try:
+            while not self._stop.is_set():
+                with self._fetch_cond:
+                    while self._fetched is None:
+                        if self._stop.is_set():
+                            return
+                        self._fetch_cond.wait(0.5)
+                    arr, self._fetched = self._fetched, None
+                t0 = time.monotonic()
+                buf, ctype = self._encode_arr(arr)
                 self.hub.publish(buf, ctype)
                 self._encoded_n += 1
                 self._encode_ms = 1000.0 * (time.monotonic() - t0)
@@ -694,9 +738,12 @@ class EngineServer:
             "clients": int(self.hub.clients),
             "width": self.cfg.screen.width,
             "height": self.cfg.screen.height,
-            # Streaming pipeline: frames fetched+encoded so far and the
-            # last fetch+encode duration (the tunnel-bound stage that
-            # caps delivered fps — PERF.md "serve surface").
+            # Streaming pipeline: frames fetched / encoded so far and
+            # the last per-stage durations. fetch_ms is the tunnel-bound
+            # stage that caps delivered fps (PERF.md "serve surface");
+            # encode_ms overlaps under the next fetch.
+            "fetched": int(self._fetched_n),
+            "fetch_ms": round(float(self._fetch_ms), 1),
             "encoded": int(self._encoded_n),
             "encode_ms": round(float(self._encode_ms), 1),
             # Watchdog rollbacks this session (0 on a healthy run;
@@ -709,6 +756,7 @@ class EngineServer:
 
     def start(self) -> None:
         self._engine_thread.start()
+        self._fetcher_thread.start()
         self._encoder_thread.start()
         self._http_thread.start()
 
@@ -718,9 +766,12 @@ class EngineServer:
             self._ckpt_cond.notify_all()
         with self._enc_cond:
             self._enc_cond.notify_all()
+        with self._fetch_cond:
+            self._fetch_cond.notify_all()
         self.httpd.shutdown()
         self.httpd.server_close()
         self._engine_thread.join(timeout=10.0)
+        self._fetcher_thread.join(timeout=10.0)
         self._encoder_thread.join(timeout=10.0)
         if self.ckpt_path is not None and not self._engine_thread.is_alive():
             # Save-on-stop (play --save-state parity): the engine thread
