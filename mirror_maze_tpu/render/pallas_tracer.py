@@ -979,7 +979,8 @@ def _tracer_kernel(
         return carry[:3]
 
     def segment(carry):
-        (seg, tiles, rng_i, ox, oy, oz, dx, dy, dz, tr, tg, tb, lr, lg, lb,
+        (seg, tiles, tiles0, tiles3, live_n, rng_i,
+         ox, oy, oz, dx, dy, dz, tr, tg, tb, lr, lg, lb,
          mh, dc, alive_i) = carry
         # Mosaic's scf.while cannot carry vector i1/ui32 — masks ride as
         # int32 and the RNG state as a bitcast int32.
@@ -1194,7 +1195,15 @@ def _tracer_kernel(
         alive = (
             hit & ~(spec & (mh_new >= mirror_limit)) & (dc_new < bounce_limit)
         )
-        return (seg + 1, tiles + tested, pltpu.bitcast(rng, jnp.int32),
+        # Per-segment tile-skip anatomy (config-5 decomposition): tiles
+        # tested on the PRIMARY segment, on segments 0-2, and the sum of
+        # live lanes entering each segment (lockstep-utilization
+        # numerator). Scalar adds — free against the dense passes.
+        return (seg + 1, tiles + tested,
+                tiles0 + jnp.where(seg == 0, tested, 0),
+                tiles3 + jnp.where(seg < 3, tested, 0),
+                live_n + jnp.sum(alive_i),
+                pltpu.bitcast(rng, jnp.int32),
                 ox, oy, oz, dx, dy, dz, tr, tg, tb,
                 lr, lg, lb, mh_new, dc_new, alive.astype(jnp.int32))
 
@@ -1206,7 +1215,7 @@ def _tracer_kernel(
     g0 = g_ref[:]
     init = (
         jnp.int32(0),
-        jnp.int32(0),
+        jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
         pltpu.bitcast(rng0, jnp.int32),
         wide(g0[0:1]), wide(g0[1:2]), wide(g0[2:3]),
         wide(g0[4:5]), wide(g0[5:6]), wide(g0[6:7]),
@@ -1218,14 +1227,18 @@ def _tracer_kernel(
     )
     out = jax.lax.while_loop(cond, segment, init)
     # Rows 0..2: gathered light. Row 3: segments this block executed;
-    # row 4: dense plane tiles evaluated across those segments (both
-    # early-exit/tile-skip diagnostics, surfaced via
-    # trace_paths_pallas(return_block_segments=True)). Rows 5..7: zero.
-    segs = jnp.broadcast_to(out[0].astype(jnp.float32), (1, b))
-    tiles = jnp.broadcast_to(out[1].astype(jnp.float32), (1, b))
+    # row 4: dense plane tiles evaluated across those segments; row 5:
+    # tiles on the PRIMARY segment; row 6: tiles on segments 0-2; row 7:
+    # sum over segments of live lanes entering each (early-exit /
+    # tile-skip / lockstep-utilization diagnostics, surfaced via
+    # trace_paths_pallas(return_block_segments=True)).
+    def srow(x):
+        return jnp.broadcast_to(x.astype(jnp.float32), (1, b))
+
     out_ref[:] = jnp.concatenate(
-        [lane(out[12]), lane(out[13]), lane(out[14]), segs, tiles,
-         jnp.zeros((3, b), jnp.float32)],
+        [lane(out[15]), lane(out[16]), lane(out[17]),
+         srow(out[0]), srow(out[1]), srow(out[2]), srow(out[3]),
+         srow(out[4])],
         axis=0,
     )
 
@@ -1347,10 +1360,11 @@ def trace_paths_pallas(
     the per-kind (W, propsT, aabbs) operand groups precomputed at scene
     upload (DeviceScene.mxu_tables); left None they are derived from the
     plane table here, which requires a CONCRETE (non-traced) table. With
-    ``return_block_segments`` the per-block executed-segment and
-    evaluated-tile counts (the early-exit and tile-skip diagnostics,
-    kernel output rows 3-4) are returned as a second array
-    [2, R // (rows_per_block*128)]. ``anchor`` (e.g. the camera
+    ``return_block_segments`` the per-block diagnostics (kernel output
+    rows 3-7: executed segments; tiles evaluated in total, on the
+    primary segment, and on segments 0-2; and the per-segment live-lane
+    sum) are returned as a second array
+    [5, R // (rows_per_block*128)]. ``anchor`` (e.g. the camera
     position) orders multi-tile groups near-to-far so the slab-test
     skip culls far tiles; None falls back to the world origin.
     """
@@ -1424,5 +1438,5 @@ def trace_paths_pallas(
     )
     light = out[0:3, :n].T
     if return_block_segments:
-        return light, out[3:5, ::block]
+        return light, out[3:8, ::block]
     return light

@@ -97,6 +97,8 @@ def tracer_segment_histogram(
     )
     diag = np.asarray(diag).astype(int)
     segs, tiles = diag[0], diag[1]
+    tiles0, tiles3, live = diag[2], diag[3], diag[4]
+    lanes = rows_per_block * 128
     return {
         "mean": float(segs.mean()),
         "max_segments": cfg.tracer.max_segments,
@@ -107,6 +109,19 @@ def tracer_segment_histogram(
         # loop vs the no-skip worst case (segments x total tiles).
         "mean_tiles": float(tiles.mean()),
         "tiles_per_segment": float(tiles.sum() / max(segs.sum(), 1)),
+        # Per-segment split of the tile skip (config-5 anatomy): the
+        # PRIMARY segment is screen-coherent; bounce segments scatter.
+        "tiles_seg0": float(tiles0.mean()),
+        "tiles_per_segment_seg0": float(tiles0.mean()),
+        "tiles_per_segment_seg1_2": float(
+            (tiles3 - tiles0).sum() / max(np.minimum(segs - 1, 2).sum(), 1)
+        ),
+        "tiles_per_segment_seg3plus": float(
+            (tiles - tiles3).sum() / max((segs - 3).clip(0).sum(), 1)
+        ),
+        # Lockstep utilization: live lanes entering each executed
+        # segment / (block lanes x segments).
+        "live_lane_frac": float(live.sum() / max(segs.sum() * lanes, 1)),
     }
 
 

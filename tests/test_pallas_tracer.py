@@ -526,12 +526,19 @@ def test_block_segments_diagnostic(rng):
                                      rows_per_block=1,
                                      return_block_segments=True)
     diag = np.asarray(diag)
-    assert diag.shape == (2, 2)  # [segments; tiles] x 2 blocks
+    # [segments; tiles; tiles@seg0; tiles@segs0-2; live-lane sum] x 2
+    assert diag.shape == (5, 2)
     segs, tiles = diag[0], diag[1]
+    tiles0, tiles3, live = diag[2], diag[3], diag[4]
     assert (segs >= 1).all() and (segs <= cfg.max_segments).all()
     # 4x4 maze fits single tiles: every kind group is evaluated every
     # segment, so tiles = segments * n_groups (3 kinds present).
     np.testing.assert_array_equal(tiles, segs * 3)
+    np.testing.assert_array_equal(tiles0, np.full_like(tiles0, 3))
+    np.testing.assert_array_equal(tiles3, np.minimum(segs, 3) * 3)
+    # Every lane is live on segment 0 (128 lanes at rows_per_block=1);
+    # later segments only lose lanes.
+    assert (live >= 128).all() and (live <= segs * 128).all()
 
 
 def test_sinpi_polynomial_accuracy():
