@@ -78,6 +78,22 @@ from ..config import TracerConfig
 BIG = 1e30
 LANES = 128
 
+# Stage-stub ablation switch for kernel anatomy measurements (PERF.md
+# methodology: each variant's frame time is normalized by its own
+# measured segments/tiles, because ablations change ray termination).
+# Read at TRACE time; default "" is the production kernel. Values:
+#   "noskip" — run every tile unconditionally (slab test still computed,
+#              cond removed): isolates the skip's win and the per-tile
+#              true cost at full tile count;
+#   "nosel"  — skip the one-hot build + property-select dot (sel = 0):
+#              isolates the select stage;
+#   "nodot"  — replace the hit-test MXU dot with a cheap broadcast
+#              multiply: isolates the MXU stage.
+# IMAGE-AFFECTING (except noskip): measurement tools only.
+import os as _os
+
+_ABLATE = _os.environ.get("MMX_KERNEL_ABLATE", "")
+
 # Column layout of the plane table.
 PLANE_COLS = dict(
     normal=(0, 3), d=3, w1=(4, 7), b1=7, w2=(8, 11), b2=11,
@@ -805,7 +821,10 @@ def _tracer_kernel(
                 else jax.lax.slice_in_dim(x, c0, c0 + lane_chunk, axis=1)
             )
             sdo_c, soo_c = chunk(sdo), chunk(soo)
-            a_c = jnp.dot(w, gc, preferred_element_type=jnp.float32)
+            if _ABLATE == "nodot":
+                a_c = w[:, 0:1] * gc[0:1]     # anatomy stub: no MXU pass
+            else:
+                a_c = jnp.dot(w, gc, preferred_element_type=jnp.float32)
             tvs, off = [], 0
             for mode, pt in specs:
                 q = MODE_QUANTITIES[mode]
@@ -816,6 +835,12 @@ def _tracer_kernel(
                 off += q * pt
             tv_c = tvs[0] if len(tvs) == 1 else jnp.concatenate(tvs, axis=0)
             tmin_c = jnp.min(tv_c, axis=0, keepdims=True)  # [1, chunk]
+            if _ABLATE == "nosel":            # anatomy stub: no select
+                sels.append(jnp.zeros(
+                    (props_t.shape[0] // 2, tmin_c.shape[1]), jnp.float32
+                ))
+                tmins.append(tmin_c)
+                continue
             thresh = jnp.where(tmin_c < BIG, tmin_c, -1.0)
             onehot = (tv_c <= thresh).astype(jnp.float32)
             # propsT carries split-precision rows (bf16-exact hi +
@@ -973,6 +998,8 @@ def _tracer_kernel(
                     )
                     return (new_tmin, new_sel, cc[2] + 1, wide(new_tmin))
 
+                if _ABLATE == "noskip":       # anatomy: every tile runs
+                    return run(c)
                 return jax.lax.cond(jnp.any(could_hit), run, lambda cc: cc, c)
 
             carry = jax.lax.fori_loop(0, n_tiles, tile_body, carry)

@@ -53,6 +53,11 @@ def main():
     ap.add_argument("--block-rows", type=int, default=0,
                     help="override TracerConfig.block_rows (new kernel "
                          "compile per value — budget minutes)")
+    ap.add_argument("--ablate", default="",
+                    choices=("", "noskip", "nosel", "nodot"),
+                    help="kernel stage-stub variant (pallas_tracer "
+                         "_ABLATE); each variant is a fresh Mosaic "
+                         "compile — run one per process")
     ap.add_argument("--k1", type=int, default=6)
     ap.add_argument("--k2", type=int, default=30)
     ap.add_argument("--launches", type=int, default=3)
@@ -112,6 +117,12 @@ def main():
     dev_name = str(jax.devices()[0])
     log(f"device: {dev_name}; screen {cfg.screen.width}x{cfg.screen.height}"
         f"; block_rows {cfg.tracer.block_rows}")
+
+    if args.ablate:
+        from mirror_maze_tpu.render import pallas_tracer
+
+        pallas_tracer._ABLATE = args.ablate
+        log(f"kernel ablation: {args.ablate}")
 
     scene = build_scene(cfg.maze)
     dev = upload_scene(scene)
