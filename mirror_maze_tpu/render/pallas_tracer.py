@@ -85,11 +85,12 @@ LANES = 128
 #   "noskip" — run every tile unconditionally (slab test still computed,
 #              cond removed): isolates the skip's win and the per-tile
 #              true cost at full tile count;
-#   "nosel"  — skip the one-hot build + property-select dot (sel = 0):
-#              isolates the select stage;
 #   "nodot"  — replace the hit-test MXU dot with a cheap broadcast
 #              multiply: isolates the MXU stage.
-# IMAGE-AFFECTING (except noskip): measurement tools only.
+# IMAGE-AFFECTING (except noskip): measurement tools only. A "nosel"
+# variant (skip the select dot) CRASHED the axon server's Mosaic
+# compiler (jellyfish lowering check failure) and took the relay down —
+# removed; do not reintroduce degenerate-stage stubs on this target.
 import os as _os
 
 _ABLATE = _os.environ.get("MMX_KERNEL_ABLATE", "")
@@ -835,12 +836,6 @@ def _tracer_kernel(
                 off += q * pt
             tv_c = tvs[0] if len(tvs) == 1 else jnp.concatenate(tvs, axis=0)
             tmin_c = jnp.min(tv_c, axis=0, keepdims=True)  # [1, chunk]
-            if _ABLATE == "nosel":            # anatomy stub: no select
-                sels.append(jnp.zeros(
-                    (props_t.shape[0] // 2, tmin_c.shape[1]), jnp.float32
-                ))
-                tmins.append(tmin_c)
-                continue
             thresh = jnp.where(tmin_c < BIG, tmin_c, -1.0)
             onehot = (tv_c <= thresh).astype(jnp.float32)
             # propsT carries split-precision rows (bf16-exact hi +

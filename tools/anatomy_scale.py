@@ -54,7 +54,7 @@ def main():
                     help="override TracerConfig.block_rows (new kernel "
                          "compile per value — budget minutes)")
     ap.add_argument("--ablate", default="",
-                    choices=("", "noskip", "nosel", "nodot"),
+                    choices=("", "noskip", "nodot"),
                     help="kernel stage-stub variant (pallas_tracer "
                          "_ABLATE); each variant is a fresh Mosaic "
                          "compile — run one per process")
