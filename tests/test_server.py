@@ -343,10 +343,17 @@ def test_frame_hub_latest_wins():
 
 
 def _tiny_serve_cfg(tiny_cfg, n_bands=1):
+    # pallas_present=False: these tests run their OWN server while the
+    # module fixture's server keeps stepping — TWO concurrent
+    # INTERPRETED pallas calls collide on the interpreter's
+    # process-global shared-memory state (_initialize_shared_memory
+    # num_cores assert, observed in full-suite runs). The XLA present
+    # twin is bit-identical (tests/test_present.py) and
+    # concurrency-safe.
     return tiny_cfg.replace(screen=tiny_cfg.screen.__class__(
         width=32, height=16 * max(2, n_bands) if n_bands > 1 else 32,
         samples_per_pixel=2, chunks_per_frame=4 * max(1, n_bands) * 2,
-        fps=30,
+        fps=30, pallas_present=False,
     ))
 
 
@@ -407,8 +414,11 @@ def test_serve_sharded_bands_session(tiny_scene):
         maze=MazeConfig(width=4, height=4),
         camera=CameraConfig(spawn=(-5.0, 0.0, -15.0)),
         tracer=TracerConfig(bounce_limit=2, mirror_limit=2),
+        # pallas_present=False: see _tiny_serve_cfg (concurrent
+        # interpreted pallas with the module fixture's live server).
         screen=ScreenConfig(width=32, height=16 * n, samples_per_pixel=2,
-                            chunks_per_frame=4 * n, fps=30),
+                            chunks_per_frame=4 * n, fps=30,
+                            pallas_present=False),
         intersector="brute",
     )
     dev = upload_scene(build_scene(cfg.maze))
