@@ -130,6 +130,20 @@ class TracerConfig:
     # MEASURED FASTEST at every tried width (PERF.md "lane-chunk
     # sweep"); kept for experiments on other scene geometries.
     lane_chunk: int | None = None
+    # Compensated hit-test dot (round 5). The MXU truncates f32 matmul
+    # inputs to bf16 (single pass, measured bitwise), giving edge-test
+    # coordinates an ABSOLUTE error ~2^-9 * |o| — catastrophic for
+    # small rectangles far from the origin (the 64x64 scale world spans
+    # +-320 units: light panels lost ~93% of scene luminance on
+    # silicon, round-5 finding). The fix splits BOTH operands into a
+    # bf16-exact hi + f32 residual and computes Wh.Gh + Wh.Gl + Wl.Gh
+    # as ONE [rows, 24] x [24, B] matmul — K grows 8 -> 24, and MXU
+    # pass count is K-independent below K = 128, so the fix is FREE in
+    # passes (PERF.md "MXU-pass floor"). None (default): on for
+    # hardware, off under the exact CPU interpreter (whose f32 dot is
+    # already exact — goldens unchanged, same policy as _rcp).
+    # True/False force it (tests; cross-checking).
+    compensated_dot: bool | None = None
 
     def __post_init__(self):
         # A negative falloff base has no well-defined real power for

@@ -647,6 +647,8 @@ def _tracer_kernel(
     lane_chunk: int,     # dense_nearest chunk width (lanes)
     exact_rcp: bool,     # exact reciprocals (interpret mode; see _rcp)
     fresnel: bool,       # Schlick reflect/refract split (TracerConfig)
+    compensated: bool,   # K=24 hi/lo hit-test dot (TracerConfig
+                         # compensated_dot; see _split24 below)
 ):
     g_ref = refs[-2]     # VMEM [8, B] ray block: ox,oy,oz,1,dx,dy,dz,seed
     out_ref = refs[-1]   # VMEM out [8, B] rows 0..2 = gathered light
@@ -719,6 +721,39 @@ def _tracer_kernel(
     f1 = jnp.ones(wshape, jnp.float32)
     one_row = jnp.ones(shape, jnp.float32)
     zero_row = jnp.zeros(shape, jnp.float32)
+
+    def _bf16v(x):
+        """bf16 RNE rounding of an f32 vector, kept in f32 — the exact
+        value the MXU's single-pass input truncation will use. Integer
+        bit ops via pltpu.bitcast (Mosaic-lowerable; an astype chain is
+        folded to identity by XLA-TPU — PERF.md 'hardware numerics')."""
+        u = pltpu.bitcast(x, jnp.uint32)
+        r = (
+            u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))
+        ) & jnp.uint32(0xFFFF0000)
+        return pltpu.bitcast(r, jnp.float32)
+
+    def _split24(x, axis):
+        """Hi/lo expansion for the COMPENSATED hit-test dot: with both
+        MXU inputs truncated to bf16, edge-test coordinates carry an
+        ABSOLUTE error ~2^-9 * |o| — fatal for small rectangles far
+        from the origin (the 64x64 scale world spans +-320 units;
+        measured on silicon losing ~93% of scene luminance to rejected
+        light-panel hits, round 5). Splitting W and G into a
+        bf16-exact hi plus f32 residual and contracting
+        [Wh|Wh|Wl] @ [Gh;Gl;Gh] = Wh.Gh + Wh.Gl + Wl.Gh recovers
+        ~f32 precision (the dropped Wl.Gl term is ~2^-18 relative);
+        hi passes the MXU truncation unchanged and the residuals only
+        suffer their own ~2^-18-relative truncation. K grows 8 -> 24,
+        and MXU pass count is K-INDEPENDENT below K = 128 (PERF.md
+        'MXU-pass floor'), so the fix costs no passes. W-side: axis=1
+        gives [rows, 24] = [hi | hi | lo]; G-side: axis=0 gives
+        [24, B] = [hi; lo; hi]."""
+        hi = _bf16v(x)
+        lo = x - hi
+        if axis == 1:
+            return jnp.concatenate([hi, hi, lo], axis=1)
+        return jnp.concatenate([hi, lo, hi], axis=0)
 
     def tile_tv_from_a(mode, pt, a, sdo=None, soo=None):
         """[PT, B] elementwise hit tests over precomputed dot products
@@ -825,7 +860,8 @@ def _tracer_kernel(
             if _ABLATE == "nodot":
                 a_c = w[:, 0:1] * gc[0:1]     # anatomy stub: no MXU pass
             else:
-                a_c = jnp.dot(w, gc, preferred_element_type=jnp.float32)
+                wk = _split24(w, axis=1) if compensated else w
+                a_c = jnp.dot(wk, gc, preferred_element_type=jnp.float32)
             tvs, off = [], 0
             for mode, pt in specs:
                 q = MODE_QUANTITIES[mode]
@@ -882,6 +918,10 @@ def _tracer_kernel(
         g = jnp.concatenate(
             [ox, oy, oz, one_row, dx, dy, dz, zero_row], axis=0
         )                                                     # [8, B]
+        if compensated:
+            # Hi/lo G for the K=24 compensated dot (_split24) — built
+            # ONCE per segment; every tile's dense pass consumes it.
+            g = _split24(g, axis=0)                           # [24, B]
         # Ray-quadratic scalars for the sphere group (mode 3): D.O and
         # |O|^2, shared by EVERY sphere, so they are computed once per
         # nearest() call instead of riding per-sphere rows. Statically
@@ -1270,7 +1310,7 @@ def _tracer_kernel(
     static_argnames=(
         "max_segments", "bounce_limit", "mirror_limit",
         "mirror_tint", "t_min", "sky", "block_rays", "interpret",
-        "lane_chunk", "fresnel",
+        "lane_chunk", "fresnel", "compensated",
     ),
 )
 def _trace_padded(
@@ -1289,6 +1329,7 @@ def _trace_padded(
     interpret: bool,
     lane_chunk: int,
     fresnel: bool = True,
+    compensated: bool = False,
 ):
     r_total = g_all.shape[1]
     n_blocks = r_total // block_rays
@@ -1336,6 +1377,7 @@ def _trace_padded(
         lane_chunk=lane_chunk,
         exact_rcp=interpret,
         fresnel=fresnel,
+        compensated=compensated,
     )
     ray_spec = pl.BlockSpec(
         (8, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -1457,6 +1499,13 @@ def trace_paths_pallas(
         interpret=interpret,
         lane_chunk=lane_chunk,
         fresnel=cfg.fresnel,
+        # Compensated K=24 hit-test dot: auto = hardware only (the
+        # interpreter's f32 dot is already exact — the same
+        # backend-matched-exactness policy as _rcp; goldens unchanged).
+        compensated=(
+            cfg.compensated_dot if cfg.compensated_dot is not None
+            else not interpret
+        ),
     )
     light = out[0:3, :n].T
     if return_block_segments:

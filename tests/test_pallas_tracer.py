@@ -613,3 +613,48 @@ def test_all_invalid_table_renders_all_miss():
                            rows_per_block=1, tables=tables)
     )
     np.testing.assert_array_equal(light, 0.0)
+
+
+def test_compensated_dot_wiring_far_from_origin(rng):
+    """The K=24 compensated hit-test dot (round 5: fixes bf16 edge-test
+    loss on far-from-origin geometry at scale on HARDWARE). Under the
+    exact interpreter both forms are f32-accurate, so forcing
+    compensated_dot=True must agree tightly with the default plain dot
+    on a TRANSLATED world (~300 units out, the scale regime) — a
+    wiring check on the [Wh|Wh|Wl] / [Gh;Gl;Gh] row order the hardware
+    path relies on."""
+    import dataclasses
+
+    scene = build_scene(MazeConfig(width=4, height=4))
+    # Push the whole world ~300 units from the origin (the coordinate
+    # magnitude class of the 64x64 scale maze).
+    shift = np.array([290.0, 0.0, 310.0], np.float32)
+    scene = dataclasses.replace(scene, origin=np.asarray(scene.origin)
+                                + shift[None, :])
+    dev = upload_scene(scene)
+    o, d = _rays(256, rng)
+    o = o + jnp.asarray(shift)[None, :]
+    cfg_plain = TracerConfig(bounce_limit=2, mirror_limit=2)
+    cfg_comp = dataclasses.replace(cfg_plain, compensated_dot=True)
+    lp = np.asarray(trace_paths_pallas(dev.plane_table, o, d,
+                                       jnp.int32(7), cfg_plain,
+                                       rows_per_block=2,
+                                       tables=dev.mxu_tables))
+    lc = np.asarray(trace_paths_pallas(dev.plane_table, o, d,
+                                       jnp.int32(7), cfg_comp,
+                                       rows_per_block=2,
+                                       tables=dev.mxu_tables))
+    # Identical RNG streams and near-identical arithmetic: rays may only
+    # differ where an edge decision sits within ~2^-18*|coord| of a
+    # boundary (measure-zero for this scene).
+    np.testing.assert_allclose(lc, lp, rtol=1e-4, atol=1e-5)
+    # And the jnp reference agrees with both on the translated world.
+    lj = np.asarray(trace_paths(dev, o, d, KEY,
+                                dataclasses.replace(cfg_plain,
+                                                    bounce_limit=1,
+                                                    mirror_limit=1)))
+    lp1 = np.asarray(trace_paths_pallas(
+        dev.plane_table, o, d, jnp.int32(7),
+        dataclasses.replace(cfg_comp, bounce_limit=1, mirror_limit=1),
+        rows_per_block=2, tables=dev.mxu_tables))
+    np.testing.assert_allclose(lj, lp1, rtol=1e-4, atol=1e-5)
