@@ -144,6 +144,15 @@ class TracerConfig:
     # already exact — goldens unchanged, same policy as _rcp).
     # True/False force it (tests; cross-checking).
     compensated_dot: bool | None = None
+    # Precomputed slab-test schedule for multi-tile scenes: every
+    # tile's tmin-independent tn/tf chain is unrolled up front into
+    # VMEM scratch (independent chains pipeline) instead of re-running
+    # as pure latency inside the serial tile loop — the config-5
+    # anatomy's per-segment fixed cost (PERF.md). Bit-identical skip
+    # decisions (same math, same near-to-far order; only the schedule
+    # moves); single-tile scenes are untouched. Default off pending
+    # the measured verdict.
+    slab_precompute: bool = False
 
     def __post_init__(self):
         # A negative falloff base has no well-defined real power for

@@ -649,6 +649,7 @@ def _tracer_kernel(
     fresnel: bool,       # Schlick reflect/refract split (TracerConfig)
     compensated: bool,   # K=24 hi/lo hit-test dot (TracerConfig
                          # compensated_dot; see _split24 below)
+    slab_precompute: bool,   # precomputed slab schedule (TracerConfig)
 ):
     g_ref = refs[-2]     # VMEM [8, B] ray block: ox,oy,oz,1,dx,dy,dz,seed
     out_ref = refs[-1]   # VMEM out [8, B] rows 0..2 = gathered light
@@ -992,38 +993,37 @@ def _tracer_kernel(
         # decisions are bit-identical to the lane-layout formulation.
         carry = (tmin, sel, jnp.int32(len(single)), wide(tmin))
 
-        for gi, (mode, n_tiles, pt, _) in multi:
-            aabb_ref, w_ref, props_ref, order_ref = refs[4 * gi:4 * gi + 4]
+        def slab_tn_tf(aabb_ref, ti):
+            """One tile's conservative slab entry/exit over the wide ray
+            state. The accept test widens tn/tf by a relative 1e-3 on
+            top of the absolute AABB inflation, dominating the hardware
+            approximate-reciprocal error (~2^-16 relative; exact under
+            the interpreter — _rcp) at any distance — strictly
+            conservative."""
+            t1x = (aabb_ref[ti, 0] - oxw) * idx
+            t2x = (aabb_ref[ti, 3] - oxw) * idx
+            t1y = (aabb_ref[ti, 1] - oyw) * idy
+            t2y = (aabb_ref[ti, 4] - oyw) * idy
+            t1z = (aabb_ref[ti, 2] - ozw) * idz
+            t2z = (aabb_ref[ti, 5] - ozw) * idz
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                jnp.minimum(t1z, t2z),
+            )
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                jnp.maximum(t1z, t2z),
+            )
+            return tn - jnp.abs(tn) * 1e-3, tf + jnp.abs(tf) * 1e-3
 
-            # Slab-test tile skip: Morton-ordered tiles are spatially
-            # compact, and a whole [PT, B] dense test is skipped when NO
-            # live lane's ray can enter the tile's AABB closer than its
-            # current best hit. The accept test widens tn/tf by a
-            # relative 1e-3 on top of the absolute AABB inflation,
-            # dominating the hardware approximate-reciprocal error
-            # (~2^-16 relative; exact under the interpreter — _rcp) at
-            # any distance — strictly conservative.
-            def tile_body(ti, c, aabb_ref=aabb_ref, w_ref=w_ref,
-                          props_ref=props_ref, order_ref=order_ref,
-                          mode=mode, pt=pt):
+        def make_tile_body(w_ref, props_ref, order_ref, mode, pt, read_tntf):
+            """Loop body shared by the two slab schedules: pop the
+            (near-to-far) physical tile id, test, and cond-run the dense
+            pass. ``read_tntf(ti)`` supplies the tile's slab interval."""
+            def tile_body(ti, c):
                 tmin_w = c[3]
                 ti = order_ref[ti]
-                t1x = (aabb_ref[ti, 0] - oxw) * idx
-                t2x = (aabb_ref[ti, 3] - oxw) * idx
-                t1y = (aabb_ref[ti, 1] - oyw) * idy
-                t2y = (aabb_ref[ti, 4] - oyw) * idy
-                t1z = (aabb_ref[ti, 2] - ozw) * idz
-                t2z = (aabb_ref[ti, 5] - ozw) * idz
-                tn = jnp.maximum(
-                    jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
-                    jnp.minimum(t1z, t2z),
-                )
-                tf = jnp.minimum(
-                    jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
-                    jnp.maximum(t1z, t2z),
-                )
-                tn = tn - jnp.abs(tn) * 1e-3
-                tf = tf + jnp.abs(tf) * 1e-3
+                tn, tf = read_tntf(ti)
                 could_hit = (tf >= tn) & (tf > 0.0) & (tn < tmin_w) & alive_w
 
                 def run(cc):
@@ -1036,9 +1036,60 @@ def _tracer_kernel(
                 if _ABLATE == "noskip":       # anatomy: every tile runs
                     return run(c)
                 return jax.lax.cond(jnp.any(could_hit), run, lambda cc: cc, c)
+            return tile_body
 
-            carry = jax.lax.fori_loop(0, n_tiles, tile_body, carry)
-        return carry[:3]
+        # Slab-test tile skip: Morton-ordered tiles are spatially
+        # compact, and a whole [PT, B] dense test is skipped when NO
+        # live lane's ray can enter the tile's AABB closer than its
+        # current best hit.
+        if not slab_precompute:
+            for gi, (mode, n_tiles, pt, _) in multi:
+                aabb_ref, w_ref, props_ref, order_ref = (
+                    refs[4 * gi:4 * gi + 4]
+                )
+                body = make_tile_body(
+                    w_ref, props_ref, order_ref, mode, pt,
+                    lambda ti, aabb_ref=aabb_ref: slab_tn_tf(aabb_ref, ti),
+                )
+                carry = jax.lax.fori_loop(0, n_tiles, body, carry)
+            return carry[:3]
+
+        # PRECOMPUTED schedule (TracerConfig.slab_precompute): every
+        # tile's tn/tf is tmin-INDEPENDENT, so all of them are computed
+        # up front as statically-unrolled INDEPENDENT chains (they
+        # pipeline; inside the serial fori_loop each ~14-op chain is
+        # pure latency — the config-5 anatomy's 9.2 us/segment fixed
+        # cost) into VMEM scratch, leaving only the 4-op tmin compare +
+        # cond in the loop. Bit-identical decisions — same math, same
+        # near-to-far order, only the schedule moves.
+        def _scoped(*scr):
+            c2 = carry
+            for si, (gi, (mode, n_tiles, pt, _)) in enumerate(multi):
+                aabb_ref = refs[4 * gi]
+                tn_ref, tf_ref = scr[2 * si], scr[2 * si + 1]
+                for k in range(n_tiles):
+                    tn, tf = slab_tn_tf(aabb_ref, k)
+                    tn_ref[k] = tn
+                    tf_ref[k] = tf
+            for si, (gi, (mode, n_tiles, pt, _)) in enumerate(multi):
+                _, w_ref, props_ref, order_ref = refs[4 * gi:4 * gi + 4]
+                tn_ref, tf_ref = scr[2 * si], scr[2 * si + 1]
+                body = make_tile_body(
+                    w_ref, props_ref, order_ref, mode, pt,
+                    lambda ti, tn_ref=tn_ref, tf_ref=tf_ref: (
+                        tn_ref[ti], tf_ref[ti]
+                    ),
+                )
+                c2 = jax.lax.fori_loop(0, n_tiles, body, c2)
+            return c2[:3]
+
+        scratch = []
+        for gi, (mode, n_tiles, pt, _) in multi:
+            scratch += [
+                pltpu.VMEM((n_tiles, 8, b // 8), jnp.float32),
+                pltpu.VMEM((n_tiles, 8, b // 8), jnp.float32),
+            ]
+        return pl.run_scoped(_scoped, *scratch)
 
     def segment(carry):
         (seg, tiles, tiles0, tiles3, live_n, rng_i,
@@ -1310,7 +1361,7 @@ def _tracer_kernel(
     static_argnames=(
         "max_segments", "bounce_limit", "mirror_limit",
         "mirror_tint", "t_min", "sky", "block_rays", "interpret",
-        "lane_chunk", "fresnel", "compensated",
+        "lane_chunk", "fresnel", "compensated", "slab_precompute",
     ),
 )
 def _trace_padded(
@@ -1330,6 +1381,7 @@ def _trace_padded(
     lane_chunk: int,
     fresnel: bool = True,
     compensated: bool = False,
+    slab_precompute: bool = False,
 ):
     r_total = g_all.shape[1]
     n_blocks = r_total // block_rays
@@ -1378,6 +1430,7 @@ def _trace_padded(
         exact_rcp=interpret,
         fresnel=fresnel,
         compensated=compensated,
+        slab_precompute=slab_precompute,
     )
     ray_spec = pl.BlockSpec(
         (8, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -1506,6 +1559,7 @@ def trace_paths_pallas(
             cfg.compensated_dot if cfg.compensated_dot is not None
             else not interpret
         ),
+        slab_precompute=cfg.slab_precompute,
     )
     light = out[0:3, :n].T
     if return_block_segments:

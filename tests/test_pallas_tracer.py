@@ -724,3 +724,41 @@ def test_compensated_dot_spheres_far_from_origin(rng):
 
     t, idx = nearest_hit_brute(dev, o, d, cfg.t_min)
     assert (np.asarray(idx) >= dev.num_planes).any()
+
+
+def test_slab_precompute_is_bitwise_identical_multitile(rng):
+    """TracerConfig.slab_precompute only moves the slab-test schedule
+    (precomputed VMEM scratch vs in-loop chains); skip decisions, tile
+    order, and all arithmetic are unchanged, so the traced image must be
+    BITWISE identical on a multi-tile scene."""
+    import dataclasses
+
+    from mirror_maze_tpu.scene.builder import Scene
+
+    r = np.random.default_rng(23)
+    n = 150   # > PLANE_TILE -> multi-tile
+    em = np.concatenate(
+        [r.uniform(0, 1, (n, 3)),
+         (r.random((n, 1)) < 0.3) * r.uniform(0, 2, (n, 1))], axis=1
+    )
+    scene = Scene(
+        origin=r.uniform(-20, 20, (n, 3)).astype(np.float32),
+        v=(r.normal(size=(n, 3)) * 2).astype(np.float32),
+        u=(r.normal(size=(n, 3)) * 2).astype(np.float32),
+        color=r.uniform(0, 1, (n, 3)).astype(np.float32),
+        is_mirror=r.random(n) < 0.2,
+        emission=em.astype(np.float32),
+        grid=np.zeros((1, 1), np.uint8),
+    )
+    dev = upload_scene(scene)
+    o, d = _rays(256, rng, extent=22.0)
+    cfg = TracerConfig(bounce_limit=2, mirror_limit=2)
+    anchor = jnp.asarray([2.0, -1.0, 0.5])
+    lp = np.asarray(trace_paths_pallas(
+        dev.plane_table, o, d, jnp.int32(7), cfg, rows_per_block=2,
+        tables=dev.mxu_tables, anchor=anchor))
+    ls = np.asarray(trace_paths_pallas(
+        dev.plane_table, o, d, jnp.int32(7),
+        dataclasses.replace(cfg, slab_precompute=True),
+        rows_per_block=2, tables=dev.mxu_tables, anchor=anchor))
+    np.testing.assert_array_equal(lp, ls)

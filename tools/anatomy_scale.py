@@ -58,6 +58,9 @@ def main():
                     help="kernel stage-stub variant (pallas_tracer "
                          "_ABLATE); each variant is a fresh Mosaic "
                          "compile — run one per process")
+    ap.add_argument("--slab-pre", action="store_true", dest="slab_pre",
+                    help="TracerConfig.slab_precompute=True (new kernel "
+                         "compile)")
     ap.add_argument("--k1", type=int, default=6)
     ap.add_argument("--k2", type=int, default=30)
     ap.add_argument("--launches", type=int, default=3)
@@ -113,6 +116,10 @@ def main():
     if args.block_rows:
         cfg = cfg.replace(tracer=dataclasses.replace(
             cfg.tracer, block_rows=args.block_rows
+        ))
+    if args.slab_pre:
+        cfg = cfg.replace(tracer=dataclasses.replace(
+            cfg.tracer, slab_precompute=True
         ))
     dev_name = str(jax.devices()[0])
     log(f"device: {dev_name}; screen {cfg.screen.width}x{cfg.screen.height}"
