@@ -422,8 +422,12 @@ def test_serve_sharded_bands_session(tiny_scene):
         intersector="brute",
     )
     dev = upload_scene(build_scene(cfg.maze))
+    import tempfile
+
+    ckpt = tempfile.NamedTemporaryFile(suffix=".npz", delete=False)
+    ckpt.close()
     srv = EngineServer(dev, cfg, seed=0, port=0, sharded_bands=n,
-                       stream_every=1)
+                       stream_every=1, ckpt_path=ckpt.name)
     srv.start()
     try:
         s0 = _wait_stats(srv.port, lambda s: s["frame"] > 0, timeout=120)
@@ -438,8 +442,23 @@ def test_serve_sharded_bands_session(tiny_scene):
             srv.port,
             lambda s: abs(s["cam"][2] - (-15.0)) > 0.5, timeout=120,
         )
+        # Live checkpoint of the SHARDED state over HTTP: the saved
+        # .npz restores through the sharded loader (band count kept).
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/ckpt", data=b"", method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            info = json.loads(r.read())
+        assert info["path"] == ckpt.name and info["frame"] > 0
+        from mirror_maze_tpu.parallel.shard import load_sharded_state
+
+        st = load_sharded_state(ckpt.name, cfg, n)
+        assert int(np.asarray(st.frame).reshape(-1)[0]) == info["frame"]
     finally:
         srv.stop()
+        import os
+
+        os.unlink(ckpt.name)
 
 
 def test_serve_checkpoint_endpoint_and_resume(tiny_cfg, tiny_device_scene,
