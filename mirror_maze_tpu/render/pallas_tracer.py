@@ -82,9 +82,13 @@ LANES = 128
 # methodology: each variant's frame time is normalized by its own
 # measured segments/tiles, because ablations change ray termination).
 # Read at TRACE time; default "" is the production kernel. Values:
-#   "noskip" — run every tile unconditionally (slab test still computed,
-#              cond removed): isolates the skip's win and the per-tile
-#              true cost at full tile count;
+#   "noskip" — run every tile unconditionally (cond removed; the then-
+#              unused slab arithmetic is likely DCE'd by the compiler —
+#              bounded at <= 0.8% of the config-5 frame by the
+#              slab_precompute measurement, so the anatomy's
+#              fixed/per-tile split is unaffected at that scale):
+#              isolates the skip's win and the per-tile true cost at
+#              full tile count;
 #   "nodot"  — replace the hit-test MXU dot with a cheap broadcast
 #              multiply: isolates the MXU stage.
 # IMAGE-AFFECTING (except noskip): measurement tools only. A "nosel"

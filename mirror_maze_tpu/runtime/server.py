@@ -97,7 +97,12 @@ setInterval(async () => {
     if (r.status === 404) { mapOk = false; return; }
     if (!r.ok) return;
     const u = URL.createObjectURL(await r.blob());
-    map.onload = () => { map.style.display = 'block'; URL.revokeObjectURL(u); };
+    // Revoke the PREVIOUS blob unconditionally (onload-only revocation
+    // leaked URLs when a body failed to decode or a newer tick
+    // superseded a pending load — slow growth in long sessions).
+    if (map.dataset.blob) URL.revokeObjectURL(map.dataset.blob);
+    map.dataset.blob = u;
+    map.onload = () => { map.style.display = 'block'; };
     map.src = u;
   } catch (e) {}
 }, 2000);
@@ -693,7 +698,7 @@ class EngineServer:
             if not netloc or netloc != headers.get("Host"):
                 return False
         bound = self.httpd.server_address[0]
-        if bound in self._LOOPBACK or bound == "::1":
+        if bound in self._LOOPBACK:
             # urlsplit-based hostname: strips the port AND the IPv6
             # brackets (a naive rsplit(":") turned "[::1]" into "[:").
             try:

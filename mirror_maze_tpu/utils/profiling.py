@@ -112,7 +112,6 @@ def tracer_segment_histogram(
         # Per-segment split of the tile skip (config-5 anatomy): the
         # PRIMARY segment is screen-coherent; bounce segments scatter.
         "tiles_seg0": float(tiles0.mean()),
-        "tiles_per_segment_seg0": float(tiles0.mean()),
         "tiles_per_segment_seg1_2": float(
             (tiles3 - tiles0).sum() / max(np.minimum(segs - 1, 2).sum(), 1)
         ),
