@@ -412,10 +412,12 @@ def config_interactive() -> EngineConfig:
 
     sort_chunk_window on: even on single-tile scenes, screen-coherent
     blocks reach the all-dead early exit sooner (same-region samples die
-    together) — measured +2.4% at this operating point (PERF.md)."""
+    together) — measured +2.4% at this operating point (PERF.md).
+    block_rows 96: the round-5 K=24 compensated-dot optimum (185.6
+    Mrays/s vs 183.4 at the previous 128; PERF.md headline)."""
     return EngineConfig(
         maze=MazeConfig(width=10, height=10),
-        tracer=TracerConfig(bounce_limit=5, mirror_limit=8, block_rows=128),
+        tracer=TracerConfig(bounce_limit=5, mirror_limit=8, block_rows=96),
         screen=ScreenConfig(width=1920, height=1080, sort_chunk_window=True),
         intersector="pallas",
     )

@@ -19,7 +19,7 @@ def _args(**kw):
 
 def test_overrides_preserve_named_config_fields():
     """--width/--spp/--seed must REPLACE single fields: config_interactive
-    sets sort_chunk_window=True and block_rows=128, which a from-scratch
+    sets sort_chunk_window=True and block_rows=96, which a from-scratch
     ScreenConfig/MazeConfig rebuild silently reset (past bug)."""
     from mirror_maze_tpu.__main__ import _build
 
@@ -29,7 +29,7 @@ def test_overrides_preserve_named_config_fields():
     assert cfg.screen.width == 64 and cfg.screen.height == 48
     assert cfg.screen.samples_per_pixel == 2
     assert cfg.screen.sort_chunk_window is True      # preserved
-    assert cfg.tracer.block_rows == 128              # preserved
+    assert cfg.tracer.block_rows == 96               # preserved
     assert cfg.maze.seed == 3
     assert cfg.maze.width == 10                      # preserved
 
