@@ -92,12 +92,12 @@ def build_bench_setup(args):
         # compensated-dot optimum, round 5: 96 -> 185.6 Mrays/s vs
         # 128 -> 183.4, 64 -> 181.7, 192 -> 180.4 at the 1080p
         # headline); a few tiles -> 32 (config 3 measured 66.8 at 32
-        # vs 61.9 at 16); many tiles -> 16 (tile-skip coherence
-        # dominates, config 5).
+        # vs 61.9 at 16); many tiles -> 24 (config 5 under the K=24 dot:
+        # 24 -> 545.5 ms, 32 -> 547.9, 16 -> 562.6).
         n_tiles = max(
             g[2].shape[0] for g in dev_scene.mxu_tables if g is not None
         )
-        rows = 96 if n_tiles == 1 else (32 if n_tiles <= 4 else 16)
+        rows = 96 if n_tiles == 1 else (32 if n_tiles <= 4 else 24)
         cfg = cfg.replace(
             tracer=dataclasses.replace(cfg.tracer, block_rows=rows)
         )

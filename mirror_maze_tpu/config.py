@@ -430,10 +430,11 @@ def config_scale() -> EngineConfig:
     needs each tracer block's ray set spatially tight: the chunk window
     is Morton-sorted (sort_chunk_window) so consecutive chunks share a
     screen region, which keeps the wide latency-amortizing blocks
-    coherent (PERF.md "large scenes"; block_rows 16 measured best)."""
+    coherent (PERF.md "large scenes"; block_rows 24 is the round-5
+    K=24-dot optimum — 545.5 ms vs 562.6 at 16 and 547.9 at 32)."""
     return EngineConfig(
         maze=MazeConfig(width=64, height=64),
-        tracer=TracerConfig(bounce_limit=5, mirror_limit=16, block_rows=16),
+        tracer=TracerConfig(bounce_limit=5, mirror_limit=16, block_rows=24),
         screen=ScreenConfig(width=3840, height=2160,
                             sort_chunk_window=True),
         intersector="pallas",
